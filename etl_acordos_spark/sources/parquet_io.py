@@ -1,0 +1,73 @@
+"""Parquet layer IO — the lake side of the medallion architecture.
+
+The reference stores one Parquet object per table per layer in MinIO with
+a ``brz_/slv_/gld_`` prefix convention (reference tasks/bronze.py:79-82,
+tasks/silver.py:77-90, tasks/gold.py:53-68) and does a list-bucket
+existence check before each read (tasks/silver.py:25-30,
+tasks/gold.py:25-30).
+
+Spark-first re-expression: `spark.read.parquet` / `df.write.parquet` —
+predicate pushdown, column pruning, and partition pruning come from
+Catalyst for free. Layer naming stays a path convention; on a cluster the
+same paths are `s3a://` URIs (hadoop-aws), nothing here changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+LAYER_PREFIXES = {"bronze": "brz", "silver": "slv", "gold": "gld"}
+
+
+def layer_key(layer: str, name: str) -> str:
+    """``('silver', 'acordos') -> 'silver/slv_acordos'`` — the reference's
+    object-key convention (tasks/bronze.py:82, tasks/silver.py:84-89)."""
+    prefix = LAYER_PREFIXES[layer]
+    return f"{layer}/{prefix}_{name}"
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Parquet table (reference tasks/silver.py:32-34). Lazy —
+    filters/projections applied later are pushed into this scan."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the testdata tables from a scale-factor directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def parquet_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check before read (reference tasks/silver.py:25-30).
+
+    Uses the Hadoop FileSystem API so it works identically for local
+    paths and object stores — no data read, metadata only.
+    """
+    sc = spark.sparkContext
+    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    return bool(fs.exists(hadoop_path))
+
+
+def write_parquet_layer(
+    df: DataFrame,
+    base_dir: str,
+    layer: str,
+    name: str,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Write a DataFrame as a medallion-layer Parquet table.
+
+    Reference writes a single whole-table object (tasks/silver.py:77-90);
+    here the write is partitioned (directory of part-files, optionally
+    hive-partitioned by e.g. a year column) so downstream scans prune and
+    parallelize — the 100 TB-safe layout.
+    """
+    path = os.path.join(base_dir, layer_key(layer, name))
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
