@@ -1,8 +1,396 @@
-"""Relational extension queries (SURVEY.md §2.6) — joins, aggregations,
-top-k, windows, JSON, set ops. Filled in build-plan step 6."""
+"""Relational extension queries (SURVEY.md §2.6 gap map).
+
+The reference has no joins, aggregations, windows, sorts, set ops, or
+JSON functions — these extend the engine to the full star-schema query
+surface, built Spark-first:
+
+  - dimension joins broadcast (a 25-row `nation` never shuffles a 100 TB
+    `lineitem`); the one fact-fact join (lineitem⋈orders) shuffles on the
+    join key and AQE picks/splits the physical strategy;
+  - aggregates are partial+final hash aggregates (map-side combine free);
+  - top-k per group is a windowed row_number inside hash-partitioned
+    groups — no global sort at any scale;
+  - monetary aggregates are rounded in BOTH engines so the oracle hash
+    compares stable digits, not reassociation noise.
+"""
 
 from __future__ import annotations
 
-from etl_acordos_spark.queries.base import QueryDef
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
-QUERIES: dict[str, QueryDef] = {}
+from etl_acordos_spark.operators.relational import star_join, top_k_per_group
+from etl_acordos_spark.queries.base import QueryDef, read_events, t
+
+# ------------------------------------------------------------------ joins
+
+
+def q_ext_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema equi-join: lineitem⋈orders⋈customer⋈nation⋈region →
+    revenue by region and year. Dims broadcast; the lineitem⋈orders join
+    is the only shuffle besides the final aggregate."""
+    lineitem = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+
+    joined = star_join(
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey),
+        [
+            (customer, F.col("o_custkey") == F.col("c_custkey")),
+            (nation, F.col("c_nationkey") == F.col("n_nationkey")),
+            (region, F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("regiao"), F.year("o_orderdate").alias("ano"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("receita"),
+            F.count(F.lit(1)).alias("n_itens"),
+        )
+    )
+
+
+# -------------------------------------------------------------- aggregates
+
+
+def q_ext_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure hash aggregation (TPC-H Q1 shape) over lineitem."""
+    lineitem = t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (region → order priority)."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = star_join(
+        orders,
+        [
+            (customer, F.col("o_custkey") == F.col("c_custkey")),
+            (nation, F.col("c_nationkey") == F.col("n_nationkey")),
+            (region, F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return joined.rollup(
+        F.col("r_name").alias("regiao"), F.col("o_orderpriority").alias("prioridade")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pedidos"),
+        F.round(F.sum("o_totalprice"), 2).alias("receita"),
+    )
+
+
+def q_ext_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per market segment: exact distinct count,
+    min/max/stddev. (Sketch-based approx_count_distinct is demonstrated
+    rows-only in ext_approx — sketches differ across engines.)"""
+    customer = t(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+    )
+
+
+def q_ext_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + quantile sketch) — the
+    100 TB path where exact distinct is a full shuffle. Rows-only: sketch
+    implementations differ across engines by design."""
+    lineitem = t(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+
+def q_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order revenue per region — windowed row_number
+    with a unique tiebreaker (determinism survives any partitioning)."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    revenue = (
+        star_join(
+            orders,
+            [
+                (customer, F.col("o_custkey") == F.col("c_custkey")),
+                (nation, F.col("c_nationkey") == F.col("n_nationkey")),
+                (region, F.col("n_regionkey") == F.col("r_regionkey")),
+            ],
+        )
+        .groupBy(F.col("r_name").alias("regiao"), F.col("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("receita"))
+    )
+    return top_k_per_group(
+        revenue,
+        group_cols=["regiao"],
+        order_cols=[F.col("receita").desc(), F.col("c_custkey").asc()],
+        k=3,
+        rank_col="posicao",
+    ).select("regiao", "c_custkey", "receita", "posicao")
+
+
+def q_ext_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates + lag per supplier over ship time: cumulative
+    quantity and previous ship date. Total order via (shipdate, orderkey,
+    linenumber) so results are deterministic under any partitioning."""
+    lineitem = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.round(
+            F.sum("l_quantity").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("qty_acumulada"),
+        F.lag(F.col("l_shipdate").cast("date"), 1).over(w).alias("envio_anterior"),
+    )
+
+
+def q_ext_topn_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N (ORDER BY + LIMIT) — Spark executes as TakeOrdered:
+    per-partition heaps + driver merge, never a global sort. Unique
+    tiebreaker makes the result set deterministic."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# ----------------------------------------------------------------- set ops
+
+
+def q_ext_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers in BUILDING ∩ positive balance,
+    ∪ MACHINERY, − FURNITURE (distinct semantics, like the SQL operators)."""
+    customer = t(spark, sf_dir, "customer")
+    keys = lambda pred: customer.filter(pred).select("c_custkey")  # noqa: E731
+    building = keys(F.col("c_mktsegment") == "BUILDING")
+    positive = keys(F.col("c_acctbal") > 0)
+    machinery = keys(F.col("c_mktsegment") == "MACHINERY")
+    furniture = keys(F.col("c_mktsegment") == "FURNITURE")
+    return (
+        building.intersect(positive).union(machinery).distinct().subtract(furniture)
+    )
+
+
+# -------------------------------------------------------------------- JSON
+
+
+def q_ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction from JSON strings (events.props)."""
+    events = read_events(spark, sf_dir)
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# ----------------------------------------------------------- time windows
+
+
+def q_ext_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over events.ts (batch; the
+    streaming variant with watermark is ext_event_windows_stream).
+    Window start emitted as a string so the oracle hash is
+    timezone-representation-proof."""
+    events = read_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.round(F.sum("value"), 2).alias("valor_total"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("janela"),
+            "event_type",
+            "n_eventos",
+            "valor_total",
+        )
+    )
+
+
+def q_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event type (explicit
+    pivot values — never let a 100 TB scan discover the column set)."""
+    events = read_events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        events.groupBy(F.to_date("ts").alias("dia"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return pivoted.select(
+        "dia", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in types]
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_ORACLES: dict[str, str | None] = {
+    "ext_join_star": (
+        "SELECT r_name AS regiao, CAST(year(o_orderdate) AS INTEGER) AS ano,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS receita,"
+        " count(*) AS n_itens"
+        " FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " GROUP BY r_name, year(o_orderdate)"
+    ),
+    "ext_groupby_agg": (
+        "SELECT l_returnflag, l_linestatus,"
+        " round(sum(l_quantity), 2) AS sum_qty,"
+        " round(sum(l_extendedprice), 2) AS sum_base_price,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
+        " round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)"
+        "   AS sum_charge,"
+        " round(avg(l_quantity), 6) AS avg_qty,"
+        " round(avg(l_discount), 6) AS avg_disc,"
+        " count(*) AS count_order"
+        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+        " GROUP BY l_returnflag, l_linestatus"
+    ),
+    "ext_rollup": (
+        "SELECT r_name AS regiao, o_orderpriority AS prioridade,"
+        " count(*) AS n_pedidos, round(sum(o_totalprice), 2) AS receita"
+        " FROM orders"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " GROUP BY ROLLUP (r_name, o_orderpriority)"
+    ),
+    "ext_agg_stats": (
+        "SELECT c_mktsegment,"
+        " CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,"
+        " round(min(c_acctbal), 2) AS min_bal,"
+        " round(max(c_acctbal), 2) AS max_bal,"
+        " round(avg(c_acctbal), 4) AS avg_bal,"
+        " round(stddev_samp(c_acctbal), 4) AS sd_bal"
+        " FROM customer GROUP BY c_mktsegment"
+    ),
+    "ext_approx": None,  # sketches differ across engines — rows-only
+    "ext_topk": (
+        "SELECT regiao, c_custkey, receita, posicao FROM ("
+        "  SELECT regiao, c_custkey, receita,"
+        "   CAST(row_number() OVER ("
+        "     PARTITION BY regiao ORDER BY receita DESC, c_custkey ASC"
+        "   ) AS INTEGER) AS posicao"
+        "  FROM ("
+        "    SELECT r_name AS regiao, c_custkey,"
+        "     round(sum(o_totalprice), 2) AS receita"
+        "    FROM orders"
+        "    JOIN customer ON o_custkey = c_custkey"
+        "    JOIN nation ON c_nationkey = n_nationkey"
+        "    JOIN region ON n_regionkey = r_regionkey"
+        "    GROUP BY r_name, c_custkey))"
+        " WHERE posicao <= 3"
+    ),
+    "ext_window_running": (
+        "SELECT l_suppkey, l_orderkey, l_linenumber,"
+        " CAST(l_shipdate AS DATE) AS ship_date,"
+        " round(sum(l_quantity) OVER w, 2) AS qty_acumulada,"
+        " CAST(lag(l_shipdate, 1) OVER w AS DATE) AS envio_anterior"
+        " FROM lineitem"
+        " WINDOW w AS (PARTITION BY l_suppkey"
+        "   ORDER BY l_shipdate, l_orderkey, l_linenumber"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    "ext_topn_global": (
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "ext_setops": (
+        "SELECT DISTINCT c_custkey FROM ("
+        " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+        "  INTERSECT"
+        "  SELECT c_custkey FROM customer WHERE c_acctbal > 0)"
+        " UNION"
+        " SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'"
+        " EXCEPT"
+        " SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE')"
+    ),
+    "ext_json_extract": (
+        "SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events"
+    ),
+    "ext_event_windows": (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS janela,"
+        " event_type, count(*) AS n_eventos,"
+        " round(sum(value), 2) AS valor_total"
+        " FROM events GROUP BY 1, 2"
+    ),
+    "ext_pivot": (
+        "SELECT CAST(ts AS DATE) AS dia,"
+        " count(*) FILTER (WHERE event_type = 'click') AS click,"
+        " count(*) FILTER (WHERE event_type = 'error') AS error,"
+        " count(*) FILTER (WHERE event_type = 'purchase') AS purchase,"
+        " count(*) FILTER (WHERE event_type = 'signup') AS signup,"
+        " count(*) FILTER (WHERE event_type = 'view') AS view"
+        " FROM events GROUP BY 1"
+    ),
+}
+
+QUERIES: dict[str, QueryDef] = {
+    "ext_join_star": QueryDef(q_ext_join_star, _ORACLES["ext_join_star"]),
+    "ext_groupby_agg": QueryDef(q_ext_groupby_agg, _ORACLES["ext_groupby_agg"]),
+    "ext_rollup": QueryDef(q_ext_rollup, _ORACLES["ext_rollup"]),
+    "ext_agg_stats": QueryDef(q_ext_agg_stats, _ORACLES["ext_agg_stats"]),
+    "ext_approx": QueryDef(q_ext_approx, None),
+    "ext_topk": QueryDef(q_ext_topk, _ORACLES["ext_topk"]),
+    "ext_window_running": QueryDef(
+        q_ext_window_running, _ORACLES["ext_window_running"]
+    ),
+    "ext_topn_global": QueryDef(q_ext_topn_global, _ORACLES["ext_topn_global"]),
+    "ext_setops": QueryDef(q_ext_setops, _ORACLES["ext_setops"]),
+    "ext_json_extract": QueryDef(q_ext_json_extract, _ORACLES["ext_json_extract"]),
+    "ext_event_windows": QueryDef(
+        q_ext_event_windows, _ORACLES["ext_event_windows"]
+    ),
+    "ext_pivot": QueryDef(q_ext_pivot, _ORACLES["ext_pivot"]),
+}
