@@ -1,0 +1,239 @@
+"""Document deduplication family — exact, MinHash-LSH, SimHash, n-gram
+Jaccard — built entirely from Catalyst higher-order functions (no Python
+in the hot path, no MLlib dependency).
+
+The reference's only dedup is `drop_duplicates` (tasks/silver.py:72);
+this module is the LLM-data-pipeline extension (SURVEY.md §2.6), designed
+for 100 TB:
+
+  - Signatures (MinHash, SimHash) are computed PER ROW with
+    `transform`/`aggregate` — a map-only stage, no shuffle, linear scan.
+  - Candidate generation shuffles only (band_idx, band_value) pairs —
+    tiny compared to the documents — and joins bucket-to-bucket. A hot
+    bucket (thousands of identical docs) is the classic skew case: AQE
+    skew-join splitting handles it; `max_bucket_size` hard-caps the
+    quadratic blowup with an explicit guard.
+  - Verification (exact Jaccard) runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ tokenizing
+
+
+def words(col: str = "text") -> Column:
+    """Whitespace tokens (single-space split — mirrors the oracle's
+    string_split exactly)."""
+    return F.split(F.col(col), " ")
+
+
+def word_shingles(tok_col: str = "tok", n: int = 3) -> Column:
+    """Distinct word n-gram shingles; documents shorter than *n* words
+    contribute their whole text as one shingle."""
+    return F.expr(
+        f"array_distinct(CASE WHEN size({tok_col}) >= {n} THEN"
+        f" transform(sequence(1, size({tok_col}) - {n - 1}),"
+        f"  i -> array_join(slice({tok_col}, i, {n}), ' '))"
+        f" ELSE array(array_join({tok_col}, ' ')) END)"
+    )
+
+
+def jaccard(a: str, b: str) -> Column:
+    """Exact set Jaccard between two array columns."""
+    return (
+        F.size(F.array_intersect(F.col(a), F.col(b)))
+        / F.size(F.array_union(F.col(a), F.col(b)))
+    ).cast("double")
+
+
+# ----------------------------------------------------------- exact dedup
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content-hash exact dedup: keep the smallest id per distinct text.
+
+    One hash-aggregate shuffle keyed on the 64-hex content hash — never
+    on the document body itself, so 100 TB of text shuffles only ids +
+    digests.
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "content_sha256")
+    )
+
+
+# ------------------------------------------------------------ MinHash-LSH
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding +
+    exact-Jaccard verification.
+
+    shingle → minhash (per-row, map-only) → band → bucket self-join
+    (candidates) → verify. With num_perm=64, bands=16 (rows/band=4) the
+    candidate-probability curve crosses ~0.5 steeply around J≈0.55 —
+    tuned for near-dup thresholds ≥0.5. Buckets larger than
+    *max_bucket_size* are dropped (they are degenerate — e.g. an empty
+    shingle — and would otherwise go quadratic); dropped buckets of
+    exact duplicates are exactly what `exact_dedup` already catches.
+    """
+    rows_per_band = num_perm // bands
+    sig = (
+        prepare_tokens(df, text_col, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles("tok", shingle_n).alias("sh"),
+        )
+        .withColumn(
+            "sig",
+            F.expr(
+                f"transform(sequence(0, {num_perm - 1}),"
+                " s -> array_min(transform(sh, x -> xxhash64(x, s))))"
+            ),
+        )
+        .withColumn(
+            "band",
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" j -> xxhash64(slice(sig, j * {rows_per_band} + 1, {rows_per_band})))"
+            ),
+        )
+        .select("doc", "sh", F.posexplode("band").alias("band_idx", "band_val"))
+    )
+    # bucket = (band_idx, band_val); cap degenerate buckets, then self-join
+    bucket_ok = (
+        sig.groupBy("band_idx", "band_val")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    entries = sig.join(bucket_ok, ["band_idx", "band_val"])
+    left = entries.select(
+        "band_idx",
+        "band_val",
+        F.col("doc").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    right = entries.select(
+        "band_idx",
+        "band_val",
+        F.col("doc").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    candidates = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        candidates.withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def prepare_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shared prep: id + whitespace tokens."""
+    return df.select(F.col(id_col), F.col(text_col), words(text_col).alias("tok"))
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via 64-bit SimHash + pigeonhole chunk join.
+
+    SimHash packs the sign of per-bit token-hash votes into one BIGINT —
+    computed per row (map-only). Pairs within Hamming distance ≤3 must
+    share at least one of four 16-bit chunks (pigeonhole), so the join
+    keys on (chunk_idx, chunk_value) — never all-pairs.
+    """
+    tok = prepare_tokens(df, text_col, id_col)
+    simhash_expr = (
+        "aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> acc +"
+        " CASE WHEN aggregate(transform(array_distinct(tok), x -> xxhash64(x)),"
+        "   0, (a2, h) -> a2 + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0"
+        " THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)"
+    )
+    sh = tok.select(
+        F.col(id_col).alias("doc"), F.expr(simhash_expr).alias("simhash")
+    ).withColumn(
+        "chunk",
+        F.expr(
+            "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"
+        ),
+    )
+    exploded = sh.select(
+        "doc", "simhash", F.posexplode("chunk").alias("chunk_idx", "chunk_val")
+    )
+    left = exploded.select(
+        "chunk_idx",
+        "chunk_val",
+        F.col("doc").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    right = exploded.select(
+        "chunk_idx",
+        "chunk_val",
+        F.col("doc").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    return (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -------------------------------------------------------- n-gram Jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    use_shingles: bool = False,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard — the small-N oracle-able baseline
+    the LSH variants approximate. All-pairs by construction: use ONLY for
+    verification at small scale or within LSH candidate buckets."""
+    tok = prepare_tokens(df, text_col, id_col)
+    sets = tok.select(
+        F.col(id_col).alias("doc"),
+        (
+            word_shingles("tok", shingle_n)
+            if use_shingles
+            else F.array_distinct(F.col("tok"))
+        ).alias("s"),
+    )
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sets.select(F.col("doc").alias("doc_b"), F.col("s").alias("s_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jaccard("s_a", "s_b"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

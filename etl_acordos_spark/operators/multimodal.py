@@ -1,0 +1,96 @@
+"""Multimodal column plumbing — opaque binary payloads with typed
+metadata, batch feature extraction via Arrow-batched `mapInPandas`
+(LLM-pipeline extension, SURVEY.md §2.6).
+
+The Spark-side plumbing is REAL and tested: binary columns, metadata
+structs, partition-preserving mapInPandas with an explicit output
+schema, batch-shaped pandas processing. The media DECODING is a
+deterministic STUB (this environment ships no image/audio codecs):
+`decode_stub` derives fake-but-stable "features" from the bytes;
+`decode_real` documents where a production codec (PIL/ffmpeg/torchcodec)
+plugs in and raises NotImplementedError.
+
+At 100 TB: payloads never leave their scan partition (mapInPandas is a
+map-only stage), Arrow moves whole batches across the Python boundary,
+and feature outputs are small typed columns — the only thing later
+stages shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes int, content_md5 string,"
+    " fake_width int, fake_height int, fake_mean_luma double"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Model a media table: opaque binary payload + typed metadata struct
+    (mime, declared size). Here the payload is the UTF-8 document body —
+    standing in for image/audio bytes with identical plumbing."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/x-fake-image").alias("mime"),
+            F.octet_length(F.col(text_col)).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(payload: bytes) -> dict:
+    """Production decode hook — plug PIL / ffmpeg / torchcodec here.
+
+    STUB: media codecs are not available in this environment.
+    """
+    raise NotImplementedError(
+        "media decoding requires an image/audio codec library; "
+        "use decode_stub for plumbing tests"
+    )
+
+
+def _decode_stub_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decode: stable pseudo-features from the bytes.
+
+    Mirrors a real decoder's SHAPE (dims + a float statistic per item)
+    so downstream schema/partitioning logic is exercised for real.
+    """
+    import hashlib
+
+    out = {
+        "doc_id": pdf["doc_id"],
+        "mime": [m["mime"] for m in pdf["meta"]],
+        "n_bytes": [len(p) for p in pdf["payload"]],
+        "content_md5": [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]],
+    }
+    digests = [
+        int.from_bytes(hashlib.md5(bytes(p)).digest()[:8], "big")
+        for p in pdf["payload"]
+    ]
+    out["fake_width"] = [16 + d % 1024 for d in digests]
+    out["fake_height"] = [16 + (d >> 10) % 1024 for d in digests]
+    out["fake_mean_luma"] = [round((d % 255001) / 1000.0, 3) for d in digests]
+    return pd.DataFrame(out)
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payloads.
+
+    mapInPandas keeps partitioning intact (no shuffle); each Python
+    worker sees whole Arrow batches. *batch_hint* documents where
+    `spark.sql.execution.arrow.maxRecordsPerBatch` bounds peak memory
+    when payloads are large (set it session-wide for real media).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_stub_batch(pdf)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,157 @@
+"""Embedding similarity search — exact cosine baseline + LSH-bucketed
+approximate variant (LLM-pipeline extension, SURVEY.md §2.6).
+
+Vector math stays inside Catalyst higher-order functions
+(`zip_with`/`aggregate` fold — sequential, so the oracle's
+`list_dot_product` computes bit-identical doubles). The per-row score is
+a map-only stage; exact top-k ends in TakeOrdered (per-partition heaps +
+driver merge, no global sort).
+
+Scale path: exact all-pairs is O(n²) — fine for verification, wrong at
+100 TB. The sign-LSH variant hashes each vector to a compact signature
+with deterministic pseudo-random hyperplanes (hash-derived, no RNG state
+to ship), buckets on signature chunks, and scores only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(col: str) -> Column:
+    """array<float> → array<double> so folds are double-precision."""
+    return F.col(col).cast("array<double>")
+
+
+def dot(a: str, b: str) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_dot_product)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> x * x),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def exact_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k against one query vector. Map + TakeOrdered —
+    distributes linearly; the ROUNDED score is the sort key (with id
+    tiebreak) so results are reproducible across engines."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        as_double(vec_col).alias("v"),
+        q.alias("q"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return (
+        scored.withColumn("cosine", F.round(cosine("v", "q"), 6))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine above a threshold — the embedding
+    near-duplicate baseline. O(n²): verification scale only; the LSH
+    variant is the 100 TB path."""
+    vecs = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine("v_a", "v_b"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _table_signatures(vec_col: str, tables: int, bits: int, dim: int) -> Column:
+    """Multi-table sign-LSH signatures: *tables* independent signatures,
+    each packing *bits* hyperplane signs into an int. Plane weights are
+    deterministic pseudo-randoms from xxhash64((t*bits + p)*dim + j)
+    mapped to [-0.5, 0.5] — reproducible, no RNG state shipped to tasks."""
+    return F.expr(
+        f"transform(sequence(0, {tables - 1}), t ->"
+        f" aggregate(sequence(0, {bits - 1}), 0,"
+        "  (acc, p) -> acc + CASE WHEN"
+        f"   aggregate(zip_with({vec_col},"
+        f"    transform(sequence(0, {dim - 1}),"
+        f"     j -> cast(pmod(xxhash64((t * {bits} + p) * {dim} + j), 1001)"
+        "       as double) / 1000.0 - 0.5),"
+        "     (x, w) -> x * w), cast(0 as double), (a2, s) -> a2 + s) > 0"
+        "   THEN shiftleft(1, p) ELSE 0 END))"
+    )
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    tables: int = 12,
+    bits: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH: a vector is a
+    candidate iff it collides with the query's full signature in at
+    least one of *tables* independent tables; exact cosine re-ranks
+    candidates only.
+
+    Recall/cost dial: per-neighbor recall ≈ 1-(1-p^bits)^tables with
+    p = 1 - θ/π; expected random-candidate fraction ≈ tables/2^bits
+    (~19% with 12×6 — sized for this corpus's near-orthogonal vectors;
+    at 100 TB raise `bits` and `tables` together to cut the candidate
+    fraction while holding recall). The bucket join shuffles (table,
+    signature) ints — never the vectors of non-candidates."""
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
+        _table_signatures(
+            f"cast({vec_col} as array<double>)", tables, bits, dim
+        ).alias("sigs"),
+    )
+    exploded = sigs.select(
+        "id", "v", F.posexplode("sigs").alias("table_idx", "sig_val")
+    )
+    q = exploded.filter(F.col("id") == query_id).select(
+        F.col("v").alias("q_v"), "table_idx", "sig_val"
+    )
+    cand = (
+        exploded.join(F.broadcast(q), ["table_idx", "sig_val"])
+        .filter(F.col("id") != query_id)
+        .dropDuplicates(["id"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine("v", "q_v"), 6))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias("vec_id"), "cosine")
+    )

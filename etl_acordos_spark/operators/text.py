@@ -1,0 +1,138 @@
+"""Text analysis operators — token counting, quality scoring, language
+ID, fingerprinting, corpus stats (LLM-pipeline extension, SURVEY.md
+§2.6). Everything is a Catalyst column expression over one scan; no
+Python per row, no shuffle except the final aggregate where one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Deliberately tiny public stopword lists — enough to demonstrate the
+#: scoring/ID machinery; swap for real lists in production use.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "los", "y", "que"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["le", "les", "et", "une"],
+}
+
+#: whitespace-word + BPE-ish regex (letters / digits / single symbol) —
+#: ASCII classes only so Java and RE2 regex dialects agree.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace and regex token counts + char/byte lengths per doc."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)).alias(
+            "re_tokens"
+        ),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+    )
+
+
+def _stop_hits(tok_col: str, lang: str) -> str:
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter({tok_col}, x -> x IN ({quoted})))"
+
+
+def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality score from length / lexical-diversity /
+    word-shape / stopword-density signals, each clamped to [0,1] and
+    equally weighted. The exact blend is arbitrary by design — the point
+    is the single-pass, expression-only shape."""
+    tok = df.select(
+        F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("tok")
+    )
+    n_tokens = F.size("tok")
+    distinct_ratio = F.size(F.array_distinct("tok")) / n_tokens
+    avg_token_len = (
+        F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_tokens
+    )
+    stop_ratio = F.expr(_stop_hits("tok", "en")) / n_tokens
+    return tok.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(avg_token_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.25
+            + distinct_ratio * 0.25
+            + F.least(avg_token_len / F.lit(8.0), F.lit(1.0)) * 0.25
+            + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25,
+            4,
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-profile language ID: count hits per language's stopword
+    set, predict the argmax (fixed priority order breaks ties, 'und' when
+    no profile matches). One scan, no shuffle."""
+    tok = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("tok")
+    )
+    hits = tok.select(
+        F.col(id_col),
+        *[
+            F.expr(_stop_hits("tok", lang)).alias(f"hits_{lang}")
+            for lang in STOPWORDS
+        ],
+    )
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:  # fixed order = deterministic tie-break
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return hits.select(
+        F.col(id_col),
+        *[F.col(f"hits_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+    step: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min digest over rolling
+    character windows (window=16, step=4). Per-row expression — linear,
+    shuffle-free; md5-hex min is engine-portable (lexicographic on hex)."""
+    wins = (
+        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1),"
+        f" {step}), i -> substring({text_col}, i, {window}))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"array_min(transform({wins}, w -> md5(w)))").alias("fingerprint"),
+        F.expr(f"size({wins})").alias("n_windows"),
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str, lang_col: str) -> DataFrame:
+    """Per-language corpus aggregates (doc counts, char/token means)."""
+    tok = F.split(F.col(text_col), " ")
+    return (
+        df.select(
+            F.col(lang_col),
+            F.length(F.col(text_col)).alias("chars"),
+            F.size(tok).alias("tokens"),
+            F.size(F.array_distinct(tok)).alias("distinct_tokens"),
+        )
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("chars"), 4).alias("avg_chars"),
+            F.round(F.avg("tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("distinct_tokens"), 4).alias("avg_distinct_tokens"),
+        )
+    )

@@ -1,8 +1,276 @@
-"""LLM-data-pipeline extension queries (SURVEY.md §2.6) — dedup family,
-similarity search, text analysis, multimodal. Filled in build-plan step 7."""
+"""LLM-data-pipeline extension queries (SURVEY.md §2.6): dedup family,
+embedding similarity search, text analysis, multimodal plumbing.
+
+Thresholds are calibrated to the synthetic corpus (documents/embeddings
+testdata) so each query returns non-trivial rows at sf=0.01; every
+operator parameterizes them. Exact all-pairs variants exist as oracles
+for their LSH approximations — small-scale truth, with the LSH path as
+the 100 TB strategy.
+"""
 
 from __future__ import annotations
 
-from etl_acordos_spark.queries.base import QueryDef
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-QUERIES: dict[str, QueryDef] = {}
+from etl_acordos_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from etl_acordos_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from etl_acordos_spark.operators.simsearch import (
+    ann_topk_lsh,
+    cosine_pairs,
+    exact_topk,
+)
+from etl_acordos_spark.operators.text import (
+    corpus_stats,
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+from etl_acordos_spark.queries.base import QueryDef, t
+
+# ------------------------------------------------------------------ dedup
+
+
+def q_ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup of documents.text: smallest doc_id per
+    distinct body; shuffle carries ids + digests, never the text."""
+    return exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise token-set Jaccard ≥ 0.9 — the oracle-able
+    small-scale truth that the MinHash-LSH variant approximates."""
+    return jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.9
+    )
+
+
+def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (3-word shingles, 64 perms, 16 bands,
+    verify Jaccard ≥ 0.5). Map-only signatures; shuffle only on band
+    buckets. Rows-only: LSH candidate generation is probabilistic by
+    design (recall is unit-tested against the exact baseline instead)."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_perm=64,
+        bands=16,
+        threshold=0.5,
+    )
+
+
+def q_ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit, Hamming ≤ 3) via pigeonhole
+    16-bit-chunk join."""
+    return simhash_pairs(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates: exact all-pairs ≥ 0.35 (data-
+    calibrated — the synthetic embeddings are near-orthogonal). O(n²)
+    verification-scale baseline; ext_simsearch_ann is the scale path."""
+    return cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# -------------------------------------------------------- similarity search
+
+
+def q_ext_simsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 (query vector is a
+    driver-side parameter, like a user-supplied embedding)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return exact_topk(emb, list(qvec), k=10, exclude_id=0)
+
+
+def q_ext_simsearch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-10 for vec_id=0: bucket on 8-bit
+    signature halves, exact re-rank within candidates only. Rows-only
+    (approximate by design; recall unit-tested against exact_topk)."""
+    return ann_topk_lsh(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# ------------------------------------------------------------ text analysis
+
+
+def q_ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats over documents."""
+    return corpus_stats(t(spark, sf_dir, "documents"), "text", "lang")
+
+
+def q_ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counting, char/byte lengths."""
+    return token_counts(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass heuristic quality scoring."""
+    return quality_scores(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification."""
+    return lang_id(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash document fingerprints."""
+    return fingerprints(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def q_ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing + Arrow-batched feature extraction
+    (decode step is a deterministic stub — no codecs in this image)."""
+    media = attach_binary_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return extract_features(media)
+
+
+# ------------------------------------------------------------------ oracles
+
+_JACCARD_PAIRS = (
+    "WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS st"
+    "  FROM documents)"
+    " SELECT doc_a, doc_b, jaccard FROM ("
+    "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    "   round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)"
+    "     / len(list_distinct(a.st || b.st)), 4) AS jaccard"
+    "  FROM s a JOIN s b ON a.doc_id < b.doc_id)"
+    " WHERE jaccard >= 0.9"
+)
+
+_COSINE = (
+    "round(list_dot_product(a.v, b.v) /"
+    " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+_ORACLES: dict[str, str | None] = {
+    "ext_dedup_exact": (
+        "SELECT min(doc_id) AS doc_id, sha256(text) AS content_sha256"
+        " FROM documents GROUP BY sha256(text)"
+    ),
+    "ext_dedup_jaccard": _JACCARD_PAIRS,
+    "ext_dedup_near": None,  # probabilistic candidate generation
+    "ext_dedup_simhash": None,  # xxhash64 not available in the oracle engine
+    "ext_dedup_embed": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+        " SELECT id_a, id_b, cosine FROM ("
+        f"  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE} AS cosine"
+        "  FROM e a JOIN e b ON a.vec_id < b.vec_id)"
+        " WHERE cosine >= 0.35"
+    ),
+    "ext_simsearch": (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
+        "   WHERE vec_id = 0),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        "   WHERE vec_id <> 0)"
+        " SELECT vec_id,"
+        "  round(list_dot_product(e.v, q.v) /"
+        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))),"
+        "   6) AS cosine"
+        " FROM e, q ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+    ),
+    "ext_simsearch_ann": None,  # approximate by design
+    "ext_text_stats": (
+        "WITH d AS (SELECT lang, length(text) AS chars,"
+        "  len(string_split(text, ' ')) AS tokens,"
+        "  len(list_distinct(string_split(text, ' '))) AS distinct_tokens"
+        "  FROM documents)"
+        " SELECT lang, count(*) AS n_docs,"
+        "  round(avg(chars), 4) AS avg_chars,"
+        "  round(avg(tokens), 4) AS avg_tokens,"
+        "  round(avg(distinct_tokens), 4) AS avg_distinct_tokens"
+        " FROM d GROUP BY lang"
+    ),
+    "ext_token_count": (
+        "SELECT doc_id,"
+        " CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,"
+        " CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
+        "   AS INTEGER) AS re_tokens,"
+        " CAST(length(text) AS INTEGER) AS n_chars,"
+        " CAST(strlen(text) AS INTEGER) AS n_bytes"
+        " FROM documents"
+    ),
+    "ext_quality_score": (
+        "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok,"
+        "  length(replace(text, ' ', '')) AS solid_chars FROM documents),"
+        " m AS (SELECT doc_id,"
+        "  CAST(len(tok) AS INTEGER) AS n_tokens,"
+        "  CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS distinct_ratio,"
+        "  CAST(solid_chars AS DOUBLE) / len(tok) AS avg_token_len,"
+        "  CAST(len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and')))"
+        "    AS DOUBLE) / len(tok) AS stop_ratio"
+        "  FROM tk)"
+        " SELECT doc_id, n_tokens,"
+        "  round(distinct_ratio, 4) AS distinct_ratio,"
+        "  round(avg_token_len, 4) AS avg_token_len,"
+        "  round(stop_ratio, 4) AS stopword_ratio,"
+        "  round(least(n_tokens / 200.0, 1.0) * 0.25 + distinct_ratio * 0.25"
+        "   + least(avg_token_len / 8.0, 1.0) * 0.25"
+        "   + least(stop_ratio * 5, 1.0) * 0.25, 4) AS quality"
+        " FROM m"
+    ),
+    "ext_lang_id": (
+        "WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tok"
+        "  FROM documents),"
+        " h AS (SELECT doc_id,"
+        "  CAST(len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and')))"
+        "    AS INTEGER) AS hits_en,"
+        "  CAST(len(list_filter(tok, x -> x IN ('el', 'los', 'y', 'que')))"
+        "    AS INTEGER) AS hits_es,"
+        "  CAST(len(list_filter(tok, x -> x IN ('der', 'die', 'und', 'nicht')))"
+        "    AS INTEGER) AS hits_de,"
+        "  CAST(len(list_filter(tok, x -> x IN ('le', 'les', 'et', 'une')))"
+        "    AS INTEGER) AS hits_fr"
+        "  FROM tk)"
+        " SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,"
+        "  CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'"
+        "   WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'"
+        "   WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'"
+        "   WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'"
+        "   ELSE 'fr' END AS pred_lang"
+        " FROM h"
+    ),
+    "ext_fingerprint": (
+        "SELECT doc_id,"
+        " list_min(list_transform(generate_series(1,"
+        "   greatest(length(text) - 15, 1), 4),"
+        "   i -> md5(substring(text, i, 16)))) AS fingerprint,"
+        " CAST(len(generate_series(1, greatest(length(text) - 15, 1), 4))"
+        "   AS INTEGER) AS n_windows"
+        " FROM documents"
+    ),
+    "ext_multimodal": None,  # binary payload + stubbed decode
+}
+
+QUERIES: dict[str, QueryDef] = {
+    "ext_dedup_exact": QueryDef(q_ext_dedup_exact, _ORACLES["ext_dedup_exact"]),
+    "ext_dedup_jaccard": QueryDef(
+        q_ext_dedup_jaccard, _ORACLES["ext_dedup_jaccard"]
+    ),
+    "ext_dedup_near": QueryDef(q_ext_dedup_near, None),
+    "ext_dedup_simhash": QueryDef(q_ext_dedup_simhash, None),
+    "ext_dedup_embed": QueryDef(q_ext_dedup_embed, _ORACLES["ext_dedup_embed"]),
+    "ext_simsearch": QueryDef(q_ext_simsearch, _ORACLES["ext_simsearch"]),
+    "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, None),
+    "ext_text_stats": QueryDef(q_ext_text_stats, _ORACLES["ext_text_stats"]),
+    "ext_token_count": QueryDef(q_ext_token_count, _ORACLES["ext_token_count"]),
+    "ext_quality_score": QueryDef(
+        q_ext_quality_score, _ORACLES["ext_quality_score"]
+    ),
+    "ext_lang_id": QueryDef(q_ext_lang_id, _ORACLES["ext_lang_id"]),
+    "ext_fingerprint": QueryDef(q_ext_fingerprint, _ORACLES["ext_fingerprint"]),
+    "ext_multimodal": QueryDef(q_ext_multimodal, None),
+}

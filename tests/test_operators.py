@@ -1,0 +1,119 @@
+"""Operator-level tests: LSH recall against exact baselines, multimodal
+plumbing determinism, semantic edges of the cleaning functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_acordos_spark.functions.cleaning import (
+    concat_sep,
+    left_n,
+    parse_date_ddmmyyyy,
+    sentinel_to_default,
+    titlecase,
+)
+from etl_acordos_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from etl_acordos_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from etl_acordos_spark.operators.simsearch import ann_topk_lsh, exact_topk
+from etl_acordos_spark.queries.base import t
+
+
+def test_minhash_recall_vs_exact(spark, sf_oracle):
+    """LSH must recover the high-similarity pairs the exact baseline
+    finds (at J≥0.8 with 16 bands of 4 the candidate probability is
+    ≈1-1e-7 per pair)."""
+    docs = t(spark, sf_oracle, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.8, use_shingles=True
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert exact, "expected some high-similarity pairs in the corpus"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall} too low ({len(exact)} truth pairs)"
+    # verification step guarantees precision = 1.0 vs the same threshold
+    assert lsh <= exact
+
+
+def test_simhash_finds_near_identical_docs(spark, sf_oracle):
+    """Hamming≤3 pairs must be a subset of high-Jaccard pairs and the
+    join must not explode to all-pairs."""
+    docs = t(spark, sf_oracle, "documents")
+    pairs = simhash_pairs(docs, "text", "doc_id").collect()
+    n_docs = docs.count()
+    assert len(pairs) < n_docs * 10  # nowhere near quadratic
+    for r in pairs:
+        assert 0 <= r.hamming <= 3
+
+
+def test_ann_recall_vs_exact_topk(spark, sf_oracle):
+    emb = t(spark, sf_oracle, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = [r.vec_id for r in exact_topk(emb, list(qvec), k=10, exclude_id=0).collect()]
+    approx = [r.vec_id for r in ann_topk_lsh(emb, query_id=0, k=10).collect()]
+    # sign-LSH with 2 halves of 8 bits: expect meaningful overlap, not parity
+    assert len(set(exact) & set(approx)) >= 3, (exact, approx)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert rows == {1, 2}
+
+
+def test_multimodal_features_deterministic(spark, sf_smoke):
+    docs = t(spark, sf_smoke, "documents").limit(50)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    a = sorted(map(tuple, extract_features(media).collect()))
+    b = sorted(map(tuple, extract_features(media).collect()))
+    assert a == b
+    row = a[0]
+    assert len(row) == 7  # doc_id, mime, n_bytes, md5, w, h, luma
+    assert row[1] == "application/x-fake-image"
+
+
+# ------------------------- semantic edges of the cleaning functions
+
+
+def test_parse_date_coerces_invalid_to_null(spark):
+    df = spark.createDataFrame(
+        [("15/01/1997",), ("31/02/2020",), ("n/a",), (None,)], ["d"]
+    )
+    got = [r[0] for r in df.select(parse_date_ddmmyyyy("d")).collect()]
+    assert got[0] is not None and str(got[0]) == "1997-01-15"
+    assert got[1] is None and got[2] is None and got[3] is None
+
+
+def test_concat_sep_propagates_null(spark):
+    df = spark.createDataFrame([("a", None), ("a", "b")], ["x", "y"])
+    got = [r[0] for r in df.select(concat_sep(["x", "y"], " > ")).collect()]
+    assert got == [None, "a > b"]
+
+
+def test_sentinel_and_titlecase_and_left(spark):
+    df = spark.createDataFrame([("-",), ("ok town",)], ["x"])
+    got = [
+        tuple(r)
+        for r in df.select(
+            sentinel_to_default("x"), titlecase("x"), left_n("x", 2)
+        ).collect()
+    ]
+    assert got[0] == ("não informado", "-", "-")
+    assert got[1] == ("ok town", "Ok Town", "ok")
