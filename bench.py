@@ -1,0 +1,105 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced to full materialization with the noop sink (no
+driver-side collect overhead, no result transfer skew). One warmup query
+runs first so JVM/codegen startup isn't billed to the first headline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Heavy/representative subset of the §2 registry: star join, hash agg,
+# window functions, time windows, JSON, set ops, the LLM-pipeline family
+# (dedup, similarity search, text analysis). The exact all-pairs oracle
+# baselines (ext_dedup_jaccard / ext_dedup_embed) are verification-scale
+# by design and excluded; their LSH scale paths are benched instead.
+HEADLINE = [
+    "flagship",
+    "ext_join_star",
+    "ext_groupby_agg",
+    "ext_topk",
+    "ext_window_running",
+    "ext_rollup",
+    "ext_event_windows",
+    "ext_json_extract",
+    "ext_setops",
+    "ext_agg_stats",
+    "ext_approx",
+    "ext_dedup_exact",
+    "ext_dedup_near",
+    "ext_dedup_simhash",
+    "ext_simsearch",
+    "ext_simsearch_ann",
+    "ext_text_stats",
+    "ext_token_count",
+    "ext_quality_score",
+    "ext_lang_id",
+    "ext_fingerprint",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("etl-acordos-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as contract
+
+    qs = contract.queries()
+
+    def run(name: str) -> float:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("ext_groupby_agg")  # warmup: JVM + codegen + parquet footer cache
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        timings[name] = round(run(name), 4)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

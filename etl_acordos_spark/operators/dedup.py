@@ -21,6 +21,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def let_bound(value_expr: str, var: str, body_expr: str) -> str:
+    """SQL let-binding via the single-element-array lambda idiom:
+    ``transform(array(V), x -> B)[0]`` evaluates V ONCE and binds it to
+    the lambda variable ``x`` inside B.
+
+    Why this exists: Catalyst's CollapseProject inlines projection
+    aliases into every downstream reference — an alias used inside an
+    N-iteration lambda is recomputed N times at runtime (aliases are
+    substitution, not memoization). Lambda variables, by contrast, are
+    runtime-bound values the optimizer cannot substitute through, so
+    this is the one way to express "compute once, loop over it" inside
+    a single Catalyst expression.
+    """
+    return f"transform(array({value_expr}), {var} -> {body_expr})[0]"
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition iff the scan has fewer splits than cores.
+
+    Signature computation is CPU-bound interpreted-expression work
+    (higher-order functions are CodegenFallback), so a single small input
+    file must be spread across cores. At real scale the parquet reader
+    already yields >= defaultParallelism splits and this is a no-op —
+    the full-data shuffle only ever happens on inputs too small for it
+    to matter.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
 # ------------------------------------------------------------ tokenizing
 
 
@@ -82,65 +114,78 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash signatures + LSH banding +
     exact-Jaccard verification.
 
-    shingle → minhash (per-row, map-only) → band → bucket self-join
-    (candidates) → verify. With num_perm=64, bands=16 (rows/band=4) the
-    candidate-probability curve crosses ~0.5 steeply around J≈0.55 —
-    tuned for near-dup thresholds ≥0.5. Buckets larger than
-    *max_bucket_size* are dropped (they are degenerate — e.g. an empty
-    shingle — and would otherwise go quadratic); dropped buckets of
-    exact duplicates are exactly what `exact_dedup` already catches.
+    shingle → base-hash each shingle ONCE → derive the num_perm
+    permutations by re-hashing the 8-byte base hash (not the shingle
+    string — xxhash64 over a long is ~the cost of a multiply, so the
+    O(shingles × num_perm) inner loop stays cheap even interpreted) →
+    band → bucket self-join (candidates, ids only) → verify by joining
+    shingle sets back onto the surviving pairs.
+
+    With num_perm=64, bands=16 (rows/band=4) the candidate-probability
+    curve crosses ~0.5 steeply around J≈0.55 — tuned for near-dup
+    thresholds ≥0.5. Buckets larger than *max_bucket_size* are dropped
+    (they are degenerate — e.g. an empty shingle — and would otherwise
+    go quadratic); dropped buckets of exact duplicates are exactly what
+    `exact_dedup` already catches.
+
+    Shuffle discipline for 100 TB: the band table is (doc, band_idx,
+    band_val) — three longs per doc per band, never the text; candidate
+    pairs are id pairs only; the only stage that moves shingle arrays is
+    the final verify join, sized by the (already thresholded) candidate
+    count. The tiny band table is cached because three plan branches
+    (bucket histogram + both self-join sides) would otherwise recompute
+    the signature scan.
     """
     rows_per_band = num_perm // bands
-    sig = (
-        prepare_tokens(df, text_col, id_col)
-        .select(
-            F.col(id_col).alias("doc"),
-            word_shingles("tok", shingle_n).alias("sh"),
-        )
-        .withColumn(
-            "sig",
-            F.expr(
-                f"transform(sequence(0, {num_perm - 1}),"
-                " s -> array_min(transform(sh, x -> xxhash64(x, s))))"
-            ),
-        )
-        .withColumn(
-            "band",
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" j -> xxhash64(slice(sig, j * {rows_per_band} + 1, {rows_per_band})))"
-            ),
-        )
-        .select("doc", "sh", F.posexplode("band").alias("band_idx", "band_val"))
+    base = prepare_tokens(ensure_parallelism(df), text_col, id_col).select(
+        F.col(id_col).alias("doc"),
+        word_shingles("tok", shingle_n).alias("sh"),
     )
-    # bucket = (band_idx, band_val); cap degenerate buckets, then self-join
+    # hs and sig are let-bound (not projection aliases): each is computed
+    # once per row, then looped over — see let_bound's docstring.
+    band_expr = let_bound(
+        "transform(sh, x -> xxhash64(x))",
+        "hs",
+        let_bound(
+            f"transform(sequence(0, {num_perm - 1}),"
+            " s -> array_min(transform(hs, h -> xxhash64(h, s))))",
+            "sig",
+            f"transform(sequence(0, {bands - 1}),"
+            f" j -> xxhash64(slice(sig, j * {rows_per_band} + 1, {rows_per_band})))",
+        ),
+    )
+    bandtab = (
+        base.select(
+            "doc",
+            F.posexplode(F.expr(band_expr)).alias("band_idx", "band_val"),
+        )
+        .cache()
+    )
     bucket_ok = (
-        sig.groupBy("band_idx", "band_val")
+        bandtab.groupBy("band_idx", "band_val")
         .count()
         .filter(F.col("count") <= max_bucket_size)
         .drop("count")
     )
-    entries = sig.join(bucket_ok, ["band_idx", "band_val"])
-    left = entries.select(
-        "band_idx",
-        "band_val",
-        F.col("doc").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-    )
-    right = entries.select(
-        "band_idx",
-        "band_val",
-        F.col("doc").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-    )
+    entries = bandtab.join(bucket_ok, ["band_idx", "band_val"])
     candidates = (
-        left.join(right, ["band_idx", "band_val"])
+        entries.select("band_idx", "band_val", F.col("doc").alias("doc_a"))
+        .join(
+            entries.select(
+                "band_idx", "band_val", F.col("doc").alias("doc_b")
+            ),
+            ["band_idx", "band_val"],
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sets_a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sets_b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        candidates.withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -163,28 +208,36 @@ def simhash_pairs(
     """Near-duplicate pairs via 64-bit SimHash + pigeonhole chunk join.
 
     SimHash packs the sign of per-bit token-hash votes into one BIGINT —
-    computed per row (map-only). Pairs within Hamming distance ≤3 must
-    share at least one of four 16-bit chunks (pigeonhole), so the join
-    keys on (chunk_idx, chunk_value) — never all-pairs.
+    computed per row (map-only), with each token hashed ONCE into `hs`
+    before the 64-bit vote loop (hashing inside the loop would re-hash
+    every token string per bit — 64× the work). Pairs within Hamming
+    distance ≤3 must share at least one of four 16-bit chunks
+    (pigeonhole), so the join keys on (chunk_idx, chunk_value) — never
+    all-pairs. The exploded chunk table (four ints per doc) is cached:
+    both self-join sides read it.
     """
-    tok = prepare_tokens(df, text_col, id_col)
-    simhash_expr = (
+    tok = prepare_tokens(ensure_parallelism(df), text_col, id_col)
+    # hs is let-bound so every token string is hashed once, not once per
+    # bit (a projection alias would be inlined into the 64-bit loop).
+    simhash_expr = let_bound(
+        "transform(array_distinct(tok), x -> xxhash64(x))",
+        "hs",
         "aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> acc +"
-        " CASE WHEN aggregate(transform(array_distinct(tok), x -> xxhash64(x)),"
-        "   0, (a2, h) -> a2 + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0"
-        " THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)"
+        " CASE WHEN aggregate(hs,"
+        "   0, (a2, h) -> a2 + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END) > 0"
+        " THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)",
     )
     sh = tok.select(
         F.col(id_col).alias("doc"), F.expr(simhash_expr).alias("simhash")
     ).withColumn(
         "chunk",
         F.expr(
-            "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"
+            "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"
         ),
     )
     exploded = sh.select(
         "doc", "simhash", F.posexplode("chunk").alias("chunk_idx", "chunk_val")
-    )
+    ).cache()
     left = exploded.select(
         "chunk_idx",
         "chunk_val",
@@ -220,7 +273,7 @@ def jaccard_pairs(
     """Exact pairwise n-gram Jaccard — the small-N oracle-able baseline
     the LSH variants approximate. All-pairs by construction: use ONLY for
     verification at small scale or within LSH candidate buckets."""
-    tok = prepare_tokens(df, text_col, id_col)
+    tok = prepare_tokens(ensure_parallelism(df), text_col, id_col)
     sets = tok.select(
         F.col(id_col).alias("doc"),
         (

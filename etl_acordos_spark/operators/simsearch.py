@@ -8,13 +8,16 @@ a map-only stage; exact top-k ends in TakeOrdered (per-partition heaps +
 driver merge, no global sort).
 
 Scale path: exact all-pairs is O(n²) — fine for verification, wrong at
-100 TB. The sign-LSH variant hashes each vector to a compact signature
-with deterministic pseudo-random hyperplanes (hash-derived, no RNG state
-to ship), buckets on signature chunks, and scores only within buckets.
+100 TB. The sign-LSH variant hashes each vector to compact signatures
+against a fixed hyperplane matrix (one Arrow-batched numpy matmul per
+partition — vector math is the one place a Pandas UDF beats Catalyst
+lambdas), buckets on signatures, and scores only within buckets.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -81,7 +84,11 @@ def cosine_pairs(
     """Exact all-pairs cosine above a threshold — the embedding
     near-duplicate baseline. O(n²): verification scale only; the LSH
     variant is the 100 TB path."""
-    vecs = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    from etl_acordos_spark.operators.dedup import ensure_parallelism
+
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    )
     a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
@@ -92,22 +99,31 @@ def cosine_pairs(
     )
 
 
-def _table_signatures(vec_col: str, tables: int, bits: int, dim: int) -> Column:
-    """Multi-table sign-LSH signatures: *tables* independent signatures,
-    each packing *bits* hyperplane signs into an int. Plane weights are
-    deterministic pseudo-randoms from xxhash64((t*bits + p)*dim + j)
-    mapped to [-0.5, 0.5] — reproducible, no RNG state shipped to tasks."""
-    return F.expr(
-        f"transform(sequence(0, {tables - 1}), t ->"
-        f" aggregate(sequence(0, {bits - 1}), 0,"
-        "  (acc, p) -> acc + CASE WHEN"
-        f"   aggregate(zip_with({vec_col},"
-        f"    transform(sequence(0, {dim - 1}),"
-        f"     j -> cast(pmod(xxhash64((t * {bits} + p) * {dim} + j), 1001)"
-        "       as double) / 1000.0 - 0.5),"
-        "     (x, w) -> x * w), cast(0 as double), (a2, s) -> a2 + s) > 0"
-        "   THEN shiftleft(1, p) ELSE 0 END))"
+_PLANE_SEED = 20240801
+
+
+def _sign_lsh_udf(tables: int, bits: int, dim: int):
+    """Vectorized multi-table sign-LSH signature UDF.
+
+    The hyperplane matrix is a CONSTANT (dim × tables·bits), so it is
+    built once driver-side from a fixed numpy RandomState (bit-stable
+    across platforms) and shipped in the UDF closure; each Arrow batch
+    is one (n × dim) @ (dim × tables·bits) matmul + sign + bit-pack —
+    the textbook Pandas-UDF fast path, vs. re-deriving the planes per
+    row in interpreted Catalyst lambdas."""
+    planes = np.random.RandomState(_PLANE_SEED).standard_normal(
+        (dim, tables * bits)
     )
+    powers = 1 << np.arange(bits)
+
+    @F.pandas_udf("array<int>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())[:, :dim].astype(np.float64)
+        signs = (mat @ planes) > 0.0
+        packed = (signs.reshape(len(mat), tables, bits) * powers).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return sigs
 
 
 def ann_topk_lsh(
@@ -131,12 +147,11 @@ def ann_topk_lsh(
     at 100 TB raise `bits` and `tables` together to cut the candidate
     fraction while holding recall). The bucket join shuffles (table,
     signature) ints — never the vectors of non-candidates."""
+    sig_udf = _sign_lsh_udf(tables, bits, dim)
     sigs = df.select(
         F.col(id_col).alias("id"),
         as_double(vec_col).alias("v"),
-        _table_signatures(
-            f"cast({vec_col} as array<double>)", tables, bits, dim
-        ).alias("sigs"),
+        sig_udf(as_double(vec_col)).alias("sigs"),
     )
     exploded = sigs.select(
         "id", "v", F.posexplode("sigs").alias("table_idx", "sig_val")
