@@ -39,6 +39,9 @@ HEADLINE = [
     "ext_setops",
     "ext_agg_stats",
     "ext_approx",
+    "ext_stream_windows",
+    "ext_stream_sessions",
+    "ext_stream_stateful",
     "ext_dedup_exact",
     "ext_dedup_near",
     "ext_dedup_simhash",

@@ -54,10 +54,10 @@ def scratch_dir() -> str:
 
 def all_queries() -> dict[str, QueryDef]:
     """Merge every query module's registry (import here to avoid cycles)."""
-    from etl_acordos_spark.queries import core, llm, relational
+    from etl_acordos_spark.queries import core, llm, relational, streaming
 
     merged: dict[str, QueryDef] = {}
-    for mod in (core, relational, llm):
+    for mod in (core, relational, llm, streaming):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")

@@ -1,0 +1,99 @@
+"""Structured-Streaming demonstration queries (SURVEY.md §2.6 gap map —
+the reference has no streaming; `events` is the driver table for it).
+
+Each query executes a REAL streaming plan (microbatches + state store +
+watermarks) bounded to the available input with availableNow, lands in a
+memory sink, and returns the settled table — so a finite input yields a
+deterministic result and plain batch SQL is a valid oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_acordos_spark.queries.base import QueryDef
+from etl_acordos_spark.streaming.events import (
+    run_stream_to_table,
+    session_stream_agg,
+    stateful_user_totals,
+    stream_events,
+    windowed_stream_agg,
+)
+
+
+def q_ext_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling windows per event_type, streamed with a 2h
+    watermark; complete-mode memory sink holds the closed result."""
+    return run_stream_to_table(
+        windowed_stream_agg(stream_events(spark, sf_dir)),
+        "stream_windows_result",
+    )
+
+
+def q_ext_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows via native
+    session_window."""
+    return run_stream_to_table(
+        session_stream_agg(stream_events(spark, sf_dir)),
+        "stream_sessions_result",
+    )
+
+
+def q_ext_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals, update-mode."""
+    return run_stream_to_table(
+        stateful_user_totals(stream_events(spark, sf_dir)),
+        "stream_stateful_result",
+        output_mode="update",
+    )
+
+
+_WINDOWS_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# Gaps-and-islands reformulation of session_window's merge semantics:
+# a new session starts when the gap since the previous event is >= the
+# 30-minute timeout (Spark merges an event iff it lands strictly inside
+# the session's current end = last_ts + gap).
+_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM numbered
+GROUP BY user_id, sess_no
+"""
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES: dict[str, QueryDef] = {
+    "ext_stream_windows": QueryDef(q_ext_stream_windows, _WINDOWS_ORACLE),
+    "ext_stream_sessions": QueryDef(q_ext_stream_sessions, _SESSIONS_ORACLE),
+    "ext_stream_stateful": QueryDef(q_ext_stream_stateful, _STATEFUL_ORACLE),
+}

@@ -1,0 +1,209 @@
+"""Structured Streaming over the events table — windowed aggregation
+with watermarks, native session windows, and a custom stateful operator
+via ``applyInPandasWithState``.
+
+The reference has no streaming of any kind (SURVEY.md §2.6 gap map);
+this module is the extension the `events` testdata table exists for.
+Design notes for a real deployment:
+
+  - Source: here a parquet file-stream (the driver's testdata is files);
+    in production the same plans run unchanged on Kafka/Kinesis sources.
+  - Watermarks bound state: `withWatermark` lets Spark drop window state
+    older than (max event time - delay), which is what makes unbounded
+    streams runnable with bounded executor memory at 100 TB/day rates.
+  - `trigger(availableNow=True)` gives exactly-once batch-like runs over
+    whatever has arrived — the idiom for backfills and for deterministic
+    tests (and for the driver's oracle comparison: the streaming result
+    of a finite input equals the batch aggregate, so plain SQL is a
+    valid oracle).
+  - State-store sizing: session/window state is keyed by (key, window);
+    skewed hot keys are the hazard — the custom stateful operator keeps
+    per-key state O(1) (counters, not event buffers) on purpose.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events.parquet carries TIMESTAMP(NANOS); with
+#: spark.sql.legacy.parquet.nanosAsLong the file-stream schema sees the
+#: raw int64 nanos (converted to timestamp_ntz in stream_events).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with event-time `ts`
+    normalized to micro-precision TIMESTAMP (integer div of nanos —
+    nanos exceed double's exact-integer range; watermarks reject
+    TIMESTAMP_NTZ, and the testdata timestamps are naive-UTC so the
+    instant semantics agree)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # glob, not the bare file path: the file-stream source requires a
+    # directory basePath, which it derives from the glob's parent
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .parquet(f"{sf_dir}/events.parque*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_stream_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time windows per event_type with a watermark.
+
+    The watermark bounds window state: a window closes (and its state is
+    freed) once the watermark passes its end — late rows beyond the
+    delay are dropped rather than buffered forever.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_stream_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (gap timeout) — native `session_window`
+    merges events while each arrives within *gap* of the session's
+    current end; state per (user, open session) only."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ------------------------------------------------- custom stateful operator
+
+STATEFUL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _running_totals(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running totals with O(1) state (two scalars per key —
+    never an event buffer, so hot keys can't blow the state store)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 4)]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user cumulative
+    count/sum via ``applyInPandasWithState`` (Arrow-batched, update
+    mode). Each microbatch emits the keys it touched with their updated
+    running totals."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=STATEFUL_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ----------------------------------------------------------- run-to-batch
+
+
+def run_stream_to_table(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan over the currently-available input with
+    ``trigger(availableNow=True)`` into an in-memory sink table and
+    return the settled result as a batch DataFrame.
+
+    This is a REAL streaming execution (microbatches, state store,
+    watermark advancement) — availableNow just bounds it to the data
+    already present, which is exactly the driver-oracle contract: finite
+    input → deterministic result equal to the batch aggregate.
+    """
+    spark = stream_df.sparkSession
+    # State-store parallelism = shuffle partitions, fixed at the query's
+    # first start (it's baked into the checkpoint). For these one-shot
+    # availableNow runs, cores-many state partitions beat the 200
+    # default; a long-running production stream would size this once for
+    # its key cardinality instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
