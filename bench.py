@@ -39,6 +39,10 @@ HEADLINE = [
     "ext_setops",
     "ext_agg_stats",
     "ext_approx",
+    "ext_cube",
+    "ext_udf_scalar",
+    "ext_udaf_grouped",
+    "ext_salted_agg",
     "ext_stream_windows",
     "ext_stream_sessions",
     "ext_stream_stateful",

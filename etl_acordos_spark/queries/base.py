@@ -54,10 +54,16 @@ def scratch_dir() -> str:
 
 def all_queries() -> dict[str, QueryDef]:
     """Merge every query module's registry (import here to avoid cycles)."""
-    from etl_acordos_spark.queries import core, llm, relational, streaming
+    from etl_acordos_spark.queries import (
+        core,
+        extensibility,
+        llm,
+        relational,
+        streaming,
+    )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (core, relational, llm, streaming):
+    for mod in (core, relational, llm, streaming, extensibility):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
