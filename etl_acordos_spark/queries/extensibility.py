@@ -21,16 +21,24 @@ from pyspark.sql.functions import pandas_udf, udtf
 from etl_acordos_spark.queries.base import QueryDef, t
 
 # ------------------------------------------------------------- scalar UDF
+# UDFs are built inside the query functions: pandas_udf parses its
+# returnType against the active session, so module import must stay
+# session-free.
 
 
-@pandas_udf("double")
-def discounted_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+def make_discounted_price():
     """Vectorized scalar UDF: net price after discount (whole Arrow
     batches — numpy arithmetic, no per-row Python)."""
-    return (price * (1.0 - discount)).round(4)
+
+    @pandas_udf("double")
+    def discounted_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return (price * (1.0 - discount)).round(4)
+
+    return discounted_price
 
 
 def q_ext_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    discounted_price = make_discounted_price()
     spark.udf.register("discounted_price", discounted_price)
     return (
         t(spark, sf_dir, "lineitem")
@@ -47,14 +55,19 @@ def q_ext_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ grouped UDAF
 
 
-@pandas_udf("double")
-def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+def make_weighted_avg_price():
     """Grouped-aggregate pandas UDF (UDAF): quantity-weighted mean
     price. One numpy reduction per group partition."""
-    return round(float((price * qty).sum() / qty.sum()), 4)
+
+    @pandas_udf("double")
+    def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+        return round(float((price * qty).sum() / qty.sum()), 4)
+
+    return weighted_avg_price
 
 
 def q_ext_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weighted_avg_price = make_weighted_avg_price()
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")

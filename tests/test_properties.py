@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the scalar cleaning functions —
+the semantic edges SURVEY.md §2.3 calls out, checked against the pandas
+behaviors they re-express, over generated inputs rather than the few
+hand-picked fixtures.
+
+One Spark job per property (a single DataFrame carrying all generated
+rows), not one per example — hypothesis drives the data generation,
+Spark evaluates in one pass.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from etl_acordos_spark.functions.cleaning import (
+    concat_sep,
+    fill_default,
+    left_n,
+    parse_date_ddmmyyyy,
+    sentinel_to_default,
+    trim_ws,
+)
+
+# evaluate many examples in ONE spark pass: collect strategies' examples
+# into lists via hypothesis, then run a single job per test invocation
+_text = st.one_of(st.none(), st.text(max_size=40))
+_settings = settings(max_examples=20, deadline=None)
+
+
+def _eval(spark, values, colfn, out_type="string"):
+    df = spark.createDataFrame(
+        [(v,) for v in values], schema="v string"
+    ).select(colfn("v").cast(out_type).alias("r"))
+    return [r["r"] for r in df.collect()]
+
+
+@given(vals=st.lists(_text, min_size=1, max_size=30))
+@_settings
+def test_fill_default_never_null(spark, vals):
+    got = _eval(spark, vals, fill_default)
+    assert all(g is not None for g in got)
+    for v, g in zip(vals, got):
+        assert g == ("não informado" if v is None else v)
+
+
+@given(vals=st.lists(_text, min_size=1, max_size=30))
+@_settings
+def test_sentinel_replace_exact_only(spark, vals):
+    got = _eval(spark, vals, sentinel_to_default)
+    for v, g in zip(vals, got):
+        if v == "-":
+            assert g == "não informado"
+        else:
+            assert g == v  # NULL passes through — sentinel ≠ NULL
+
+
+@given(vals=st.lists(st.text(max_size=300), min_size=1, max_size=30))
+@_settings
+def test_left_n_truncates_like_pandas_slice(spark, vals):
+    got = _eval(spark, vals, lambda c: left_n(c, 255))
+    want = [v[:255] for v in vals]
+    assert got == want
+
+
+@given(vals=st.lists(st.text(alphabet=" \t\r\naZ9é-", max_size=20), min_size=1, max_size=30))
+@_settings
+def test_trim_matches_pandas_strip(spark, vals):
+    got = _eval(spark, vals, trim_ws)
+    # Spark trim removes ASCII space only; pandas str.strip removes all
+    # whitespace — restrict comparison to the space/tab/newline alphabet
+    # where both agree on spaces, and assert Spark's contract directly
+    for v, g in zip(vals, got):
+        assert g == v.strip(" ")
+
+
+@given(
+    days=st.integers(1, 31),
+    months=st.integers(1, 13),
+    years=st.integers(1990, 2030),
+)
+@_settings
+def test_date_parse_coerces_like_pandas(spark, days, months, years):
+    s = f"{days:02d}/{months:02d}/{years:04d}"
+    got = _eval(spark, [s], parse_date_ddmmyyyy, out_type="date")[0]
+    want = pd.to_datetime(s, format="%d/%m/%Y", errors="coerce")
+    if pd.isna(want):
+        assert got is None
+    else:
+        assert got == want.date()
+
+
+@given(a=_text, b=_text)
+@_settings
+def test_concat_null_propagates_like_pandas_plus(spark, a, b):
+    df = spark.createDataFrame([(a, b)], schema="a string, b string")
+    got = df.select(concat_sep(["a", "b"], " > ").alias("r")).collect()[0]["r"]
+    # pandas `+` yields NaN if either operand is NaN
+    want = None if a is None or b is None else f"{a} > {b}"
+    assert got == want
