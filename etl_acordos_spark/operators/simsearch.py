@@ -126,6 +126,66 @@ def _sign_lsh_udf(tables: int, bits: int, dim: int):
     return sigs
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search: partition the
+    corpus into *n_lists* cells around coarse centroids, then scan only
+    the *n_probe* cells nearest the query.
+
+    Centroid choice here is deterministic sampling (the first n_lists
+    vectors by id) — the classic "random coarse quantizer" baseline; a
+    production build swaps in k-means centroids, the plumbing is
+    identical. Cell assignment is one Arrow-batched numpy matmul per
+    partition (vectors × centroidsᵀ). At 100 TB the payoff is that the
+    scan for a query touches n_probe/n_lists of the corpus, and the cell
+    id is a natural partition/bucket key for the stored table.
+    """
+    centroids = [
+        (r[0], list(r[1]))
+        for r in df.select(F.col(id_col), as_double(vec_col))
+        .orderBy(id_col)
+        .limit(n_lists)
+        .collect()
+    ]
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ Cn.T, axis=1).astype(np.int32))
+
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
+        assign_cell(as_double(vec_col)).alias("cell"),
+    )
+
+    qrow = df.filter(F.col(id_col) == query_id).select(as_double(vec_col)).head()
+    q = np.asarray(qrow[0], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(Cn @ qn))[:n_probe].tolist()
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .filter(F.col("id") != query_id)
+        .withColumn("q", qcol)
+        .withColumn("cosine", F.round(cosine("v", "q"), 6))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias("vec_id"), "cosine")
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_id: int,

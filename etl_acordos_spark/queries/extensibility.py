@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
 from etl_acordos_spark.queries.base import QueryDef, t
+from etl_acordos_spark.sources.pyds import read_records_feed
 
 # ------------------------------------------------------------- scalar UDF
 # UDFs are built inside the query functions: pandas_udf parses its
@@ -198,6 +199,17 @@ def q_ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- Python DataSource connector
+
+
+def q_ext_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch connector (Spark 4 Python DataSource API):
+    driver-side split planning, executor-side per-split reads — the
+    cluster-scale generalization of the reference's single-process
+    gspread ingest. Deterministic feed, so SQL `range()` is the oracle."""
+    return read_records_feed(spark, rows=5000, partitions=8)
+
+
 # ----------------------------------------------------------------- oracles
 
 _UDF_ORACLE = """
@@ -256,7 +268,16 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+_PYDS_ORACLE = """
+SELECT i AS id,
+       'rec_' || i AS name,
+       CAST(i AS DOUBLE) * 0.5 AS score,
+       i % 7 = 0 AS flagged
+FROM range(5000) t(i)
+"""
+
 QUERIES: dict[str, QueryDef] = {
+    "ext_pyds_source": QueryDef(q_ext_pyds_source, _PYDS_ORACLE),
     "ext_udf_scalar": QueryDef(q_ext_udf_scalar, _UDF_ORACLE),
     "ext_udaf_grouped": QueryDef(q_ext_udaf_grouped, _UDAF_ORACLE),
     "ext_udtf": QueryDef(q_ext_udtf, _UDTF_ORACLE),

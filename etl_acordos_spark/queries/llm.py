@@ -29,6 +29,7 @@ from etl_acordos_spark.operators.simsearch import (
     ann_topk_lsh,
     cosine_pairs,
     exact_topk,
+    ivf_topk,
 )
 from etl_acordos_spark.operators.text import (
     corpus_stats,
@@ -100,6 +101,13 @@ def q_ext_simsearch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature halves, exact re-rank within candidates only. Rows-only
     (approximate by design; recall unit-tested against exact_topk)."""
     return ann_topk_lsh(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_ext_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for vec_id=0: 16 coarse cells, probe the 4
+    nearest — the scan touches ~1/4 of the corpus. Rows-only
+    (approximate by design; recall unit-tested against exact_topk)."""
+    return ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
 # ------------------------------------------------------------ text analysis
@@ -281,6 +289,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_dedup_embed": QueryDef(q_ext_dedup_embed, _ORACLES["ext_dedup_embed"]),
     "ext_simsearch": QueryDef(q_ext_simsearch, _ORACLES["ext_simsearch"]),
     "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, None),
+    "ext_simsearch_ivf": QueryDef(q_ext_simsearch_ivf, None),
     "ext_text_stats": QueryDef(q_ext_text_stats, _ORACLES["ext_text_stats"]),
     "ext_token_count": QueryDef(q_ext_token_count, _ORACLES["ext_token_count"]),
     "ext_quality_score": QueryDef(

@@ -117,3 +117,20 @@ def test_sentinel_and_titlecase_and_left(spark):
     ]
     assert got[0] == ("não informado", "-", "-")
     assert got[1] == ("ok town", "Ok Town", "ok")
+
+
+def test_ivf_recall_vs_exact_topk(spark, sf_oracle):
+    """IVF with 4/16 probes must recover most of the exact top-10 (the
+    query's own cell is always probed, so true neighbors clustering with
+    the query are found)."""
+    from etl_acordos_spark.operators.simsearch import ivf_topk
+
+    emb = t(spark, sf_oracle, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = {
+        r["vec_id"]
+        for r in exact_topk(emb, list(qvec), k=10, exclude_id=0).collect()
+    }
+    approx = {r["vec_id"] for r in ivf_topk(emb, query_id=0, k=10).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5, f"recall too low: {len(exact & approx)}/10"
