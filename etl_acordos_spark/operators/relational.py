@@ -36,6 +36,89 @@ def star_join(
     return out
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` for the same key. Spark has no native ASOF —
+    this is the scalable composition: tag both sides, union, and carry
+    right values forward with ``last(ignorenulls)`` over one
+    (key, ts)-sorted window.
+
+    One shuffle + one sort per key — no range self-join, no candidate
+    explosion; ties at equal ts sort the right row first (matching
+    DuckDB/Pandas ASOF `>=` semantics). Skewed hot keys behave like any
+    window: AQE-split, state O(1) per carried column.
+    """
+    lcols = left.columns
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in right_cols
+    ]
+    return (
+        u.select(*lcols, "_side", *carried)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
+def range_join_binned(
+    fact: DataFrame,
+    val_col: str,
+    ranges: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Range join (fact.value in [lo, hi)) via binning: explode each
+    range onto the fixed-width bins it covers, equi-join on bin, then
+    refine with the exact predicate.
+
+    The naive plan is a broadcast-nested-loop (O(|fact|·|ranges|)); the
+    binned plan is an equi-join a 100 TB fact can shuffle-partition or
+    broadcast on, with per-row work O(ranges-per-bin). Choose bin_width
+    ~ the median range width so each range explodes to O(1) bins.
+    """
+    rb = ranges.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width).cast("long"),
+                F.floor(F.col(hi_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    fb = fact.withColumn(
+        "_bin", F.floor(F.col(val_col) / bin_width).cast("long")
+    )
+    return (
+        fb.join(F.broadcast(rb), "_bin")
+        .filter(
+            (F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) < F.col(hi_col))
+        )
+        .drop("_bin")
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: list[str],

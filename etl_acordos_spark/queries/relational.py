@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_acordos_spark.operators.relational import star_join, top_k_per_group
+from etl_acordos_spark.operators.relational import (
+    asof_join,
+    range_join_binned,
+    star_join,
+    top_k_per_group,
+)
 from etl_acordos_spark.queries.base import QueryDef, read_events, t
 
 # ------------------------------------------------------------------ joins
@@ -229,6 +234,45 @@ def q_ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- as-of and range joins
+
+
+def q_ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest preceding (or
+    simultaneous) 'click' of the same user. Union + carry-forward window
+    - one shuffle, no range self-join."""
+    events = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+    out = asof_join(
+        events, clicks, "user_id", "ts", "ts", ["ts", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_click_ts"
+        ),
+        F.col("asof_value").alias("last_click_value"),
+    )
+
+
+def q_ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via binning: classify event values into half-open
+    tiers with an equi-join on fixed-width bins + exact refine."""
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 300.0, "high"),
+         (300.0, 1000.0, "extreme")],
+        schema="lo double, hi double, tier string",
+    )
+    events = read_events(spark, sf_dir).select("event_id", "value")
+    return range_join_binned(
+        events, "value", tiers, "lo", "hi", bin_width=50.0
+    ).select("event_id", "value", "tier")
+
+
 # ----------------------------------------------------------- time windows
 
 
@@ -376,7 +420,29 @@ _ORACLES: dict[str, str | None] = {
     ),
 }
 
+_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+       c.value AS last_click_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+) c ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+_RANGE_ORACLE = """
+WITH tiers(lo, hi, tier) AS (
+  VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+         (150.0, 300.0, 'high'), (300.0, 1000.0, 'extreme')
+)
+SELECT e.event_id, e.value, t.tier
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+"""
+
 QUERIES: dict[str, QueryDef] = {
+    "ext_asof_join": QueryDef(q_ext_asof_join, _ASOF_ORACLE),
+    "ext_range_join": QueryDef(q_ext_range_join, _RANGE_ORACLE),
     "ext_join_star": QueryDef(q_ext_join_star, _ORACLES["ext_join_star"]),
     "ext_groupby_agg": QueryDef(q_ext_groupby_agg, _ORACLES["ext_groupby_agg"]),
     "ext_rollup": QueryDef(q_ext_rollup, _ORACLES["ext_rollup"]),
