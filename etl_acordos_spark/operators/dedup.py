@@ -254,8 +254,10 @@ def simhash_pairs(
         left.join(right, ["chunk_idx", "chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        # filter BEFORE dedup: the distinct shuffle then carries only
+        # matching pairs, not every bucket collision
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -97,8 +97,6 @@ class SplitWords:
 
 
 def q_ext_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import udtf as _udtf_mod  # noqa: F401
-
     spark.udtf.register("split_words", SplitWords)
     t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
     return spark.sql(
