@@ -261,6 +261,84 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------------- cluster representatives
+
+
+def keep_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Reduce a near-duplicate PAIR set to a KEEP set: connected
+    components over the pair graph via iterative min-label propagation;
+    the kept document of each cluster is its smallest id.
+
+    This is the operator a real dedup pipeline ends with — emitting all
+    pairs is O(cluster²) output, the keep set is O(n). Each iteration is
+    one join + one aggregate on (id, label) longs; label propagation
+    halves path lengths per round, so max_iter=10 covers clusters with
+    diameter 2^10. Iterates only while labels still change (driver-side
+    count check per round — an iterative algorithm, the one place a
+    driver loop is the right Spark shape).
+    """
+    spark = docs.sparkSession
+    edges = (
+        pairs.selectExpr(f"{pairs.columns[0]} AS a", f"{pairs.columns[1]} AS b")
+        .unionByName(
+            pairs.selectExpr(
+                f"{pairs.columns[1]} AS a", f"{pairs.columns[0]} AS b"
+            )
+        )
+    )
+    # Iteration shuffles are many and small-keyed; cached plans block AQE
+    # coalescing, so pin the shuffle width to cores for the loop (each
+    # round materializes eagerly via the convergence count, then the
+    # prior conf is restored).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        labels = docs.select(
+            F.col(id_col).alias("a"), F.col(id_col).alias("label")
+        ).cache()
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("a", "b"), "b")
+                .groupBy("a")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "a", "left")
+                .select(
+                    "a",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", F.col("label"))
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "a")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        labels.filter(F.col("a") == F.col("label"))
+        .select(F.col("a").alias(id_col))
+    )
+
+
 # -------------------------------------------------------- n-gram Jaccard
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from etl_acordos_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
+    keep_representatives,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -83,6 +84,16 @@ def q_ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibrated — the synthetic embeddings are near-orthogonal). O(n²)
     verification-scale baseline; ext_simsearch_ann is the scale path."""
     return cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_ext_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs → connected components →
+    one kept doc per cluster (O(n) output — what a 100 TB pipeline
+    actually materializes). Rows-only: component labeling is iterative,
+    not ANSI-SQL-expressible."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    return keep_representatives(docs, pairs.select("doc_a", "doc_b"), "doc_id")
 
 
 # -------------------------------------------------------- similarity search
@@ -286,6 +297,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_dedup_near": QueryDef(q_ext_dedup_near, None),
     "ext_dedup_simhash": QueryDef(q_ext_dedup_simhash, None),
+    "ext_dedup_keep": QueryDef(q_ext_dedup_keep, None),
     "ext_dedup_embed": QueryDef(q_ext_dedup_embed, _ORACLES["ext_dedup_embed"]),
     "ext_simsearch": QueryDef(q_ext_simsearch, _ORACLES["ext_simsearch"]),
     "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, None),

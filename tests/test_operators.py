@@ -134,3 +134,21 @@ def test_ivf_recall_vs_exact_topk(spark, sf_oracle):
     approx = {r["vec_id"] for r in ivf_topk(emb, query_id=0, k=10).collect()}
     assert len(approx) == 10
     assert len(exact & approx) >= 5, f"recall too low: {len(exact & approx)}/10"
+
+
+def test_keep_representatives_components(spark):
+    """Chain 1-2-3 and pair 10-11 collapse to min-id representatives;
+    isolated doc stays."""
+    from etl_acordos_spark.operators.dedup import keep_representatives
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], schema="doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], schema="doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_representatives(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 10, 99]
