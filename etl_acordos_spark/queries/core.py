@@ -42,7 +42,11 @@ from etl_acordos_spark.plans.medallion import (
 )
 from etl_acordos_spark.plans.retry import RetryPolicy, run_with_retry
 from etl_acordos_spark.queries.base import QueryDef, scratch_dir, t
-from etl_acordos_spark.sources.dbapi_sink import ddl_from_schema, write_dbapi_upsert
+from etl_acordos_spark.sources.dbapi_sink import (
+    ddl_from_schema,
+    write_dbapi_append,
+    write_dbapi_upsert,
+)
 from etl_acordos_spark.sources.parquet_io import parquet_exists, write_parquet_layer
 from etl_acordos_spark.sources.records import records_to_df
 
@@ -105,6 +109,30 @@ def q_snk_dbapi_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_nationkey", T.IntegerType()),
             T.StructField("n_name", T.StringType()),
             T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def q_snk_dbapi_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched DBAPI append sink (SURVEY §2.1 snk_jdbc_append; reference
+    tasks/silver.py:95-139 DDL + per-row insert loop → partition-batched
+    ``executemany`` append). Rerun-stable: the demo table is dropped
+    before each run, matching the reference's CREATE-then-load shape."""
+    db = os.path.join(scratch_dir(), "append_demo.sqlite")
+    if os.path.exists(db):
+        os.remove(db)
+    region = t(spark, sf_dir, "region")
+    conn_factory = lambda: sqlite3.connect(db)  # noqa: E731
+    write_dbapi_append(region, "region_sink", conn_factory, writer_partitions=1)
+    with sqlite3.connect(db) as conn:
+        rows = conn.execute(
+            "SELECT r_regionkey, r_name FROM region_sink"
+        ).fetchall()
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
         ]
     )
     return spark.createDataFrame(rows, schema)
@@ -501,6 +529,10 @@ QUERIES: dict[str, QueryDef] = {
     "src_parquet": QueryDef(q_src_parquet, _ORACLES["src_parquet"]),
     "src_records": QueryDef(q_src_records, _ORACLES["src_records"]),
     "snk_parquet": QueryDef(q_snk_parquet, _ORACLES["snk_parquet"]),
+    "snk_dbapi_append": QueryDef(
+        q_snk_dbapi_append,
+        "SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name FROM region",
+    ),
     "snk_dbapi_upsert": QueryDef(q_snk_dbapi_upsert, _ORACLES["snk_dbapi_upsert"]),
     "chk_exists": QueryDef(q_chk_exists, None),
     "ddl_infer": QueryDef(q_ddl_infer, _ORACLES["ddl_infer"]),
