@@ -48,6 +48,7 @@ HEADLINE = [
     "ext_stream_windows",
     "ext_stream_sessions",
     "ext_stream_stateful",
+    "ext_stream_dedup",
     "ext_dedup_exact",
     "ext_dedup_near",
     "ext_dedup_simhash",
@@ -58,6 +59,7 @@ HEADLINE = [
     "ext_quality_score",
     "ext_lang_id",
     "ext_fingerprint",
+    "ext_pii_redact",
 ]
 
 

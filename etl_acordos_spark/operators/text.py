@@ -136,3 +136,27 @@ def corpus_stats(df: DataFrame, text_col: str, lang_col: str) -> DataFrame:
             F.round(F.avg("distinct_tokens"), 4).alias("avg_distinct_tokens"),
         )
     )
+
+
+#: PII patterns — ASCII-only so the Java (Spark) and RE2 (DuckDB) regex
+#: dialects agree byte-for-byte. Order matters: emails first (a phone
+#: pattern could otherwise eat digit runs inside addresses).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "[EMAIL]"),
+    (r"\+?[0-9][0-9() -]{6,}[0-9]", "[PHONE]"),
+    (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str, out_col: str = "clean_text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses from a text column.
+
+    A training-data pipeline must scrub PII before anything downstream
+    sees the text. Pure chained `regexp_replace` — JVM-side, one scan,
+    map-only: at 100 TB this runs at reader throughput with zero shuffle
+    and no Python in the path.
+    """
+    out = F.col(text_col)
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return df.withColumn(out_col, out)

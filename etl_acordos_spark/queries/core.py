@@ -49,6 +49,12 @@ from etl_acordos_spark.sources.dbapi_sink import (
 )
 from etl_acordos_spark.sources.parquet_io import parquet_exists, write_parquet_layer
 from etl_acordos_spark.sources.records import records_to_df
+from etl_acordos_spark.sources.text_io import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
 
 # ---------------------------------------------------------------- sources
 
@@ -136,6 +142,67 @@ def q_snk_dbapi_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def q_src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange source: export `region` to CSV, read it back with a
+    pinned schema (no inference pass — the 100 TB posture; see
+    sources/text_io.py). Extends the reference's parquet-only surface."""
+    path = os.path.join(scratch_dir(), "csv_roundtrip")
+    write_csv(t(spark, sf_dir, "region").select("r_regionkey", "r_name"), path)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.LongType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    return read_csv(spark, path, schema)
+
+
+def q_src_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange source: export `nation` to JSONL, read back
+    with a pinned schema."""
+    path = os.path.join(scratch_dir(), "jsonl_roundtrip")
+    write_jsonl(
+        t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        path,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    return read_jsonl(spark, path, schema)
+
+
+def q_snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layer write + pruned read-back.
+
+    Writes `orders` partitioned by derived `ano`, then reads back ONE
+    partition — the scan lists only `ano=1995/` (partition pruning: the
+    filter never touches other years' files). This is the layout the
+    medallion writes use for 100 TB scans; tests/test_scale_paths.py
+    asserts the pruning on inputFiles.
+    """
+    path = write_parquet_layer(
+        t(spark, sf_dir, "orders").withColumn("ano", F.year("o_orderdate")),
+        scratch_dir(),
+        "gold",
+        "orders_by_year",
+        partition_by=["ano"],
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("ano") == 1995)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("ano").cast("int").alias("ano"),
+        )
+    )
 
 
 def q_chk_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +495,16 @@ _ORACLES: dict[str, str | None] = {
         "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region"
     ),
     "snk_parquet": "SELECT r_regionkey, r_name FROM region",
+    "src_csv": "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+    "src_json": (
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
+        " CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"
+    ),
+    "snk_partitioned": (
+        "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,"
+        " CAST(year(o_orderdate) AS INTEGER) AS ano"
+        " FROM orders WHERE year(o_orderdate) = 1995"
+    ),
     "snk_dbapi_upsert": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "chk_exists": None,  # filesystem side effect — rows-only
     "ddl_infer": (
@@ -529,6 +606,9 @@ QUERIES: dict[str, QueryDef] = {
     "src_parquet": QueryDef(q_src_parquet, _ORACLES["src_parquet"]),
     "src_records": QueryDef(q_src_records, _ORACLES["src_records"]),
     "snk_parquet": QueryDef(q_snk_parquet, _ORACLES["snk_parquet"]),
+    "src_csv": QueryDef(q_src_csv, _ORACLES["src_csv"]),
+    "src_json": QueryDef(q_src_json, _ORACLES["src_json"]),
+    "snk_partitioned": QueryDef(q_snk_partitioned, _ORACLES["snk_partitioned"]),
     "snk_dbapi_append": QueryDef(
         q_snk_dbapi_append,
         "SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name FROM region",

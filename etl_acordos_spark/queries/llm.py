@@ -36,6 +36,7 @@ from etl_acordos_spark.operators.text import (
     corpus_stats,
     fingerprints,
     lang_id,
+    pii_redact,
     quality_scores,
     token_counts,
 )
@@ -152,6 +153,34 @@ def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- multimodal
 
 
+def q_ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over `documents.text` — emails, phone numbers, IPv4
+    redacted by chained JVM `regexp_replace` (map-only, no Python, no
+    shuffle). The corpus is clean synthetic text, so PII is injected
+    deterministically keyed on doc_id — identically in the oracle — and
+    the redaction must strip every injected marker."""
+    docs = t(spark, sf_dir, "documents")
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 (555) 010-7788"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" from 192.168.0.12"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return pii_redact(dirty, "text").select("doc_id", "clean_text")
+
+
 def q_ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing + Arrow-batched feature extraction
     (decode step is a deterministic stub — no codecs in this image)."""
@@ -197,6 +226,19 @@ _ORACLES: dict[str, str | None] = {
         " FROM documents GROUP BY sha256(text)"
     ),
     "ext_dedup_jaccard": _JACCARD_PAIRS,
+    "ext_pii_redact": (
+        "WITH dirty AS (SELECT doc_id, text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' reach user'"
+        "      || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 010-7788' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.0.12' ELSE '' END"
+        " AS text FROM documents)"
+        " SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,"
+        r" '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '[EMAIL]', 'g'),"
+        r" '\+?[0-9][0-9() -]{6,}[0-9]', '[PHONE]', 'g'),"
+        r" '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS clean_text"
+        " FROM dirty"
+    ),
     "ext_dedup_near": None,  # probabilistic candidate generation
     "ext_dedup_simhash": None,  # xxhash64 not available in the oracle engine
     "ext_dedup_embed": (
@@ -309,6 +351,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_lang_id": QueryDef(q_ext_lang_id, _ORACLES["ext_lang_id"]),
     "ext_fingerprint": QueryDef(q_ext_fingerprint, _ORACLES["ext_fingerprint"]),
+    "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),
     "ext_multimodal": QueryDef(q_ext_multimodal, None),
     "ext_mm_resize": QueryDef(q_ext_mm_resize, None),
     "ext_mm_frames": QueryDef(q_ext_mm_frames, None),

@@ -111,6 +111,19 @@ def q_ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS via the SQL surface (rollup/cube cover
+    the hierarchical/full lattices; this is the general form — two
+    independent one-column sets plus the grand total, one pass)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority,"
+        " count(*) AS n_pedidos, round(sum(o_totalprice), 2) AS receita"
+        " FROM orders_v"
+        " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
 def q_ext_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per market segment: exact distinct count,
     min/max/stddev. (Sketch-based approx_count_distinct is demonstrated
@@ -350,6 +363,12 @@ _ORACLES: dict[str, str | None] = {
         " JOIN region ON n_regionkey = r_regionkey"
         " GROUP BY ROLLUP (r_name, o_orderpriority)"
     ),
+    "ext_grouping_sets": (
+        "SELECT o_orderstatus, o_orderpriority,"
+        " count(*) AS n_pedidos, round(sum(o_totalprice), 2) AS receita"
+        " FROM orders"
+        " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    ),
     "ext_agg_stats": (
         "SELECT c_mktsegment,"
         " CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,"
@@ -446,6 +465,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_join_star": QueryDef(q_ext_join_star, _ORACLES["ext_join_star"]),
     "ext_groupby_agg": QueryDef(q_ext_groupby_agg, _ORACLES["ext_groupby_agg"]),
     "ext_rollup": QueryDef(q_ext_rollup, _ORACLES["ext_rollup"]),
+    "ext_grouping_sets": QueryDef(
+        q_ext_grouping_sets, _ORACLES["ext_grouping_sets"]
+    ),
     "ext_agg_stats": QueryDef(q_ext_agg_stats, _ORACLES["ext_agg_stats"]),
     "ext_approx": QueryDef(q_ext_approx, None),
     "ext_topk": QueryDef(q_ext_topk, _ORACLES["ext_topk"]),

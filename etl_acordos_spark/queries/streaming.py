@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_acordos_spark.queries.base import QueryDef
 from etl_acordos_spark.streaming.events import (
+    dedup_stream,
     run_stream_to_table,
     session_stream_agg,
     stateful_user_totals,
@@ -46,6 +47,17 @@ def q_ext_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_totals(stream_events(spark, sf_dir)),
         "stream_stateful_result",
         output_mode="update",
+    )
+
+
+def q_ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under simulated at-least-once delivery: the event
+    stream unioned with itself (every event delivered twice), then
+    `dropDuplicatesWithinWatermark` on event_id — the result must equal
+    the single-delivery batch, which is exactly the oracle."""
+    doubled = stream_events(spark, sf_dir).union(stream_events(spark, sf_dir))
+    return run_stream_to_table(
+        dedup_stream(doubled), "stream_dedup_result", output_mode="append"
     )
 
 
@@ -92,8 +104,14 @@ FROM events
 GROUP BY user_id
 """
 
+_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, round(value, 4) AS value
+FROM events
+"""
+
 QUERIES: dict[str, QueryDef] = {
     "ext_stream_windows": QueryDef(q_ext_stream_windows, _WINDOWS_ORACLE),
+    "ext_stream_dedup": QueryDef(q_ext_stream_dedup, _DEDUP_ORACLE),
     "ext_stream_sessions": QueryDef(q_ext_stream_sessions, _SESSIONS_ORACLE),
     "ext_stream_stateful": QueryDef(q_ext_stream_stateful, _STATEFUL_ORACLE),
 }

@@ -120,6 +120,28 @@ def session_stream_agg(
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once dedup: drop event_id repeats arriving
+    within the watermark delay of each other.
+
+    `dropDuplicatesWithinWatermark` keeps one state entry per key and
+    FREES it once the watermark passes — bounded state on an unbounded
+    stream, which plain `dropDuplicates` (state grows forever) cannot
+    give. This is the idiom for de-duplicating at-least-once sources
+    (Kafka redeliveries, retried producers).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
 # ------------------------------------------------- custom stateful operator
 
 STATEFUL_OUTPUT_SCHEMA = StructType(

@@ -152,3 +152,36 @@ def test_keep_representatives_components(spark):
         for r in keep_representatives(docs, pairs, "doc_id").collect()
     )
     assert kept == [1, 10, 99]
+
+
+def test_pii_redact_patterns(spark):
+    from etl_acordos_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +1 (555) 010-7788 today"),
+            (3, "host 10.0.255.3 up"),
+            (4, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.clean_text for r in pii_redact(df, "text").collect()}
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "call [PHONE] today"
+    assert got[3] == "host [IP] up"
+    assert got[4] == "nothing sensitive here"
+
+
+def test_simhash_pairs_exactly_once(spark, sf_oracle):
+    """First-matching-chunk predicate must emit each pair exactly once
+    (it replaced a dropDuplicates shuffle)."""
+    from etl_acordos_spark.operators.dedup import simhash_pairs
+    from etl_acordos_spark.queries.base import t as read_t
+
+    docs = read_t(spark, sf_oracle, "documents")
+    pairs = simhash_pairs(docs, "text", "doc_id")
+    dups = (
+        pairs.groupBy("doc_a", "doc_b").count().filter("count > 1").count()
+    )
+    assert dups == 0
