@@ -137,3 +137,91 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def merge_upsert(
+    existing: DataFrame, updates: DataFrame, key: str, version: str
+) -> DataFrame:
+    """Lake-side MERGE: latest row per key across existing ∪ updates.
+
+    The reference's only merge is MariaDB's row-at-a-time ``ON DUPLICATE
+    KEY UPDATE`` (tasks/bronze.py:102-121); on a Parquet lake the same
+    contract is a snapshot rewrite: union both sides, keep the highest
+    *version* per *key* (ties break toward updates via a source rank).
+    One shuffle on the key; at 100 TB the rewrite scopes to the
+    partitions that received updates (partition-pruned read + dynamic
+    overwrite), not the whole table.
+    """
+    tagged = existing.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col(version).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+def scd2_history(
+    snapshots: DataFrame, key: str, version: str, attrs: list[str]
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from versioned snapshots.
+
+    Collapses consecutive versions with unchanged *attrs* and emits one
+    validity interval per attribute state: (key, attrs, valid_from,
+    valid_to, is_current). Pure window functions — lag to detect change,
+    running sum to number change-groups, then one aggregate; two
+    shuffles total, both on the dimension key (small relative to facts).
+    """
+    w = Window.partitionBy(key).orderBy(version)
+    changed = F.when(
+        F.struct(*attrs).eqNullSafe(
+            F.lag(F.struct(*attrs)).over(w)
+        ),
+        0,
+    ).otherwise(1)
+    grouped = snapshots.withColumn(
+        "_grp", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    out = (
+        grouped.groupBy(key, "_grp", *attrs)
+        .agg(
+            F.min(version).alias("valid_from"),
+            F.max(version).alias("valid_to_incl"),
+        )
+        .drop("_grp")
+    )
+    w_next = Window.partitionBy(key).orderBy("valid_from")
+    return (
+        out.withColumn("valid_to", F.lead("valid_from").over(w_next))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("valid_to_incl")
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed fact side, replicate the
+    dim side per salt bucket.
+
+    A hot key (one customer with 10⁹ rows) makes one sort-merge task
+    straggle; salting splits each key into *salt_buckets* sub-keys while
+    the (small) dim side is exploded ×salt_buckets so every sub-key still
+    finds its match. AQE's skew-join split handles moderate skew
+    automatically; explicit salting is the deterministic form for
+    pathological keys. Result equals the plain join exactly.
+    """
+    salted_fact = skewed.withColumn(
+        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")

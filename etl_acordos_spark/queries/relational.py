@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from etl_acordos_spark.operators.relational import (
     asof_join,
+    merge_upsert,
     range_join_binned,
+    salted_join,
+    scd2_history,
     star_join,
     top_k_per_group,
 )
@@ -108,6 +111,91 @@ def q_ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_pedidos"),
         F.round(F.sum("o_totalprice"), 2).alias("receita"),
+    )
+
+
+def q_ext_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins: per-nation counts of customers
+    with and without orders. Semi/anti never materialize right-side
+    columns — the probe side streams through a broadcast/hash lookup of
+    DISTINCT keys, so the orders table contributes only its key set."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    on = customer.c_custkey == orders.o_custkey
+    active = (
+        customer.join(orders, on, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    inactive = (
+        customer.join(orders, on, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+    return (
+        active.join(inactive, "c_nationkey", "full")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_inactive", F.lit(0)).alias("n_inactive"),
+        )
+    )
+
+
+def q_ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-side MERGE (reference tasks/bronze.py:102-121 row-at-a-time
+    ON DUPLICATE KEY UPDATE → distributed latest-per-key snapshot):
+    every 10th order arrives re-priced as version 2; the merge must keep
+    exactly the updated rows for those keys and originals elsewhere."""
+    orders = t(spark, sf_dir, "orders")
+    existing = orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(1).alias("version"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    return merge_upsert(existing, updates, "o_orderkey", "version")
+
+
+def q_ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history: per-customer yearly order-status snapshots
+    collapsed into validity intervals (valid_from/valid_to/is_current)."""
+    orders = t(spark, sf_dir, "orders")
+    snapshots = (
+        orders.groupBy(
+            F.col("o_custkey").alias("k"),
+            F.year("o_orderdate").alias("v"),
+        )
+        .agg(F.max("o_orderstatus").alias("status"))
+    )
+    return scd2_history(snapshots, "k", "v", ["status"])
+
+
+def q_ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (lineitem⋈supplier): fact rows salted
+    into 8 sub-keys, dim exploded ×8 — result identical to the plain
+    join (the oracle), no task ever owns a whole hot key."""
+    lineitem = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    dim = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(lineitem, dim, "l_suppkey", salt_buckets=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("receita"),
+            F.count(F.lit(1)).alias("n_itens"),
+        )
     )
 
 
@@ -363,6 +451,57 @@ _ORACLES: dict[str, str | None] = {
         " JOIN region ON n_regionkey = r_regionkey"
         " GROUP BY ROLLUP (r_name, o_orderpriority)"
     ),
+    "ext_join_semi_anti": (
+        "SELECT c_nationkey,"
+        " CAST(sum(CASE WHEN has_orders THEN 1 ELSE 0 END) AS BIGINT) AS n_active,"
+        " CAST(sum(CASE WHEN has_orders THEN 0 ELSE 1 END) AS BIGINT) AS n_inactive"
+        " FROM (SELECT c_nationkey,"
+        "   c_custkey IN (SELECT o_custkey FROM orders) AS has_orders"
+        "   FROM customer)"
+        " GROUP BY c_nationkey"
+    ),
+    "ext_merge_upsert": (
+        "SELECT o_orderkey,"
+        " CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 2, 2)"
+        "      ELSE round(o_totalprice, 2) END AS o_totalprice,"
+        " CAST(CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS INTEGER)"
+        "   AS version"
+        " FROM orders"
+    ),
+    "ext_scd2": (
+        "WITH snap AS ("
+        "  SELECT o_custkey AS k, CAST(year(o_orderdate) AS INTEGER) AS v,"
+        "         max(o_orderstatus) AS status"
+        "  FROM orders GROUP BY 1, 2"
+        "), marked AS ("
+        "  SELECT k, v, status,"
+        "    CASE WHEN status IS DISTINCT FROM"
+        "      lag(status) OVER (PARTITION BY k ORDER BY v)"
+        "    THEN 1 ELSE 0 END AS chg"
+        "  FROM snap"
+        "), grp AS ("
+        "  SELECT k, v, status,"
+        "    sum(chg) OVER (PARTITION BY k ORDER BY v"
+        "                   ROWS UNBOUNDED PRECEDING) AS g"
+        "  FROM marked"
+        "), iv AS ("
+        "  SELECT k, g, status, min(v) AS valid_from"
+        "  FROM grp GROUP BY k, g, status"
+        ")"
+        " SELECT k, status, valid_from,"
+        "  lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from)"
+        "    AS valid_to,"
+        "  (lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from)"
+        "    IS NULL) AS is_current"
+        " FROM iv"
+    ),
+    "ext_salted_join": (
+        "SELECT s_nationkey,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS receita,"
+        " count(*) AS n_itens"
+        " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+        " GROUP BY s_nationkey"
+    ),
     "ext_grouping_sets": (
         "SELECT o_orderstatus, o_orderpriority,"
         " count(*) AS n_pedidos, round(sum(o_totalprice), 2) AS receita"
@@ -465,6 +604,16 @@ QUERIES: dict[str, QueryDef] = {
     "ext_join_star": QueryDef(q_ext_join_star, _ORACLES["ext_join_star"]),
     "ext_groupby_agg": QueryDef(q_ext_groupby_agg, _ORACLES["ext_groupby_agg"]),
     "ext_rollup": QueryDef(q_ext_rollup, _ORACLES["ext_rollup"]),
+    "ext_join_semi_anti": QueryDef(
+        q_ext_join_semi_anti, _ORACLES["ext_join_semi_anti"]
+    ),
+    "ext_merge_upsert": QueryDef(
+        q_ext_merge_upsert, _ORACLES["ext_merge_upsert"]
+    ),
+    "ext_scd2": QueryDef(q_ext_scd2, _ORACLES["ext_scd2"]),
+    "ext_salted_join": QueryDef(
+        q_ext_salted_join, _ORACLES["ext_salted_join"]
+    ),
     "ext_grouping_sets": QueryDef(
         q_ext_grouping_sets, _ORACLES["ext_grouping_sets"]
     ),

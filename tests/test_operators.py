@@ -185,3 +185,53 @@ def test_simhash_pairs_exactly_once(spark, sf_oracle):
         pairs.groupBy("doc_a", "doc_b").count().filter("count > 1").count()
     )
     assert dups == 0
+
+
+def test_merge_upsert_latest_wins_and_tie_breaks_to_updates(spark):
+    from etl_acordos_spark.operators.relational import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, "old", 1), (2, "keep", 1)], ["k", "val", "ver"]
+    )
+    updates = spark.createDataFrame(
+        [(1, "new", 2), (3, "ins", 1), (2, "tie", 1)], ["k", "val", "ver"]
+    )
+    got = {r.k: r.val for r in merge_upsert(existing, updates, "k", "ver").collect()}
+    # higher version wins; equal version prefers updates; new keys insert
+    assert got == {1: "new", 2: "tie", 3: "ins"}
+
+
+def test_scd2_collapses_unchanged_runs(spark):
+    from etl_acordos_spark.operators.relational import scd2_history
+
+    snaps = spark.createDataFrame(
+        [(1, 2020, "A"), (1, 2021, "A"), (1, 2022, "B"), (1, 2023, "A")],
+        ["k", "v", "status"],
+    )
+    rows = sorted(
+        scd2_history(snaps, "k", "v", ["status"]).collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [(r.status, r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        ("A", 2020, 2022, False),
+        ("B", 2022, 2023, False),
+        ("A", 2023, None, True),
+    ]
+
+
+def test_salted_join_equals_plain_join(spark, sf_smoke):
+    from etl_acordos_spark.operators.relational import salted_join
+    from etl_acordos_spark.queries.base import t as read_t
+
+    lineitem = read_t(spark, sf_smoke, "lineitem")
+    supplier = read_t(spark, sf_smoke, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    salted = salted_join(lineitem, supplier, "l_suppkey", salt_buckets=4)
+    plain = lineitem.join(supplier, "l_suppkey")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("s_nationkey").count().collect()
+    b = plain.groupBy("s_nationkey").count().collect()
+    assert {(r.s_nationkey, r["count"]) for r in a} == {
+        (r.s_nationkey, r["count"]) for r in b
+    }
