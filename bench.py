@@ -38,6 +38,8 @@ HEADLINE = [
     "ext_salted_join",
     "ext_topk",
     "ext_window_running",
+    "ext_window_ranking",
+    "ext_percentiles",
     "ext_rollup",
     "ext_event_windows",
     "ext_json_extract",
@@ -52,6 +54,7 @@ HEADLINE = [
     "ext_stream_sessions",
     "ext_stream_stateful",
     "ext_stream_dedup",
+    "ext_stream_join",
     "ext_dedup_exact",
     "ext_dedup_near",
     "ext_dedup_simhash",
@@ -63,6 +66,7 @@ HEADLINE = [
     "ext_lang_id",
     "ext_fingerprint",
     "ext_pii_redact",
+    "ext_tfidf",
 ]
 
 

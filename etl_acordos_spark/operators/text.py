@@ -160,3 +160,40 @@ def pii_redact(df: DataFrame, text_col: str, out_col: str = "clean_text") -> Dat
     for pattern, token in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)
     return df.withColumn(out_col, out)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, round_rank: int = 6
+) -> DataFrame:
+    """Most-characteristic term per document by TF-IDF.
+
+    tf = term count in the doc; idf = ln((N+1)/(df+1)). All relational:
+    explode → two hash aggregates (term-frequency, document-frequency) →
+    join on term → windowed top-1. The df table is term-cardinality
+    sized (vocabulary, not corpus) — broadcastable at any corpus scale.
+    Ranking compares scores rounded to *round_rank* digits (ties broken
+    by term) so the winner is stable across engines' last-ulp `ln`
+    differences.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct(id_col).alias("doc_freq")
+    )
+    n_docs = df.count()
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score",
+        F.col("tf") * F.log((n_docs + 1.0) / (F.col("doc_freq") + 1.0)),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round("score", round_rank).desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "term", F.round("score", 4).alias("score"))
+    )

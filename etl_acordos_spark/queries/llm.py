@@ -38,6 +38,7 @@ from etl_acordos_spark.operators.text import (
     lang_id,
     pii_redact,
     quality_scores,
+    tfidf_top_terms,
     token_counts,
 )
 from etl_acordos_spark.queries.base import QueryDef, t
@@ -153,6 +154,14 @@ def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- multimodal
 
 
+def q_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-characteristic term per document by TF-IDF (explode → two
+    hash aggs → broadcast vocabulary join → windowed top-1)."""
+    return tfidf_top_terms(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 def q_ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over `documents.text` — emails, phone numbers, IPv4
     redacted by chained JVM `regexp_replace` (map-only, no Python, no
@@ -226,6 +235,21 @@ _ORACLES: dict[str, str | None] = {
         " FROM documents GROUP BY sha256(text)"
     ),
     "ext_dedup_jaccard": _JACCARD_PAIRS,
+    "ext_tfidf": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
+        "  FROM documents),"
+        " tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),"
+        " dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq"
+        "  FROM tok GROUP BY 1),"
+        " n AS (SELECT count(*) AS n_docs FROM documents),"
+        " scored AS (SELECT doc_id, term,"
+        "   tf * ln((n_docs + 1.0) / (doc_freq + 1.0)) AS score"
+        "  FROM tf JOIN dfreq USING (term) CROSS JOIN n)"
+        " SELECT doc_id, term, round(score, 4) AS score FROM ("
+        "  SELECT doc_id, term, score, row_number() OVER ("
+        "    PARTITION BY doc_id ORDER BY round(score, 6) DESC, term) AS rn"
+        "  FROM scored) WHERE rn = 1"
+    ),
     "ext_pii_redact": (
         "WITH dirty AS (SELECT doc_id, text"
         " || CASE WHEN doc_id % 3 = 0 THEN ' reach user'"
@@ -351,6 +375,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_lang_id": QueryDef(q_ext_lang_id, _ORACLES["ext_lang_id"]),
     "ext_fingerprint": QueryDef(q_ext_fingerprint, _ORACLES["ext_fingerprint"]),
+    "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
     "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),
     "ext_multimodal": QueryDef(q_ext_multimodal, None),
     "ext_mm_resize": QueryDef(q_ext_mm_resize, None),

@@ -212,6 +212,42 @@ def q_ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function medley per market segment: rank, dense_rank,
+    ntile quartiles, and lag — one window spec, one shuffle, local sort
+    within each hash-partitioned segment."""
+    customer = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("saldo"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartil"),
+        F.round(F.lag("c_acctbal").over(w), 2).alias("saldo_anterior"),
+    )
+
+
+def q_ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag (the exact
+    counterpart of ext_approx's sketches; both engines use the same
+    continuous-quantile definition)."""
+    lineitem = t(spark, sf_dir, "lineitem")
+    pct = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(l_extendedprice, {p})"), 4
+    )
+    return lineitem.groupBy("l_returnflag").agg(
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.95).alias("p95"),
+        F.round(F.avg("l_extendedprice"), 4).alias("media"),
+    )
+
+
 def q_ext_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per market segment: exact distinct count,
     min/max/stddev. (Sketch-based approx_count_distinct is demonstrated
@@ -508,6 +544,25 @@ _ORACLES: dict[str, str | None] = {
         " FROM orders"
         " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
     ),
+    "ext_window_ranking": (
+        "SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS saldo,"
+        " CAST(rank() OVER w AS INTEGER) AS rnk,"
+        " CAST(dense_rank() OVER w AS INTEGER) AS drnk,"
+        " CAST(ntile(4) OVER w AS INTEGER) AS quartil,"
+        " round(lag(c_acctbal) OVER w, 2) AS saldo_anterior"
+        " FROM customer"
+        " WINDOW w AS (PARTITION BY c_mktsegment"
+        "              ORDER BY c_acctbal DESC, c_custkey)"
+    ),
+    "ext_percentiles": (
+        "SELECT l_returnflag,"
+        " round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,"
+        " round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,"
+        " round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,"
+        " round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,"
+        " round(avg(l_extendedprice), 4) AS media"
+        " FROM lineitem GROUP BY l_returnflag"
+    ),
     "ext_agg_stats": (
         "SELECT c_mktsegment,"
         " CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,"
@@ -616,6 +671,12 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_grouping_sets": QueryDef(
         q_ext_grouping_sets, _ORACLES["ext_grouping_sets"]
+    ),
+    "ext_window_ranking": QueryDef(
+        q_ext_window_ranking, _ORACLES["ext_window_ranking"]
+    ),
+    "ext_percentiles": QueryDef(
+        q_ext_percentiles, _ORACLES["ext_percentiles"]
     ),
     "ext_agg_stats": QueryDef(q_ext_agg_stats, _ORACLES["ext_agg_stats"]),
     "ext_approx": QueryDef(q_ext_approx, None),

@@ -61,6 +61,29 @@ def q_ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    `nation` dimension (keyed user_id % 25). The static side is
+    broadcast per microbatch — a streaming dim lookup never shuffles
+    the stream."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.queries.base import t
+
+    ev = stream_events(spark, sf_dir).withColumn(
+        "nk", F.col("user_id") % 25
+    )
+    dim = F.broadcast(
+        t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    joined = ev.join(dim, ev.nk == dim.n_nationkey).select(
+        "event_id", "n_name", F.round("value", 4).alias("value")
+    )
+    return run_stream_to_table(
+        joined, "stream_join_result", output_mode="append"
+    )
+
+
 _WINDOWS_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
@@ -109,9 +132,15 @@ SELECT event_id, user_id, event_type, round(value, 4) AS value
 FROM events
 """
 
+_STREAM_JOIN_ORACLE = """
+SELECT event_id, n_name, round(value, 4) AS value
+FROM events JOIN nation ON user_id % 25 = n_nationkey
+"""
+
 QUERIES: dict[str, QueryDef] = {
     "ext_stream_windows": QueryDef(q_ext_stream_windows, _WINDOWS_ORACLE),
     "ext_stream_dedup": QueryDef(q_ext_stream_dedup, _DEDUP_ORACLE),
+    "ext_stream_join": QueryDef(q_ext_stream_join, _STREAM_JOIN_ORACLE),
     "ext_stream_sessions": QueryDef(q_ext_stream_sessions, _SESSIONS_ORACLE),
     "ext_stream_stateful": QueryDef(q_ext_stream_stateful, _STATEFUL_ORACLE),
 }

@@ -48,6 +48,10 @@ def get_spark(
         # Files >128MB split into tasks; at 100 TB this keeps scan tasks
         # memory-bounded regardless of file layout.
         "spark.sql.files.maxPartitionBytes": "134217728",
+        # Managed (e.g. bucketed) tables land in scratch, not the repo.
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+        ),
     }
     if extra_conf:
         conf.update(extra_conf)

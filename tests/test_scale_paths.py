@@ -148,3 +148,46 @@ def test_streaming_watermark_advances_across_microbatches(spark, sf_smoke):
     emitted_max = max(r["window_start"] for r in got)
     assert emitted_max + timedelta(hours=1) <= final_wm
     assert max_ts - timedelta(hours=3) < final_wm
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_oracle):
+    """Bucketing both join sides on the key (same bucket count) makes the
+    sort-merge join shuffle-free: EnsureRequirements sees the bucketed
+    layout already satisfies the join's distribution. This is the
+    co-located-join layout for repeated fact-fact joins at 100 TB —
+    shuffle once at write time, never again at read time."""
+    from etl_acordos_spark.queries.base import t as read_t
+
+    orders = read_t(spark, sf_oracle, "orders")
+    customer = read_t(spark, sf_oracle, "customer")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for name, df, key in (
+        ("b_orders", orders, "o_custkey"),
+        ("b_customer", customer, "c_custkey"),
+    ):
+        # the in-memory catalog forgets tables between sessions but the
+        # warehouse dir persists — clear both
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
