@@ -40,6 +40,8 @@ HEADLINE = [
     "ext_window_running",
     "ext_window_ranking",
     "ext_percentiles",
+    "ext_sessionize_batch",
+    "ext_correlated_subquery",
     "ext_rollup",
     "ext_event_windows",
     "ext_json_extract",

@@ -212,6 +212,63 @@ def q_ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts when
+    the gap since the user's previous event is ≥ 30 min. Two windows +
+    one aggregate, all hash-partitioned by user — the batch mirror of
+    ext_stream_sessions (same oracle shape)."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_min = F.lag("ts").over(w).isNull() | (
+        F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES")
+    )
+    return (
+        ev.withColumn("new_sess", gap_min.cast("int"))
+        .withColumn(
+            "sess_no",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .drop("sess_no")
+    )
+
+
+def q_ext_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split of the document corpus by
+    multiplicative key hash — reproducible across runs, engines, and
+    cluster layouts (no rand()); a production pipeline swaps the
+    portable demo hash for xxhash64. Map-only: splits at 100 TB cost
+    one scan, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 4294967296 % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 90, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def q_ext_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SQL surface): orders 1.5× above their
+    customer's average order value. Catalyst decorrelates this into an
+    aggregate + join — no per-row subquery execution ever happens."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS preco"
+        " FROM orders_v o"
+        " WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)"
+        "   FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)"
+    )
+
+
 def q_ext_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function medley per market segment: rank, dense_rank,
     ntile quartiles, and lag — one window spec, one shuffle, local sort
@@ -236,15 +293,24 @@ def q_ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of ext_approx's sketches; both engines use the same
     continuous-quantile definition)."""
     lineitem = t(spark, sf_dir, "lineitem")
-    pct = lambda p: F.round(  # noqa: E731
-        F.expr(f"percentile(l_extendedprice, {p})"), 4
-    )
-    return lineitem.groupBy("l_returnflag").agg(
-        pct(0.25).alias("p25"),
-        pct(0.5).alias("p50"),
-        pct(0.75).alias("p75"),
-        pct(0.95).alias("p95"),
-        F.round(F.avg("l_extendedprice"), 4).alias("media"),
+    # one percentile(..., array(...)) call: the per-group value buffer is
+    # built and sorted ONCE for all four quantiles, not four times
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))"
+            ).alias("ps"),
+            F.round(F.avg("l_extendedprice"), 4).alias("media"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 4).alias("p25"),
+            F.round(F.col("ps")[1], 4).alias("p50"),
+            F.round(F.col("ps")[2], 4).alias("p75"),
+            F.round(F.col("ps")[3], 4).alias("p95"),
+            "media",
+        )
     )
 
 
@@ -544,6 +610,34 @@ _ORACLES: dict[str, str | None] = {
         " FROM orders"
         " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
     ),
+    "ext_sessionize_batch": (
+        "WITH marked AS ("
+        "  SELECT user_id, ts, value,"
+        "    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE"
+        "              OR lag(ts) OVER w IS NULL"
+        "         THEN 1 ELSE 0 END AS new_sess"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+        "), numbered AS ("
+        "  SELECT user_id, ts, value,"
+        "    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts"
+        "                        ROWS UNBOUNDED PRECEDING) AS sess_no"
+        "  FROM marked)"
+        " SELECT user_id, min(ts) AS session_start,"
+        "  count(*) AS n_events, round(sum(value), 4) AS sum_value"
+        " FROM numbered GROUP BY user_id, sess_no"
+    ),
+    "ext_train_test_split": (
+        "SELECT doc_id,"
+        " CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90"
+        " THEN 'train' ELSE 'test' END AS split"
+        " FROM documents"
+    ),
+    "ext_correlated_subquery": (
+        "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS preco"
+        " FROM orders o"
+        " WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)"
+        "   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"
+    ),
     "ext_window_ranking": (
         "SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS saldo,"
         " CAST(rank() OVER w AS INTEGER) AS rnk,"
@@ -671,6 +765,15 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_grouping_sets": QueryDef(
         q_ext_grouping_sets, _ORACLES["ext_grouping_sets"]
+    ),
+    "ext_sessionize_batch": QueryDef(
+        q_ext_sessionize_batch, _ORACLES["ext_sessionize_batch"]
+    ),
+    "ext_train_test_split": QueryDef(
+        q_ext_train_test_split, _ORACLES["ext_train_test_split"]
+    ),
+    "ext_correlated_subquery": QueryDef(
+        q_ext_correlated_subquery, _ORACLES["ext_correlated_subquery"]
     ),
     "ext_window_ranking": QueryDef(
         q_ext_window_ranking, _ORACLES["ext_window_ranking"]
