@@ -111,10 +111,17 @@ def fingerprints(
         f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1),"
         f" {step}), i -> substring({text_col}, i, {window}))"
     )
+    # n_windows = |sequence(1, G, step)| computed arithmetically — reusing
+    # `size(wins)` would rebuild the whole substring array a second time
+    # (Catalyst inlines the shared subexpression through collapsed projects)
+    n_windows = (
+        f"cast((greatest(length({text_col}) - {window - 1}, 1) - 1)"
+        f" / {step} as int) + 1"
+    )
     return df.select(
         F.col(id_col),
         F.expr(f"array_min(transform({wins}, w -> md5(w)))").alias("fingerprint"),
-        F.expr(f"size({wins})").alias("n_windows"),
+        F.expr(n_windows).alias("n_windows"),
     )
 
 
@@ -184,10 +191,18 @@ def tfidf_top_terms(
     dfreq = tok.groupBy("term").agg(
         F.countDistinct(id_col).alias("doc_freq")
     )
-    n_docs = df.count()
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "score",
-        F.col("tf") * F.log((n_docs + 1.0) / (F.col("doc_freq") + 1.0)),
+    # corpus size as a lazy 1-row broadcast, not an eager df.count():
+    # keeps the whole operator one plan (no driver-side action blocking
+    # the build) and lets the scheduler overlap it with the tf/df aggs
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.round("score", round_rank).desc(), F.col("term")
