@@ -18,6 +18,8 @@ for 100 TB:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,9 +117,11 @@ def minhash_lsh_pairs(
     exact-Jaccard verification.
 
     shingle → base-hash each shingle ONCE → derive the num_perm
-    permutations by re-hashing the 8-byte base hash (not the shingle
-    string — xxhash64 over a long is ~the cost of a multiply, so the
-    O(shingles × num_perm) inner loop stays cheap even interpreted) →
+    permutations as Carter-Wegman universal hashes (a*h+b) mod p,
+    p = 2^31-1, over the reduced base hash — the standard MinHash
+    permutation family (what datasketch uses): one multiply+add+mod per
+    perm instead of a full hash call, and every intermediate stays under
+    2^62 so ANSI-mode arithmetic never overflows →
     band → bucket self-join (candidates, ids only) → verify by joining
     shingle sets back onto the surviving pairs.
 
@@ -141,14 +145,22 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"),
         word_shingles("tok", shingle_n).alias("sh"),
     )
+    # fixed per-permutation multipliers/offsets (seeded ⇒ deterministic
+    # across runs and engines), drawn from [1, p) / [0, p)
+    p = (1 << 31) - 1  # Mersenne prime
+    rng = random.Random(0x5EED)
+    mult = [rng.randrange(1, p) for _ in range(num_perm)]
+    add = [rng.randrange(0, p) for _ in range(num_perm)]
+    mult_arr = "array(" + ", ".join(f"{a}L" for a in mult) + ")"
+    add_arr = "array(" + ", ".join(f"{b}L" for b in add) + ")"
     # hs and sig are let-bound (not projection aliases): each is computed
     # once per row, then looped over — see let_bound's docstring.
     band_expr = let_bound(
-        "transform(sh, x -> xxhash64(x))",
+        f"transform(sh, x -> pmod(xxhash64(x), {p}L))",
         "hs",
         let_bound(
-            f"transform(sequence(0, {num_perm - 1}),"
-            " s -> array_min(transform(hs, h -> xxhash64(h, s))))",
+            f"zip_with({mult_arr}, {add_arr},"
+            f" (pa, pb) -> array_min(transform(hs, h -> pmod(pa * h + pb, {p}L))))",
             "sig",
             f"transform(sequence(0, {bands - 1}),"
             f" j -> xxhash64(slice(sig, j * {rows_per_band} + 1, {rows_per_band})))",
