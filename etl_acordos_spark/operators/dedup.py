@@ -75,6 +75,23 @@ def word_shingles(tok_col: str = "tok", n: int = 3) -> Column:
     )
 
 
+def hashed_word_shingles(tok_col: str = "tok", n: int = 3) -> Column:
+    """Distinct word n-gram shingles, emitted directly as 64-bit hashes
+    (`xxhash64` over the n token tuple) — never materializing the
+    concatenated shingle strings. Same set semantics as
+    `word_shingles` up to hash collisions (~2^-64 per pair), but the
+    downstream pipeline allocates no strings and shuffles long arrays
+    instead of string arrays. Documents shorter than *n* words
+    contribute their whole text as one shingle."""
+    args = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+    return F.expr(
+        f"array_distinct(CASE WHEN size({tok_col}) >= {n} THEN"
+        f" transform(sequence(1, size({tok_col}) - {n - 1}),"
+        f"  i -> xxhash64({args}))"
+        f" ELSE array(xxhash64(array_join({tok_col}, ' '))) END)"
+    )
+
+
 def jaccard(a: str, b: str) -> Column:
     """Exact set Jaccard between two array columns."""
     return (
@@ -116,7 +133,8 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash signatures + LSH banding +
     exact-Jaccard verification.
 
-    shingle → base-hash each shingle ONCE → derive the num_perm
+    hash-shingle (n-gram hashes computed straight from the token array —
+    no shingle strings ever materialize) → derive the num_perm
     permutations as Carter-Wegman universal hashes (a*h+b) mod p,
     p = 2^31-1, over the reduced base hash — the standard MinHash
     permutation family (what datasketch uses): one multiply+add+mod per
@@ -143,7 +161,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     base = prepare_tokens(ensure_parallelism(df), text_col, id_col).select(
         F.col(id_col).alias("doc"),
-        word_shingles("tok", shingle_n).alias("sh"),
+        hashed_word_shingles("tok", shingle_n).alias("sh"),
     )
     # fixed per-permutation multipliers/offsets (seeded ⇒ deterministic
     # across runs and engines), drawn from [1, p) / [0, p)
@@ -156,7 +174,7 @@ def minhash_lsh_pairs(
     # hs and sig are let-bound (not projection aliases): each is computed
     # once per row, then looped over — see let_bound's docstring.
     band_expr = let_bound(
-        f"transform(sh, x -> pmod(xxhash64(x), {p}L))",
+        f"transform(sh, x -> pmod(x, {p}L))",
         "hs",
         let_bound(
             f"zip_with({mult_arr}, {add_arr},"
