@@ -235,3 +235,48 @@ def test_salted_join_equals_plain_join(spark, sf_smoke):
     assert {(r.s_nationkey, r["count"]) for r in a} == {
         (r.s_nationkey, r["count"]) for r in b
     }
+
+
+def test_hashed_shingles_match_string_shingles(spark):
+    """hashed_word_shingles must mirror word_shingles' set semantics:
+    same cardinality per doc (collisions aside) and the same Jaccard
+    between docs — including the short-doc (< n tokens) whole-text
+    fallback producing exactly one shingle."""
+    from etl_acordos_spark.operators.dedup import (
+        hashed_word_shingles,
+        jaccard,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox leaps over the lazy dog"),
+            (3, "tiny doc"),  # < n tokens -> single whole-text shingle
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", F.split("text", " ").alias("tok"))
+    both = docs.select(
+        "doc_id",
+        word_shingles("tok", 3).alias("s_str"),
+        hashed_word_shingles("tok", 3).alias("s_hash"),
+    )
+    rows = {r.doc_id: r for r in both.collect()}
+    for d, r in rows.items():
+        assert len(r.s_hash) == len(set(r.s_hash)) == len(r.s_str), d
+    assert len(rows[3].s_hash) == 1
+    assert rows[3].s_hash == rows[4].s_hash
+
+    pairs = (
+        both.alias("a")
+        .crossJoin(both.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            jaccard("a.s_str", "b.s_str").alias("j_str"),
+            jaccard("a.s_hash", "b.s_hash").alias("j_hash"),
+        )
+        .collect()
+    )
+    for r in pairs:
+        assert r.j_str == r.j_hash
