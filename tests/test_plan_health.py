@@ -1,0 +1,99 @@
+"""Physical-plan health checks — the properties the 100 TB design
+depends on, pinned so a refactor can't silently regress them:
+
+- dimension joins stay broadcast (a small dim must never shuffle the
+  fact table);
+- scans are column-pruned and filters are pushed to the parquet reader;
+- no query in the §2 registry falls back to a Cartesian product except
+  the intentionally-quadratic exact verification baselines.
+
+These assert against the optimizer's chosen plan (``explainString``),
+not runtime timings, so they are stable at any test scale factor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as contract
+
+
+def plan_of(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return qe.explainString(mode.fromString("formatted"))
+
+
+def scan_schema(plan: str, table_file: str) -> str:
+    """ReadSchema of the formatted-explain scan section for one file."""
+    section = next(
+        s for s in plan.split("\n\n")
+        if table_file in s and "ReadSchema" in s
+    )
+    return re.search(r"ReadSchema: struct<([^>]*)>", section).group(1)
+
+
+def test_flagship_broadcasts_all_dims_and_prunes_orders_scan(spark, sf_oracle):
+    plan = plan_of(contract.queries()["flagship"](spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, "a dim join fell back to shuffle"
+    read_schema = scan_schema(plan, "orders.parquet")
+    assert len(read_schema.split(",")) == 3, read_schema
+
+
+def test_star_join_broadcasts_dims_and_pushes_filters(spark, sf_oracle):
+    plan = plan_of(contract.queries()["ext_join_star"](spark, sf_oracle))
+    # customer/nation/region broadcast; only lineitem⋈orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    # join-key null filters reach the parquet readers
+    assert "PushedFilters: [IsNotNull" in plan, plan
+
+
+def test_groupby_agg_pushes_predicate_and_partial_aggregates(spark, sf_oracle):
+    plan = plan_of(contract.queries()["ext_groupby_agg"](spark, sf_oracle))
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan), plan
+    # partial (map-side) + final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    read_schema = scan_schema(plan, "lineitem.parquet")
+    assert len(read_schema.split(",")) == 7, read_schema
+
+
+#: exact all-pairs verification baselines — quadratic BY DESIGN
+#: (SURVEY.md §2.6); every other registered query must avoid
+#: nested-loop/cartesian execution.
+QUADRATIC_BY_DESIGN = {
+    "ext_dedup_jaccard",
+    "ext_dedup_embed",
+    "ext_simsearch",  # exact top-k baseline: scan × 1 broadcast query row
+    "ext_simsearch_ann",  # exact re-rank joins the 1-row query vector
+    "ext_simsearch_ivf",
+    "ext_tfidf",  # 1-row corpus-size broadcast join
+    "ext_multimodal",  # binary payload demo joins a 1-row key
+}
+
+#: keys that execute eagerly on build (streams, sinks) or need scratch
+#: state — plan text is checked for the lazy batch queries only.
+SKIP_PLAN_CHECK = {
+    "snk_parquet", "snk_partitioned", "snk_dbapi_upsert", "snk_dbapi_append",
+    "flow_dag", "flow_retry", "chk_exists", "ddl_infer",
+    "ext_stream_windows", "ext_stream_sessions", "ext_stream_stateful",
+    "ext_stream_dedup", "ext_stream_join",
+}
+
+
+@pytest.mark.parametrize(
+    "key",
+    sorted(k for k in contract.queries() if k not in SKIP_PLAN_CHECK),
+)
+def test_no_unintended_cartesian(spark, sf_oracle, key):
+    df = contract.queries()[key](spark, sf_oracle)
+    plan = plan_of(df)
+    quadratic = (
+        "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    )
+    if key in QUADRATIC_BY_DESIGN:
+        return  # allowed (and some plan as broadcast-nested-loop of 1 row)
+    assert not quadratic, f"{key} fell back to a cartesian/nested-loop join"
