@@ -69,6 +69,8 @@ HEADLINE = [
     "ext_fingerprint",
     "ext_pii_redact",
     "ext_tfidf",
+    "ext_doc_chunk",
+    "ext_stratified_sample",
 ]
 
 

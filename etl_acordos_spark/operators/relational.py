@@ -225,3 +225,28 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, int],
+    default_rate: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its key's hash
+    bucket (0-99) falls below the stratum's percentage rate.
+
+    The corpus-rebalancing primitive of a training-data pipeline (e.g.
+    downsample the dominant language): reproducible across runs, engines,
+    and cluster layouts because the bucket is a pure function of the key
+    — no rand(), no per-partition state. Map-only: one scan, zero
+    shuffle at any scale. The multiplier is distinct from the train/test
+    split's (`queries/relational.py q_ext_train_test_split`) so the two
+    bucketings are uncorrelated.
+    """
+    bucket = (F.col(key_col) * F.lit(2246822519)) % 4294967296 % 100
+    rate = F.lit(default_rate)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)

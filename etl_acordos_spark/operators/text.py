@@ -212,3 +212,46 @@ def tfidf_top_terms(
         .filter(F.col("_rn") == 1)
         .select(id_col, "term", F.round("score", 4).alias("score"))
     )
+
+
+def doc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap
+    (window=64 tokens, stride=48 ⇒ 16-token overlap) — the
+    context-window chunking step that precedes sequence packing in a
+    training-data pipeline.
+
+    One scan + a row-multiplying explode, no shuffle: at 100 TB this
+    runs at reader throughput and output volume is ~window/stride × the
+    input. Chunk starts are 1, 1+stride, 1+2·stride, … while ≤ the token
+    count, so every token lands in ≥1 chunk and short docs yield exactly
+    one chunk.
+    """
+    tok = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
+    )
+    return (
+        tok.select(
+            id_col,
+            "tok",
+            F.posexplode(
+                F.expr(f"sequence(1, size(tok), {stride})")
+            ).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.expr(f"size(slice(tok, chunk_start, {window}))").alias(
+                "n_chunk_tokens"
+            ),
+            F.expr(
+                f"array_join(slice(tok, chunk_start, {window}), ' ')"
+            ).alias("chunk_text"),
+        )
+    )

@@ -32,8 +32,10 @@ from etl_acordos_spark.operators.simsearch import (
     exact_topk,
     ivf_topk,
 )
+from etl_acordos_spark.operators.relational import stratified_sample
 from etl_acordos_spark.operators.text import (
     corpus_stats,
+    doc_chunks,
     fingerprints,
     lang_id,
     pii_redact,
@@ -149,6 +151,28 @@ def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash document fingerprints."""
     return fingerprints(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ext_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, 48-token stride (the
+    sequence-packing prep step). Map-only explode — one scan, no
+    shuffle at any corpus size."""
+    return doc_chunks(
+        t(spark, sf_dir, "documents"), "text", "doc_id", window=64, stride=48
+    )
+
+
+def q_ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus rebalancing: downsample the
+    dominant 'en' to 25%, upsample-keep 'zh' at 80%, default 50% — pure
+    key-hash bucketing, map-only, reproducible on any cluster layout."""
+    return stratified_sample(
+        t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        key_col="doc_id",
+        rates={"en": 25, "zh": 80},
+        default_rate=50,
+    ).select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------- multimodal
@@ -353,6 +377,23 @@ _ORACLES: dict[str, str | None] = {
         "   AS INTEGER) AS n_windows"
         " FROM documents"
     ),
+    "ext_doc_chunk": (
+        "WITH tok AS ("
+        "  SELECT doc_id, string_split(text, ' ') AS tok FROM documents)"
+        " SELECT doc_id,"
+        "  CAST(floor((s - 1) / 48) AS INTEGER) AS chunk_id,"
+        "  CAST(s AS INTEGER) AS chunk_start,"
+        "  CAST(len(tok[s : least(s + 63, len(tok))]) AS INTEGER)"
+        "    AS n_chunk_tokens,"
+        "  array_to_string(tok[s : least(s + 63, len(tok))], ' ')"
+        "    AS chunk_text"
+        " FROM tok, unnest(generate_series(1, len(tok), 48)) AS u(s)"
+    ),
+    "ext_stratified_sample": (
+        "SELECT doc_id, lang FROM documents"
+        " WHERE (doc_id * 2246822519) % 4294967296 % 100 <"
+        "  CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 80 ELSE 50 END"
+    ),
     "ext_multimodal": None,  # binary payload + stubbed decode
 }
 
@@ -375,6 +416,10 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_lang_id": QueryDef(q_ext_lang_id, _ORACLES["ext_lang_id"]),
     "ext_fingerprint": QueryDef(q_ext_fingerprint, _ORACLES["ext_fingerprint"]),
+    "ext_doc_chunk": QueryDef(q_ext_doc_chunk, _ORACLES["ext_doc_chunk"]),
+    "ext_stratified_sample": QueryDef(
+        q_ext_stratified_sample, _ORACLES["ext_stratified_sample"]
+    ),
     "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
     "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),
     "ext_multimodal": QueryDef(q_ext_multimodal, None),
