@@ -69,6 +69,7 @@ HEADLINE = [
     "ext_fingerprint",
     "ext_pii_redact",
     "ext_tfidf",
+    "ext_repetition",
     "ext_doc_chunk",
     "ext_stratified_sample",
 ]

@@ -255,3 +255,55 @@ def doc_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style filters an
+    LLM corpus pipeline applies before training): per document, the
+    fraction of tokens that are repeats (1 − distinct/total) and the
+    fraction of all bigrams taken by the single most frequent bigram.
+
+    Shape: one map-only pass for the token stats; bigram explode → two
+    hash aggregates (doc,bigram → doc) for the top-bigram share — both
+    aggregates partial+final, keyed on the doc id, so the shuffle volume
+    is bounded by the bigram vocabulary per doc, never the corpus. Docs
+    with < 2 tokens have no bigrams; their share is 0.0 by definition.
+    """
+    tok = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
+    )
+    bigrams = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tok) >= 2 THEN"
+                " transform(sequence(1, size(tok) - 1),"
+                "  i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    top_share = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    token_stats = tok.select(
+        F.col(id_col),
+        F.size("tok").alias("n_tokens"),
+        F.round(
+            1 - F.size(F.array_distinct("tok")) / F.size("tok"), 4
+        ).alias("dup_token_frac"),
+    )
+    return (
+        token_stats.join(top_share, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_token_frac",
+            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 4).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )

@@ -40,6 +40,7 @@ from etl_acordos_spark.operators.text import (
     lang_id,
     pii_redact,
     quality_scores,
+    repetition_stats,
     tfidf_top_terms,
     token_counts,
 )
@@ -151,6 +152,12 @@ def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash document fingerprints."""
     return fingerprints(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (duplicate
+    token fraction, top-bigram share)."""
+    return repetition_stats(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def q_ext_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +384,24 @@ _ORACLES: dict[str, str | None] = {
         "   AS INTEGER) AS n_windows"
         " FROM documents"
     ),
+    "ext_repetition": (
+        "WITH tok AS ("
+        "  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),"
+        " bg AS ("
+        "  SELECT doc_id, unnest(list_transform("
+        "    generate_series(1, len(tok) - 1),"
+        "    i -> tok[i] || ' ' || tok[i + 1])) AS bg"
+        "  FROM tok WHERE len(tok) >= 2),"
+        " bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),"
+        " agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg"
+        "         FROM bgc GROUP BY 1)"
+        " SELECT t.doc_id,"
+        "  CAST(len(tok) AS INTEGER) AS n_tokens,"
+        "  round(1 - len(list_distinct(tok)) / len(tok), 4)"
+        "    AS dup_token_frac,"
+        "  round(coalesce(top_c / n_bg, 0.0), 4) AS top_bigram_frac"
+        " FROM tok t LEFT JOIN agg USING (doc_id)"
+    ),
     "ext_doc_chunk": (
         "WITH tok AS ("
         "  SELECT doc_id, string_split(text, ' ') AS tok FROM documents)"
@@ -416,6 +441,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_lang_id": QueryDef(q_ext_lang_id, _ORACLES["ext_lang_id"]),
     "ext_fingerprint": QueryDef(q_ext_fingerprint, _ORACLES["ext_fingerprint"]),
+    "ext_repetition": QueryDef(q_ext_repetition, _ORACLES["ext_repetition"]),
     "ext_doc_chunk": QueryDef(q_ext_doc_chunk, _ORACLES["ext_doc_chunk"]),
     "ext_stratified_sample": QueryDef(
         q_ext_stratified_sample, _ORACLES["ext_stratified_sample"]
