@@ -280,3 +280,57 @@ def test_hashed_shingles_match_string_shingles(spark):
     )
     for r in pairs:
         assert r.j_str == r.j_hash
+
+
+def test_doc_chunks_edges(spark):
+    """Chunking must cover every token, respect the stride, and give
+    short docs exactly one chunk."""
+    from etl_acordos_spark.operators.text import doc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = doc_chunks(docs, "text", "doc_id", window=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 100 tokens, stride 48 -> starts 1, 49, 97
+    assert [r.chunk_start for r in sorted(by_doc[1], key=lambda r: r.chunk_id)] == [1, 49, 97]
+    assert [r.n_chunk_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_id)] == [64, 52, 4]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
+    assert len(by_doc[3]) == 1  # empty text -> one empty-token chunk
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    """Sampling is a pure function of the key and respects per-stratum
+    rates within hash-bucket tolerance."""
+    from etl_acordos_spark.operators.relational import stratified_sample
+
+    df = spark.range(10000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("other").alias("g"),
+    )
+    kept = stratified_sample(df, "g", "k", rates={"en": 25}, default_rate=75)
+    a = {r.k for r in kept.collect()}
+    b = {r.k for r in kept.collect()}
+    assert a == b  # deterministic
+    n_en = sum(1 for k in a if k % 2 == 0)
+    n_other = len(a) - n_en
+    assert abs(n_en / 5000 - 0.25) < 0.05
+    assert abs(n_other / 5000 - 0.75) < 0.05
+
+
+def test_repetition_stats_edges(spark):
+    """Dup/top-bigram fractions on known inputs, incl. the <2-token doc."""
+    from etl_acordos_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs, "text", "doc_id").collect()}
+    assert rows[1].dup_token_frac == 0.75 and rows[1].top_bigram_frac == 1.0
+    assert rows[2].dup_token_frac == 0.0
+    assert abs(rows[2].top_bigram_frac - round(1 / 3, 4)) < 1e-9
+    assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac == 0.0
