@@ -44,6 +44,8 @@ HEADLINE = [
     "ext_correlated_subquery",
     "ext_rollup",
     "ext_event_windows",
+    "ext_sliding_windows",
+    "ext_window_range_frame",
     "ext_json_extract",
     "ext_setops",
     "ext_agg_stats",

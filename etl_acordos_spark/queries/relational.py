@@ -502,6 +502,52 @@ def q_ext_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 1-hour windows every 30 minutes over events.ts —
+    each event lands in exactly 2 overlapping windows. Spark expands the
+    row per overlapping window then hash-aggregates; same shuffle shape
+    as tumbling, ×(window/slide) input rows."""
+    events = read_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.round(F.sum("value"), 2).alias("valor_total"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("janela"),
+            "event_type",
+            "n_eventos",
+            "valor_total",
+        )
+    )
+
+
+def q_ext_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 30-day trailing revenue per customer (value-
+    based frame over the order-date day number, vs ext_window_running's
+    ROWS frame). One shuffle on the partition key; peers with the same
+    day aggregate together by RANGE semantics in both engines."""
+    orders = t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("dia"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("receita_30d"),
+    )
+
+
 def q_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: daily event counts, one column per event type (explicit
     pivot values — never let a 100 TB scan discover the column set)."""
@@ -716,6 +762,25 @@ _ORACLES: dict[str, str | None] = {
         " round(sum(value), 2) AS valor_total"
         " FROM events GROUP BY 1, 2"
     ),
+    "ext_sliding_windows": (
+        "WITH b AS (SELECT *,"
+        "  to_timestamp(floor(epoch(ts) / 1800) * 1800) AS b30 FROM events)"
+        " SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS janela, event_type,"
+        "  count(*) AS n_eventos, round(sum(value), 2) AS valor_total"
+        " FROM b, unnest([b30, b30 - INTERVAL 30 MINUTE]) AS u(ws)"
+        " GROUP BY 1, 2"
+    ),
+    "ext_window_range_frame": (
+        "SELECT o_orderkey, o_custkey,"
+        " CAST(date_diff('day', DATE '1970-01-01',"
+        "   CAST(o_orderdate AS DATE)) AS INTEGER) AS dia,"
+        " round(sum(o_totalprice) OVER ("
+        "   PARTITION BY o_custkey"
+        "   ORDER BY date_diff('day', DATE '1970-01-01',"
+        "     CAST(o_orderdate AS DATE))"
+        "   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS receita_30d"
+        " FROM orders"
+    ),
     "ext_pivot": (
         "SELECT CAST(ts AS DATE) AS dia,"
         " count(*) FILTER (WHERE event_type = 'click') AS click,"
@@ -794,4 +859,10 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_event_windows, _ORACLES["ext_event_windows"]
     ),
     "ext_pivot": QueryDef(q_ext_pivot, _ORACLES["ext_pivot"]),
+    "ext_sliding_windows": QueryDef(
+        q_ext_sliding_windows, _ORACLES["ext_sliding_windows"]
+    ),
+    "ext_window_range_frame": QueryDef(
+        q_ext_window_range_frame, _ORACLES["ext_window_range_frame"]
+    ),
 }
