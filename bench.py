@@ -45,6 +45,7 @@ HEADLINE = [
     "ext_rollup",
     "ext_event_windows",
     "ext_sliding_windows",
+    "ext_time_rollup",
     "ext_window_range_frame",
     "ext_json_extract",
     "ext_setops",

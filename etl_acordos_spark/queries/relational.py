@@ -548,6 +548,34 @@ def q_ext_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: raw events → hourly
+    partial aggregates → daily aggregates COMPUTED FROM THE HOURLY ones
+    (counts and sums re-aggregate losslessly). The continuous-aggregate
+    pattern at 100 TB: the daily tier reads ~24 rows per key instead of
+    rescanning raw data, and the hourly tier is the materialization a
+    production pipeline would persist incrementally."""
+    events = read_events(spark, sf_dir)
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hora"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.to_date("hora").alias("dia"), F.col("event_type")
+        )
+        .agg(
+            F.sum("n").alias("n_eventos"),
+            F.round(F.sum("v"), 2).alias("valor_total"),
+        )
+    )
+
+
 def q_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: daily event counts, one column per event type (explicit
     pivot values — never let a 100 TB scan discover the column set)."""
@@ -762,6 +790,11 @@ _ORACLES: dict[str, str | None] = {
         " round(sum(value), 2) AS valor_total"
         " FROM events GROUP BY 1, 2"
     ),
+    "ext_time_rollup": (
+        "SELECT CAST(ts AS DATE) AS dia, event_type,"
+        " count(*) AS n_eventos, round(sum(value), 2) AS valor_total"
+        " FROM events GROUP BY 1, 2"
+    ),
     "ext_sliding_windows": (
         "WITH b AS (SELECT *,"
         "  to_timestamp(floor(epoch(ts) / 1800) * 1800) AS b30 FROM events)"
@@ -861,6 +894,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_pivot": QueryDef(q_ext_pivot, _ORACLES["ext_pivot"]),
     "ext_sliding_windows": QueryDef(
         q_ext_sliding_windows, _ORACLES["ext_sliding_windows"]
+    ),
+    "ext_time_rollup": QueryDef(
+        q_ext_time_rollup, _ORACLES["ext_time_rollup"]
     ),
     "ext_window_range_frame": QueryDef(
         q_ext_window_range_frame, _ORACLES["ext_window_range_frame"]
