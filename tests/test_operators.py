@@ -334,3 +334,38 @@ def test_repetition_stats_edges(spark):
     assert rows[2].dup_token_frac == 0.0
     assert abs(rows[2].top_bigram_frac - round(1 / 3, 4)) < 1e-9
     assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac == 0.0
+
+
+def test_merge_upsert_idempotent_and_latest_wins(spark):
+    """Applying the same update batch twice equals applying it once, and
+    the per-key winner is always the highest version."""
+    from etl_acordos_spark.operators.relational import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, v string, ver int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 2), (4, "D", 2)], "k long, v string, ver int"
+    )
+    once = merge_upsert(existing, updates, "k", "ver")
+    twice = merge_upsert(once, updates, "k", "ver")
+    expect = {(1, "a", 1), (2, "B", 2), (3, "c", 1), (4, "D", 2)}
+    assert {tuple(r) for r in once.collect()} == expect
+    assert {tuple(r) for r in twice.collect()} == expect
+
+
+def test_stratified_sample_monotone_in_rate(spark):
+    """A key kept at rate r is kept at every rate r' > r (hash buckets
+    are fixed per key, so samples nest — larger samples are supersets)."""
+    from etl_acordos_spark.operators.relational import stratified_sample
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), F.lit("g").alias("g")
+    )
+    kept = {
+        r: {row.k for row in
+            stratified_sample(df, "g", "k", rates={"g": r}).collect()}
+        for r in (10, 30, 60)
+    }
+    assert kept[10] <= kept[30] <= kept[60]
+    assert len(kept[60]) > len(kept[30]) > len(kept[10]) > 0
