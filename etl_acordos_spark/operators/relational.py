@@ -227,6 +227,50 @@ def salted_join(
     return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture diff of two table snapshots: classify every
+    key as insert / delete / update (unchanged rows are dropped — CDC
+    output is the delta, not the table).
+
+    One full outer join on the key — a single co-partitioned shuffle of
+    both snapshots. At 100 TB the snapshots share a partitioning (date /
+    key-bucket layer layout), so the join is partition-local; the output
+    is O(|changes|), which is what makes log-shipping a 100 TB table
+    feasible at all. Output: key, change ∈ {insert,delete,update},
+    old_*/new_* for each compared column.
+    """
+    o = old.select(
+        F.col(key),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, key, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_in_new").isNull(), F.lit("delete"))
+            .when(differs, F.lit("update")),
+        )
+        .filter(F.col("change").isNotNull())
+        .drop("_in_old", "_in_new")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

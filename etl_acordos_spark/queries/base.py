@@ -58,12 +58,13 @@ def all_queries() -> dict[str, QueryDef]:
         core,
         extensibility,
         llm,
+        pipeline,
         relational,
         streaming,
     )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (core, relational, llm, streaming, extensibility):
+    for mod in (core, relational, pipeline, llm, streaming, extensibility):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")

@@ -63,6 +63,22 @@ def q_ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise word-3-gram shingle Jaccard ≥ 0.8 — n-gram
+    Jaccard as its own dedup signal (shingles catch local reorderings
+    that token-set Jaccard is blind to). All-pairs verification-scale
+    baseline; MinHash-LSH over the same shingle space is the 100 TB
+    path (ext_dedup_near)."""
+    return jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=0.8,
+        use_shingles=True,
+        shingle_n=3,
+    )
+
+
 def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (3-word shingles, 64 perms, 16 bands,
     verify Jaccard ≥ 0.5). Map-only signatures; shuffle only on band
@@ -266,6 +282,20 @@ _ORACLES: dict[str, str | None] = {
         " FROM documents GROUP BY sha256(text)"
     ),
     "ext_dedup_jaccard": _JACCARD_PAIRS,
+    "ext_dedup_ngram": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok"
+        "  FROM documents),"
+        " s AS (SELECT doc_id, CASE WHEN len(tok) >= 3 THEN"
+        "   list_distinct(list_transform(generate_series(1, len(tok) - 2),"
+        "     i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]))"
+        "  ELSE [array_to_string(tok, ' ')] END AS st FROM tok)"
+        " SELECT doc_a, doc_b, jaccard FROM ("
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "   round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)"
+        "     / len(list_distinct(a.st || b.st)), 4) AS jaccard"
+        "  FROM s a JOIN s b ON a.doc_id < b.doc_id)"
+        " WHERE jaccard >= 0.8"
+    ),
     "ext_tfidf": (
         "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
         "  FROM documents),"
@@ -426,6 +456,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_dedup_exact": QueryDef(q_ext_dedup_exact, _ORACLES["ext_dedup_exact"]),
     "ext_dedup_jaccard": QueryDef(
         q_ext_dedup_jaccard, _ORACLES["ext_dedup_jaccard"]
+    ),
+    "ext_dedup_ngram": QueryDef(
+        q_ext_dedup_ngram, _ORACLES["ext_dedup_ngram"]
     ),
     "ext_dedup_near": QueryDef(q_ext_dedup_near, None),
     "ext_dedup_simhash": QueryDef(q_ext_dedup_simhash, None),

@@ -1,0 +1,243 @@
+"""Pipeline/warehouse extension queries (round 2): change-data-capture
+diff, data-quality audit, bucketed co-located join, unpivot/melt, and
+width-bucket histograms.
+
+These extend the engine's ETL surface beyond SURVEY.md §2's original
+inventory — the operations a production lakehouse pipeline runs daily
+around the medallion layers the reference hard-codes (ingest-diff before
+a merge, DQ gates between layers, bucketed layouts for recurring joins).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_acordos_spark.operators.relational import snapshot_diff
+from etl_acordos_spark.queries.base import QueryDef, scratch_dir, t
+from etl_acordos_spark.sources.parquet_io import write_bucketed_table
+
+# --------------------------------------------------------------- CDC diff
+
+
+def q_ext_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff of two order snapshots: yesterday's
+    snapshot (keys % 89 == 0 not yet present) vs today's (every 10th
+    order re-priced, keys % 97 == 0 purged). The diff must emit exactly
+    the insert/delete/update delta — one full-outer join on the key, no
+    row-at-a-time compare (reference's only merge is per-row ON
+    DUPLICATE KEY UPDATE, tasks/bronze.py:102-121)."""
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.round(
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("price"),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["price"])
+
+
+# --------------------------------------------------------------- DQ audit
+
+
+def q_ext_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit of a (deterministically corrupted) staging
+    snapshot before it may enter the silver layer: null keys, sign
+    violations, duplicate primary keys, and referential orphans — all in
+    ONE pass: a single broadcast lookup join plus one hash aggregate.
+    The corruption is injected keyed on o_orderkey (identically in the
+    oracle) so every check has a non-zero hit count to prove it fires.
+    """
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    staged = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 113 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    # at-least-once upstream: every 127th order delivered twice
+    staged = staged.unionAll(staged.filter(F.col("o_orderkey") % 127 == 0))
+    # simulate an incomplete dimension so the orphan check has hits
+    valid_cust = customer.filter(F.col("c_custkey") % 7 != 0).select("c_custkey")
+    flagged = staged.join(
+        F.broadcast(valid_cust),
+        staged.o_custkey == valid_cust.c_custkey,
+        "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_custkey").isNull()).alias("n_null_custkey"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("n_bad_price"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "n_dup_orderkey"
+        ),
+        F.count_if(
+            F.col("o_custkey").isNotNull() & F.col("c_custkey").isNull()
+        ).alias("n_orphan_custkey"),
+    )
+
+
+# -------------------------------------------------------- bucketed layout
+
+
+def q_ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed table layout: lineitem and orders
+    written hash-bucketed by the join key (same bucket count), then
+    joined WITHOUT any shuffle exchange — the bucketed scans already
+    satisfy the join's distribution requirement.
+
+    This is the 100 TB answer to a recurring fact-fact join: pay the
+    bucketing shuffle once at write time, then every downstream join on
+    that key is exchange-free forever (tests/test_plan_health.py asserts
+    the plan has no Exchange under the join). The merge hint pins
+    sort-merge so the demo exercises the bucket alignment rather than
+    broadcasting the smaller side at this test scale.
+    """
+    base = scratch_dir()
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    bl = write_bucketed_table(
+        li, "bkt_lineitem", "l_orderkey", 8, os.path.join(base, "bkt_lineitem")
+    )
+    bo = write_bucketed_table(
+        od, "bkt_orders", "o_orderkey", 8, os.path.join(base, "bkt_orders")
+    )
+    return (
+        bl.join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_itens"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("receita"),
+        )
+    )
+
+
+# ------------------------------------------------------------ reshaping
+
+
+def q_ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-segment balance metrics → long
+    (segment, metric, value) triples. The inverse of ext_pivot; map-only
+    after the aggregate — each wide row explodes to one row per value
+    column, no shuffle beyond the agg itself."""
+    customer = t(spark, sf_dir, "customer")
+    wide = customer.groupBy("c_mktsegment").agg(
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return wide.unpivot(
+        ["c_mktsegment"], ["min_bal", "avg_bal", "max_bal"], "metric", "value"
+    )
+
+
+def q_ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of order totals (12.5k-wide buckets,
+    top-clamped): one map-side bucket expression + one hash aggregate —
+    the profiling primitive behind DQ range checks and skew detection.
+    Bucket boundaries are explicit so a 100 TB scan never needs a
+    pre-pass for min/max."""
+    orders = t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 12500), F.lit(39)).cast(
+        "int"
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_ORACLES: dict[str, str | None] = {
+    "ext_cdc_diff": (
+        "WITH old AS (SELECT o_orderkey, round(o_totalprice, 2) AS price"
+        "  FROM orders WHERE o_orderkey % 89 <> 0),"
+        " new AS (SELECT o_orderkey,"
+        "  round(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2"
+        "        ELSE o_totalprice END, 2) AS price"
+        "  FROM orders WHERE o_orderkey % 97 <> 0)"
+        " SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,"
+        "  o.price AS old_price, n.price AS new_price,"
+        "  CASE WHEN o.o_orderkey IS NULL THEN 'insert'"
+        "       WHEN n.o_orderkey IS NULL THEN 'delete'"
+        "       ELSE 'update' END AS change"
+        " FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey"
+        " WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL"
+        "    OR o.price <> n.price"
+    ),
+    "ext_dq_checks": (
+        "WITH staged0 AS (SELECT o_orderkey,"
+        "  CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_custkey END"
+        "    AS o_custkey,"
+        "  CASE WHEN o_orderkey % 113 = 0 THEN -o_totalprice"
+        "       ELSE o_totalprice END AS o_totalprice"
+        "  FROM orders),"
+        " staged AS (SELECT * FROM staged0 UNION ALL"
+        "  SELECT * FROM staged0 WHERE o_orderkey % 127 = 0),"
+        " valid AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0)"
+        " SELECT count(*) AS n_rows,"
+        "  count(*) FILTER (WHERE o_custkey IS NULL) AS n_null_custkey,"
+        "  count(*) FILTER (WHERE o_totalprice <= 0) AS n_bad_price,"
+        "  count(*) - count(DISTINCT o_orderkey) AS n_dup_orderkey,"
+        "  count(*) FILTER (WHERE o_custkey IS NOT NULL"
+        "    AND c_custkey IS NULL) AS n_orphan_custkey"
+        " FROM staged LEFT JOIN valid ON o_custkey = c_custkey"
+    ),
+    "ext_bucketed_join": (
+        "SELECT o_orderpriority, count(*) AS n_itens,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS receita"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " GROUP BY o_orderpriority"
+    ),
+    "ext_unpivot": (
+        "WITH w AS (SELECT c_mktsegment,"
+        "  round(min(c_acctbal), 2) AS min_bal,"
+        "  round(avg(c_acctbal), 2) AS avg_bal,"
+        "  round(max(c_acctbal), 2) AS max_bal"
+        "  FROM customer GROUP BY c_mktsegment)"
+        " SELECT c_mktsegment, 'min_bal' AS metric, min_bal AS value FROM w"
+        " UNION ALL"
+        " SELECT c_mktsegment, 'avg_bal', avg_bal FROM w"
+        " UNION ALL"
+        " SELECT c_mktsegment, 'max_bal', max_bal FROM w"
+    ),
+    "ext_histogram": (
+        "SELECT CAST(least(floor(o_totalprice / 12500), 39) AS INTEGER)"
+        "   AS bucket,"
+        " count(*) AS n,"
+        " round(min(o_totalprice), 2) AS lo,"
+        " round(max(o_totalprice), 2) AS hi"
+        " FROM orders GROUP BY 1"
+    ),
+}
+
+QUERIES: dict[str, QueryDef] = {
+    "ext_cdc_diff": QueryDef(q_ext_cdc_diff, _ORACLES["ext_cdc_diff"]),
+    "ext_dq_checks": QueryDef(q_ext_dq_checks, _ORACLES["ext_dq_checks"]),
+    "ext_bucketed_join": QueryDef(
+        q_ext_bucketed_join, _ORACLES["ext_bucketed_join"]
+    ),
+    "ext_unpivot": QueryDef(q_ext_unpivot, _ORACLES["ext_unpivot"]),
+    "ext_histogram": QueryDef(q_ext_histogram, _ORACLES["ext_histogram"]),
+}

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 LAYER_PREFIXES = {"bronze": "brz", "silver": "slv", "gold": "gld"}
 
@@ -49,6 +50,38 @@ def parquet_exists(spark: SparkSession, path: str) -> bool:
     hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
     fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[union-attr]
     return bool(fs.exists(hadoop_path))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str,
+) -> DataFrame:
+    """Write *df* as a bucketed + sorted Parquet table and return the
+    catalog-backed read of it.
+
+    Bucketing is the co-located-join layout for 100 TB facts: both sides
+    of a recurring equi-join are written hash-bucketed by the join key
+    with the same bucket count, so every subsequent join between them is
+    exchange-free — the scan itself satisfies the join's distribution
+    requirement. The `repartition(buckets, key)` before the write aligns
+    write-partitions with buckets (repartition and the bucket spec use
+    the same murmur3 pmod), yielding exactly one file per bucket.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.repartition(buckets, F.col(key))
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    return spark.table(table)
 
 
 def write_parquet_layer(

@@ -369,3 +369,25 @@ def test_stratified_sample_monotone_in_rate(spark):
     }
     assert kept[10] <= kept[30] <= kept[60]
     assert len(kept[60]) > len(kept[30]) > len(kept[10]) > 0
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    """insert / delete / update classified correctly; unchanged rows
+    (including null-valued ones, via null-safe compare) are dropped."""
+    from etl_acordos_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k long, price double"
+    )
+    new = spark.createDataFrame(
+        [(2, 25.0), (3, None), (4, 40.0), (5, 50.0)], "k long, price double"
+    )
+    got = {
+        r.k: (r.change, r.old_price, r.new_price)
+        for r in snapshot_diff(old, new, "k", ["price"]).collect()
+    }
+    assert got == {
+        1: ("delete", 10.0, None),
+        2: ("update", 20.0, 25.0),
+        5: ("insert", None, 50.0),
+    }  # k=3 (null==null) and k=4 (equal) are unchanged -> absent

@@ -72,6 +72,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_simsearch_ivf",
     "ext_tfidf",  # 1-row corpus-size broadcast join
     "ext_multimodal",  # binary payload demo joins a 1-row key
+    "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
 }
 
 #: keys that execute eagerly on build (streams, sinks) or need scratch
@@ -82,6 +83,21 @@ SKIP_PLAN_CHECK = {
     "ext_stream_windows", "ext_stream_sessions", "ext_stream_stateful",
     "ext_stream_dedup", "ext_stream_join",
 }
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, sf_oracle):
+    """Bucketed co-located join: the ONLY exchange allowed in the plan is
+    the one feeding the final group-by aggregate — the join itself must
+    run directly on the bucket-aligned scans (that's the entire point of
+    paying the bucketing shuffle at write time)."""
+    df = contract.queries()["ext_bucketed_join"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, (
+        "bucketed join shuffled one of its inputs:\n" + plan
+    )
 
 
 @pytest.mark.parametrize(
