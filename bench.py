@@ -75,6 +75,14 @@ HEADLINE = [
     "ext_repetition",
     "ext_doc_chunk",
     "ext_stratified_sample",
+    "ext_cdc_diff",
+    "ext_dq_checks",
+    "ext_bucketed_join",
+    "ext_unpivot",
+    "ext_histogram",
+    "ext_zorder",
+    "ext_compaction",
+    "ext_schema_evolution",
 ]
 
 

@@ -15,6 +15,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_acordos_spark.operators.layout import (
+    compact_parquet,
+    dataset_file_count,
+    read_merged_schema,
+    zorder_value,
+    zorder_write,
+)
 from etl_acordos_spark.operators.relational import snapshot_diff
 from etl_acordos_spark.queries.base import QueryDef, scratch_dir, t
 from etl_acordos_spark.sources.parquet_io import write_bucketed_table
@@ -167,6 +174,99 @@ def q_ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ data layout
+
+
+def q_ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering: orders written range-partitioned + sorted by
+    the bit-interleaved (o_custkey, order-day) Morton value, then a 2-D
+    box predicate read back from that layout. Every file owns a
+    contiguous z-range — a small rectangle in (custkey, day) space — so
+    BOTH min-max stats are tight and the box predicate skips most
+    files/row-groups at 100 TB (a linear sort is tight in one dimension
+    only; tests/test_scale_paths.py measures the tightening). The oracle
+    recomputes the z-value arithmetically — the layout must never change
+    the data."""
+    orders = t(spark, sf_dir, "orders")
+    dia = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    path = zorder_write(
+        orders.select(
+            "o_orderkey", "o_custkey", dia.alias("dia"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        ),
+        "o_custkey",
+        "dia",
+        os.path.join(scratch_dir(), "orders_zorder"),
+        max_records_per_file=2000,
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(
+            F.col("o_custkey").between(100, 200)
+            & F.col("dia").between(9000, 9500)
+        )
+        .withColumn("zval", zorder_value("o_custkey", "dia"))
+    )
+
+
+def q_ext_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: lineitem deliberately fragmented into 64
+    files (the streaming-writer pathology), then rewritten to
+    target-size files. Output is the before/after audit (file counts +
+    row counts — the rewrite must be lossless). Rows-only: file counts
+    are physical-layout facts outside SQL."""
+    base = scratch_dir()
+    frag = os.path.join(base, "lineitem_fragmented")
+    compacted = os.path.join(base, "lineitem_compacted")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, compacted, target_file_bytes=64 * 1024 * 1024)
+    rows = [
+        (
+            phase,
+            dataset_file_count(spark, p),
+            spark.read.parquet(p).count(),
+        )
+        for phase, p in (("fragmented", frag), ("compacted", compacted))
+    ]
+    return spark.createDataFrame(
+        rows, "phase string, n_files int, n_rows long"
+    )
+
+
+def q_ext_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: batch 1 written before the
+    `o_orderpriority` column existed, batch 2 after; the merged-schema
+    read surfaces the old batch's missing column as nulls and the
+    aggregate treats them as a first-class group. Append-only ingestion
+    must survive schema growth without rewriting history — at 100 TB a
+    backfill rewrite is not an option."""
+    orders = t(spark, sf_dir, "orders")
+    base = os.path.join(scratch_dir(), "orders_evolving")
+    old_batch = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    new_batch = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        "o_orderpriority",
+    )
+    old_batch.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    new_batch.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+    return (
+        read_merged_schema(spark, base)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pedidos"),
+            F.round(F.sum("price"), 2).alias("receita"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _ORACLES: dict[str, str | None] = {
@@ -230,6 +330,35 @@ _ORACLES: dict[str, str | None] = {
         " round(max(o_totalprice), 2) AS hi"
         " FROM orders GROUP BY 1"
     ),
+    "ext_zorder": (
+        "WITH o AS (SELECT o_orderkey, o_custkey,"
+        "  CAST(date_diff('day', DATE '1970-01-01',"
+        "    CAST(o_orderdate AS DATE)) AS INTEGER) AS dia,"
+        "  round(o_totalprice, 2) AS o_totalprice"
+        "  FROM orders),"
+        " z AS (SELECT *,"
+        "  least(greatest(o_custkey, 0), 65535) AS a,"
+        "  least(greatest(dia, 0), 65535) AS b FROM o)"
+        " SELECT o_orderkey, o_custkey, dia, o_totalprice,"
+        "  list_sum(list_transform(range(0, 16), i ->"
+        "   (((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))))"
+        "   AS zval"
+        " FROM z"
+        " WHERE o_custkey BETWEEN 100 AND 200 AND dia BETWEEN 9000 AND 9500"
+    ),
+    "ext_compaction": None,  # file counts are physical-layout facts
+    "ext_schema_evolution": (
+        "WITH m AS ("
+        " SELECT o_orderkey, round(o_totalprice, 2) AS price,"
+        "  CAST(NULL AS VARCHAR) AS o_orderpriority"
+        " FROM orders WHERE o_orderkey % 2 = 0"
+        " UNION ALL"
+        " SELECT o_orderkey, round(o_totalprice, 2), o_orderpriority"
+        " FROM orders WHERE o_orderkey % 2 = 1)"
+        " SELECT o_orderpriority, count(*) AS n_pedidos,"
+        "  round(sum(price), 2) AS receita"
+        " FROM m GROUP BY o_orderpriority"
+    ),
 }
 
 QUERIES: dict[str, QueryDef] = {
@@ -240,4 +369,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_unpivot": QueryDef(q_ext_unpivot, _ORACLES["ext_unpivot"]),
     "ext_histogram": QueryDef(q_ext_histogram, _ORACLES["ext_histogram"]),
+    "ext_zorder": QueryDef(q_ext_zorder, _ORACLES["ext_zorder"]),
+    "ext_compaction": QueryDef(q_ext_compaction, None),
+    "ext_schema_evolution": QueryDef(
+        q_ext_schema_evolution, _ORACLES["ext_schema_evolution"]
+    ),
 }

@@ -191,3 +191,83 @@ def test_bucketed_join_is_shuffle_free(spark, sf_oracle):
         ).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_zorder_layout_tightens_file_ranges(spark, sf_oracle):
+    """Z-order clustering must make per-file min-max ranges tight in
+    BOTH dimensions: under a linear sort on custkey, each file spans
+    nearly the full day range (day is independent of custkey), so a
+    day predicate can skip nothing; under z-order each file covers a
+    small rectangle. Measured on real parquet footers via pyarrow."""
+    import pyarrow.parquet as pq
+
+    from etl_acordos_spark.operators.layout import zorder_write
+
+    orders = t(spark, sf_oracle, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("dia"),
+    )
+    base = scratch_dir()
+    linear = os.path.join(base, "orders_linear_sort")
+    (
+        orders.repartitionByRange(F.col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2000)
+        .parquet(linear)
+    )
+    zpath = zorder_write(
+        orders, "o_custkey", "dia",
+        os.path.join(base, "orders_zorder_test"),
+        max_records_per_file=2000,
+    )
+
+    lo, hi = (
+        orders.agg(F.min("dia"), F.max("dia")).collect()[0]
+    )
+    full_span = hi - lo
+
+    def avg_day_span(path: str) -> float:
+        spans = []
+        for f in spark.read.parquet(path).inputFiles():
+            md = pq.ParquetFile(f.removeprefix("file:")).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "dia":
+                        st = col.statistics
+                        fmin = st.min if fmin is None else min(fmin, st.min)
+                        fmax = st.max if fmax is None else max(fmax, st.max)
+            spans.append((fmax - fmin) / full_span)
+        return sum(spans) / len(spans)
+
+    linear_span = avg_day_span(linear)
+    z_span = avg_day_span(zpath)
+    # linear sort on custkey leaves day unconstrained per file (~full
+    # span); z-order must cut the average day span substantially
+    assert linear_span > 0.9, linear_span
+    assert z_span < 0.6 * linear_span, (z_span, linear_span)
+
+
+def test_compaction_is_lossless_and_reduces_files(spark, sf_oracle):
+    from etl_acordos_spark.operators.layout import (
+        compact_parquet,
+        dataset_file_count,
+    )
+
+    base = scratch_dir()
+    frag = os.path.join(base, "t_frag")
+    comp = os.path.join(base, "t_comp")
+    df = t(spark, sf_oracle, "orders").select("o_orderkey", "o_totalprice")
+    df.repartition(32).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, comp, target_file_bytes=256 * 1024 * 1024)
+    assert dataset_file_count(spark, frag) == 32
+    assert dataset_file_count(spark, comp) < 32
+    a = {tuple(r) for r in spark.read.parquet(frag).collect()}
+    b = {tuple(r) for r in spark.read.parquet(comp).collect()}
+    assert a == b
