@@ -75,6 +75,8 @@ HEADLINE = [
     "ext_repetition",
     "ext_doc_chunk",
     "ext_stratified_sample",
+    "ext_decontaminate",
+    "ext_seq_pack",
     "ext_cdc_diff",
     "ext_dq_checks",
     "ext_bucketed_join",

@@ -307,3 +307,84 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one word *ngram*-gram with the (much smaller) evaluation
+    set. Output: (id, n_shared_ngrams) for contaminated docs only.
+
+    The eval side's distinct grams are broadcast — the training corpus
+    never shuffles; each 100 TB scan task probes a hash set of eval
+    grams and the only aggregation runs on the (tiny) hit stream.
+    String shingles here for oracle parity; the at-scale variant hashes
+    shingles (see dedup.hashed_word_shingles) so the broadcast carries
+    longs, not strings.
+    """
+    from etl_acordos_spark.operators.dedup import word_shingles
+
+    def grams(df: DataFrame) -> DataFrame:
+        tok = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
+        )
+        return tok.select(
+            id_col,
+            F.explode(word_shingles("tok", ngram)).alias("gram"),
+        )
+
+    eval_grams = grams(eval_docs).select("gram").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_shared_ngrams"))
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    id_col: str,
+    chunk_col: str,
+    tokens_col: str,
+    budget: int = 256,
+    shards: int = 8,
+) -> DataFrame:
+    """Sequence packing (concat-and-slice): assign every chunk to a
+    fixed-token-budget pack, GPT-pretraining style — the shard's chunk
+    stream is logically concatenated and sliced every *budget* tokens,
+    so pack_id = floor(exclusive-running-token-total / budget).
+
+    Docs are hash-sharded so packing parallelizes: each shard is an
+    independent (shard, doc, chunk)-ordered window — one shuffle, state
+    O(1) per shard. Output is the per-pack manifest (shard, pack_id,
+    n_chunks, n_tokens) a downstream loader would consume.
+    """
+    from pyspark.sql import Window
+
+    sharded = chunks.withColumn(
+        "shard", (F.col(id_col) % shards).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sharded.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum(tokens_col).over(w), F.lit(0)) / budget
+        ).cast("int"),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(tokens_col).cast("long").alias("n_tokens"),
+        )
+    )

@@ -35,9 +35,11 @@ from etl_acordos_spark.operators.simsearch import (
 from etl_acordos_spark.operators.relational import stratified_sample
 from etl_acordos_spark.operators.text import (
     corpus_stats,
+    decontaminate,
     doc_chunks,
     fingerprints,
     lang_id,
+    pack_chunks,
     pii_redact,
     quality_scores,
     repetition_stats,
@@ -196,6 +198,38 @@ def q_ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"en": 25, "zh": 80},
         default_rate=50,
     ).select("doc_id", "lang")
+
+
+def q_ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 play the
+    held-out eval set; every training doc sharing a word 4-gram with it
+    is flagged with its shared-gram count. Eval grams broadcast — the
+    training side never shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    return decontaminate(
+        train=docs.filter(F.col("doc_id") % 50 != 0),
+        eval_docs=docs.filter(F.col("doc_id") % 50 == 0),
+        text_col="text",
+        id_col="doc_id",
+        ngram=4,
+    )
+
+
+def q_ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on top of ext_doc_chunk's chunks: concat-and-
+    slice into 256-token packs across 8 doc-hash shards; returns the
+    per-pack manifest a training loader would consume."""
+    chunks = doc_chunks(
+        t(spark, sf_dir, "documents"), "text", "doc_id", window=64, stride=48
+    )
+    return pack_chunks(
+        chunks,
+        id_col="doc_id",
+        chunk_col="chunk_id",
+        tokens_col="n_chunk_tokens",
+        budget=256,
+        shards=8,
+    )
 
 
 # ---------------------------------------------------------------- multimodal
@@ -450,6 +484,40 @@ _ORACLES: dict[str, str | None] = {
         "  CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 80 ELSE 50 END"
     ),
     "ext_multimodal": None,  # binary payload + stubbed decode
+    "ext_decontaminate": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok"
+        "  FROM documents),"
+        " sh AS (SELECT doc_id, CASE WHEN len(tok) >= 4 THEN"
+        "   list_distinct(list_transform(generate_series(1, len(tok) - 3),"
+        "     i -> array_to_string(tok[i:i+3], ' ')))"
+        "  ELSE [array_to_string(tok, ' ')] END AS st FROM tok),"
+        " ev AS (SELECT DISTINCT unnest(st) AS gram FROM sh"
+        "   WHERE doc_id % 50 = 0),"
+        " tr AS (SELECT doc_id, unnest(st) AS gram FROM sh"
+        "   WHERE doc_id % 50 <> 0)"
+        " SELECT doc_id, count(DISTINCT gram) AS n_shared_ngrams"
+        " FROM tr JOIN ev USING (gram) GROUP BY doc_id"
+    ),
+    "ext_seq_pack": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok"
+        "  FROM documents),"
+        " chunks AS (SELECT doc_id,"
+        "   CAST(floor((s - 1) / 48) AS INTEGER) AS chunk_id,"
+        "   len(tok[s : least(s + 63, len(tok))]) AS n_chunk_tokens"
+        "  FROM tok, unnest(generate_series(1, len(tok), 48)) AS u(s)),"
+        " sharded AS (SELECT *, CAST(doc_id % 8 AS INTEGER) AS shard"
+        "  FROM chunks),"
+        " packed AS (SELECT shard,"
+        "   CAST(floor(coalesce(sum(n_chunk_tokens) OVER ("
+        "     PARTITION BY shard ORDER BY doc_id, chunk_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "    / 256) AS INTEGER) AS pack_id,"
+        "   n_chunk_tokens"
+        "  FROM sharded)"
+        " SELECT shard, pack_id, count(*) AS n_chunks,"
+        "  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens"
+        " FROM packed GROUP BY shard, pack_id"
+    ),
 }
 
 QUERIES: dict[str, QueryDef] = {
@@ -481,6 +549,10 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
     "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),
+    "ext_decontaminate": QueryDef(
+        q_ext_decontaminate, _ORACLES["ext_decontaminate"]
+    ),
+    "ext_seq_pack": QueryDef(q_ext_seq_pack, _ORACLES["ext_seq_pack"]),
     "ext_multimodal": QueryDef(q_ext_multimodal, None),
     "ext_mm_resize": QueryDef(q_ext_mm_resize, None),
     "ext_mm_frames": QueryDef(q_ext_mm_frames, None),

@@ -391,3 +391,54 @@ def test_snapshot_diff_classifies_all_change_types(spark):
         2: ("update", 20.0, 25.0),
         5: ("insert", None, 50.0),
     }  # k=3 (null==null) and k=4 (equal) are unchanged -> absent
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from etl_acordos_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # shares 4-gram w/ eval
+            (2, "zeta eta theta iota kappa"),        # disjoint
+            (3, "beta gamma delta epsilon zeta"),    # shares 4-gram w/ eval
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_shared_ngrams
+        for r in decontaminate(docs, ev, "text", "doc_id", ngram=4).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1] == 2  # 'alpha beta gamma delta', 'beta gamma delta epsilon'
+    assert got[3] == 2  # 'beta gamma delta epsilon', 'gamma delta epsilon zeta'
+
+
+def test_pack_chunks_invariants(spark, sf_oracle):
+    """Packing must conserve tokens, number packs contiguously from 0
+    per shard, and fill every non-final pack to within one chunk of the
+    budget (concat-and-slice semantics: a pack closes only once the
+    running total crosses the budget boundary)."""
+    from etl_acordos_spark.operators.text import doc_chunks, pack_chunks
+
+    chunks = doc_chunks(
+        t(spark, sf_oracle, "documents"), "text", "doc_id",
+        window=64, stride=48,
+    )
+    total = chunks.agg(F.sum("n_chunk_tokens")).collect()[0][0]
+    packs = pack_chunks(
+        chunks, "doc_id", "chunk_id", "n_chunk_tokens",
+        budget=256, shards=8,
+    ).collect()
+    assert sum(p.n_tokens for p in packs) == total
+    by_shard: dict[int, list] = {}
+    for p in packs:
+        by_shard.setdefault(p.shard, []).append(p)
+    for shard, ps in by_shard.items():
+        ps.sort(key=lambda p: p.pack_id)
+        assert [p.pack_id for p in ps] == list(range(len(ps))), shard
+        for p in ps[:-1]:  # every non-final pack nearly full
+            assert p.n_tokens >= 256 - 64 + 1, (shard, p)
