@@ -11,9 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_acordos_spark.queries.base import QueryDef
+from etl_acordos_spark.queries.base import QueryDef, read_events, scratch_dir
 from etl_acordos_spark.streaming.events import (
     dedup_stream,
+    incremental_upsert_run,
     run_stream_to_table,
     session_stream_agg,
     stateful_user_totals,
@@ -84,6 +85,33 @@ def q_ext_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental lake merge: 4 microbatches foreachBatch-
+    upsert each user's latest event into a parquet snapshot; the settled
+    snapshot must equal the batch latest-per-user (the oracle), no
+    matter how events were split across batches."""
+    from pyspark.sql import functions as F
+
+    ev = read_events(spark, sf_dir)
+    snap = incremental_upsert_run(spark, ev, scratch_dir(), n_batches=4)
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+_STREAM_UPSERT_ORACLE = """
+SELECT user_id, event_id AS last_event_id, round(value, 4) AS last_value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 _WINDOWS_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
@@ -143,4 +171,5 @@ QUERIES: dict[str, QueryDef] = {
     "ext_stream_join": QueryDef(q_ext_stream_join, _STREAM_JOIN_ORACLE),
     "ext_stream_sessions": QueryDef(q_ext_stream_sessions, _SESSIONS_ORACLE),
     "ext_stream_stateful": QueryDef(q_ext_stream_stateful, _STATEFUL_ORACLE),
+    "ext_stream_upsert": QueryDef(q_ext_stream_upsert, _STREAM_UPSERT_ORACLE),
 }

@@ -232,3 +232,81 @@ def run_stream_to_table(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# ------------------------------------------------- incremental lake merge
+
+
+def incremental_upsert_run(
+    spark: SparkSession,
+    events: DataFrame,
+    base_dir: str,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Streaming incremental merge (foreachBatch): the event stream,
+    delivered as *n_batches* microbatches, upserts each user's latest
+    event into a parquet lake snapshot — the continuous-ingestion
+    pattern behind every streaming lakehouse table.
+
+    Per microbatch: reduce the batch to one row per key (latest by
+    (ts, event_id) — a total order, so out-of-order delivery across
+    batches cannot flip the result), then merge against the current
+    snapshot by the same order and atomically swap the snapshot
+    directory. At 100 TB the swap becomes a table-format MERGE
+    (Delta/Iceberg) scoped to the partitions a batch touches; the
+    per-batch plan — reduce, co-partitioned merge join, partition-local
+    rewrite — is exactly this one.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    src = os.path.join(base_dir, "stream_upsert_src")
+    lake = os.path.join(base_dir, "stream_upsert_lake")
+    ckpt = os.path.join(base_dir, "stream_upsert_ckpt")
+    for p in (src, lake, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    events.select(*cols).repartition(n_batches).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    latest_order = [F.col("ts").desc(), F.col("event_id").desc()]
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(*latest_order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        upserts = latest_per_user(batch)
+        if os.path.exists(lake):
+            merged = latest_per_user(
+                spark.read.parquet(lake).unionByName(upserts)
+            )
+        else:
+            merged = upserts
+        tmp = f"{lake}_v{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{lake}_old{batch_id}"
+        if os.path.exists(lake):
+            os.rename(lake, old)
+        os.rename(tmp, lake)
+        shutil.rmtree(old, ignore_errors=True)
+
+    (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(lake)
