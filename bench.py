@@ -27,6 +27,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # (dedup, similarity search, text analysis). The exact all-pairs oracle
 # baselines (ext_dedup_jaccard / ext_dedup_embed) are verification-scale
 # by design and excluded; their LSH scale paths are benched instead.
+# Write-bound layout maintenance jobs (snk_* sinks, ext_zorder,
+# ext_compaction) are likewise excluded — they measure the local disk,
+# not the engine; their semantics are oracle-/footer-stats-verified in
+# the test suite.
 HEADLINE = [
     "flagship",
     "ext_join_star",
@@ -83,8 +87,6 @@ HEADLINE = [
     "ext_bucketed_join",
     "ext_unpivot",
     "ext_histogram",
-    "ext_zorder",
-    "ext_compaction",
     "ext_schema_evolution",
 ]
 

@@ -98,3 +98,36 @@ def test_concat_null_propagates_like_pandas_plus(spark, a, b):
     # pandas `+` yields NaN if either operand is NaN
     want = None if a is None or b is None else f"{a} > {b}"
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zorder_value_is_invertible(spark, pairs):
+    """The Morton code must be a bijection on 16-bit pairs: de-
+    interleaving the Spark-computed z-value recovers both inputs
+    exactly (so z-range file pruning can never conflate distinct
+    (a, b) rectangles)."""
+    from etl_acordos_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "z", zorder_value("a", "b", bits=16)
+    )
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        a = b = 0
+        for i in range(16):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for r in df.collect():
+        assert deinterleave(r.z) == (r.a, r.b), r
