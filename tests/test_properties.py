@@ -131,3 +131,41 @@ def test_zorder_value_is_invertible(spark, pairs):
 
     for r in df.collect():
         assert deinterleave(r.z) == (r.a, r.b), r
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5)),
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5)),
+        max_size=40,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_snapshot_diff_reconstructs_new_snapshot(spark, old_rows, new_rows):
+    """Applying the CDC delta to the old snapshot must reproduce the new
+    snapshot exactly: drop deleted/updated keys, add updated/inserted
+    rows — for ANY pair of snapshots (keys deduped to latest value)."""
+    from etl_acordos_spark.operators.relational import snapshot_diff
+
+    old_map = dict(old_rows)  # dedupe keys like a real snapshot
+    new_map = dict(new_rows)
+    schema = "k long, v long"
+    old = spark.createDataFrame(list(old_map.items()) or [], schema)
+    new = spark.createDataFrame(list(new_map.items()) or [], schema)
+
+    delta = snapshot_diff(old, new, "k", ["v"]).collect()
+
+    rebuilt = dict(old_map)
+    for r in delta:
+        if r.change == "delete":
+            assert rebuilt.pop(r.k) == r.old_v
+        else:  # insert or update both carry the new value
+            if r.change == "update":
+                assert rebuilt[r.k] == r.old_v
+            else:
+                assert r.k not in rebuilt
+            rebuilt[r.k] = r.new_v
+    assert rebuilt == new_map
