@@ -442,3 +442,24 @@ def test_pack_chunks_invariants(spark, sf_oracle):
         assert [p.pack_id for p in ps] == list(range(len(ps))), shard
         for p in ps[:-1]:  # every non-final pack nearly full
             assert p.n_tokens >= 256 - 64 + 1, (shard, p)
+
+
+def test_decontaminate_hashed_matches_string_grams(spark, sf_oracle):
+    """The at-scale hashed-gram probe must flag exactly the docs (and
+    counts) the string-gram form flags (collisions are ~2^-64)."""
+    from etl_acordos_spark.operators.text import decontaminate
+
+    docs = t(spark, sf_oracle, "documents")
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    string_form = {
+        (r.doc_id, r.n_shared_ngrams)
+        for r in decontaminate(tr, ev, "text", "doc_id", 4).collect()
+    }
+    hashed_form = {
+        (r.doc_id, r.n_shared_ngrams)
+        for r in decontaminate(
+            tr, ev, "text", "doc_id", 4, hashed=True
+        ).collect()
+    }
+    assert string_form == hashed_form and string_form
