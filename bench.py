@@ -87,6 +87,7 @@ HEADLINE = [
     "ext_bucketed_join",
     "ext_unpivot",
     "ext_histogram",
+    "ext_profile",
     "ext_schema_evolution",
 ]
 

@@ -174,6 +174,41 @@ def q_ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling: null count, exact distinct count, and
+    min/max (string-normalized) per profiled column — the table audit a
+    pipeline runs before trusting a new feed. All columns profile in ONE
+    scan (a single multi-aggregate; the distinct counts expand the agg
+    map-side, there is no per-column pass). At 100 TB swap the exact
+    distincts for approx_count_distinct — same plan shape, sketch-sized
+    state."""
+    orders = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count_if(F.col(c).isNull()).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = [
+        wide.select(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_s"),
+            F.col(f"{c}__max").alias("max_s"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ------------------------------------------------------------ data layout
 
 
@@ -330,6 +365,22 @@ _ORACLES: dict[str, str | None] = {
         " round(max(o_totalprice), 2) AS hi"
         " FROM orders GROUP BY 1"
     ),
+    "ext_profile": (
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name,"
+            f" count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" CAST(min({c}) AS VARCHAR) AS min_s,"
+            f" CAST(max({c}) AS VARCHAR) AS max_s"
+            " FROM orders"
+            for c in (
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    ),
     "ext_zorder": (
         "WITH o AS (SELECT o_orderkey, o_custkey,"
         "  CAST(date_diff('day', DATE '1970-01-01',"
@@ -369,6 +420,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_unpivot": QueryDef(q_ext_unpivot, _ORACLES["ext_unpivot"]),
     "ext_histogram": QueryDef(q_ext_histogram, _ORACLES["ext_histogram"]),
+    "ext_profile": QueryDef(q_ext_profile, _ORACLES["ext_profile"]),
     "ext_zorder": QueryDef(q_ext_zorder, _ORACLES["ext_zorder"]),
     "ext_compaction": QueryDef(q_ext_compaction, None),
     "ext_schema_evolution": QueryDef(
