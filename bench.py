@@ -70,6 +70,9 @@ HEADLINE = [
     "ext_dedup_simhash",
     "ext_simsearch",
     "ext_simsearch_ann",
+    "ext_kmeans",
+    "ext_semdedup",
+    "ext_domain_cap",
     "ext_text_stats",
     "ext_token_count",
     "ext_quality_score",

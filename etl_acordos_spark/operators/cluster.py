@@ -1,0 +1,173 @@
+"""Embedding clustering + semantic dedup — corpus-shaping operators an
+LLM training-data pipeline runs after near-dedup (LLM-pipeline extension,
+SURVEY.md §2.6; no counterpart exists in the 558-line reference, which
+has no array/vector processing at all).
+
+Two operators:
+
+- `kmeans_assign` — Lloyd's k-means expressed as DataFrame iterations:
+  per-iteration a map-only Arrow-batched assignment (one numpy matmul
+  per batch against the broadcast centroid matrix) followed by ONE
+  partial-aggregated shuffle (`posexplode` → `groupBy(cluster, pos)`)
+  whose map-side combine reduces the exchange to O(partitions·k·dim)
+  rows regardless of input size. Centroids live on the driver (k·dim
+  doubles — kilobytes), the corpus never leaves the executors. This is
+  the same aggregation shape MLlib's k-means uses (treeAggregate of
+  per-partition sums), declared in DataFrame ops.
+
+- `semantic_dedup_keep` — SemDeDup-style semantic dedup (Abbas et al.
+  2023): within each cluster, drop a vector when a lower-id vector in
+  the SAME cluster has cosine ≥ threshold. Clustering bounds the pair
+  space — the self-join shuffles by cluster id only, so cost is
+  Σ|cluster|², never |corpus|². Cosines use the sequential
+  `zip_with`/`aggregate` fold (bit-identical to DuckDB's
+  `list_dot_product`, so the keep-set is exactly SQL-checkable).
+  Divergence from the paper's greedy chain (keep-if-far-from-already-
+  KEPT): the one-hop rule is order-free and ANSI-SQL-expressible, which
+  buys an exact oracle; at equal thresholds it drops a superset of the
+  greedy rule's drops.
+
+At 100 TB: k-means scans are linear per iteration (persist the projected
+(id, vec) frame across iterations); SemDeDup's per-cluster pair cost is
+controlled by k — more clusters, cheaper dedup, at the price of missing
+cross-cluster near-dups (the paper's accepted trade).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_acordos_spark.operators.simsearch import as_double, cosine
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Nearest-centroid assignment: one (batch × dim) @ (dim × k) matmul
+    per Arrow batch; argmin of squared L2 via the -2x·c + |c|² identity
+    (|x|² is constant per row). Ties break to the lowest cluster id
+    (np.argmin) — deterministic."""
+    C = centroids.astype(np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        scores = -2.0 * (mat @ C.T) + c_sq
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 10,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column; returns (id, cluster).
+
+    Deterministic end-to-end: init is the first k vectors by id; each
+    recomputed centroid component is rounded to 9 dp before broadcast so
+    the order-dependent last-ulp noise of a distributed float sum cannot
+    leak into assignments; fixed iteration count (convergence on this
+    well-conditioned objective is fast; a production loop adds a
+    movement-epsilon early exit).
+    """
+    vecs = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    vecs.persist()
+    try:
+        init = vecs.orderBy("id").limit(k).collect()
+        C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in init])
+        dim = C.shape[1]
+
+        for _ in range(n_iter):
+            assigned = vecs.select(
+                "id", "v", _assign_udf(C)(F.col("v")).alias("cluster")
+            )
+            # one partial-aggregated shuffle: (cluster, pos) -> mean
+            stats = (
+                assigned.select(
+                    "cluster", F.posexplode("v").alias("pos", "x")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new_C = C.copy()  # empty cluster keeps its old centroid
+            for r in stats:
+                new_C[r["cluster"], r["pos"]] = r["m"]
+            C = np.round(new_C, 9)
+
+        return vecs.select(
+            F.col("id").alias(id_col),
+            _assign_udf(C)(F.col("v")).alias("cluster"),
+        )
+    finally:
+        vecs.unpersist()
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    threshold: float,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep-set: (id, cluster) of vectors NOT dominated by a
+    lower-id vector in the same cluster with cosine ≥ threshold.
+
+    One self-join shuffling on the cluster id + one left-anti join; the
+    cosine is computed only for same-cluster pairs. Cosines are rounded
+    to 6 dp before the threshold compare (reproducible across engines —
+    same contract as `cosine_pairs`)."""
+    vecs = df.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
+    )
+    a = vecs.select(
+        F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = vecs.select(
+        F.col("cluster"), F.col("id").alias("id_b"), F.col("v").alias("v_b")
+    )
+    dominated = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(F.round(cosine("v_a", "v_b"), 6) >= threshold)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    return (
+        vecs.join(dominated, ["id"], "left_anti")
+        .select(F.col("id").alias(id_col), F.col("cluster").alias(cluster_col))
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-domain document cap: keep at most `cap` rows per domain,
+    chosen by a deterministic multiplicative hash of the id (stable
+    pseudo-random sample — re-runs and engines agree; same hash family
+    as `ext_train_test_split`). The standard web-corpus guard against a
+    single domain dominating the training mix.
+
+    One window shuffle keyed on the domain; at 100 TB a hot domain is
+    still one partition's sort — cap-then-count semantics need the
+    global per-domain ordering, but the window never carries document
+    bodies (id + domain + hash only); text re-attaches by semi-join."""
+    from pyspark.sql import Window
+
+    h = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col), F.col(domain_col), F.row_number().over(w).alias("rn")
+    )
+    return ranked.filter(F.col("rn") <= cap).select(id_col, domain_col)

@@ -26,6 +26,11 @@ from etl_acordos_spark.operators.multimodal import (
     resize_images,
     sample_frames,
 )
+from etl_acordos_spark.operators.cluster import (
+    domain_cap,
+    kmeans_assign,
+    semantic_dedup_keep,
+)
 from etl_acordos_spark.operators.simsearch import (
     ann_topk_lsh,
     cosine_pairs,
@@ -142,6 +147,36 @@ def q_ext_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest — the scan touches ~1/4 of the corpus. Rows-only
     (approximate by design; recall unit-tested against exact_topk)."""
     return ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# ---------------------------------------------------- clustering / semantic
+
+
+def q_ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means assignment over embeddings (k=10, 4 iterations,
+    deterministic init = first k by vec_id). Rows-only: iterative, not
+    ANSI-SQL-expressible; nearest-centroid invariant + determinism are
+    unit-tested."""
+    return kmeans_assign(t(spark, sf_dir, "embeddings"), k=10, n_iter=4)
+
+
+def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set within ground-truth clusters (`label` stands in
+    for the k-means cell id so the oracle stays exact): drop a vector
+    when a lower-id same-cluster vector has cosine ≥ 0.25 (calibrated —
+    keeps 293/500 at sf0.01)."""
+    return semantic_dedup_keep(
+        t(spark, sf_dir, "embeddings"), threshold=0.25, cluster_col="label"
+    )
+
+
+def q_ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: at most 15 docs per `source`, chosen by a
+    deterministic multiplicative id-hash — the web-corpus guard against
+    one domain dominating the training mix."""
+    return domain_cap(
+        t(spark, sf_dir, "documents"), cap=15, domain_col="source", id_col="doc_id"
+    )
 
 
 # ------------------------------------------------------------ text analysis
@@ -379,6 +414,22 @@ _ORACLES: dict[str, str | None] = {
         " FROM e, q ORDER BY cosine DESC, vec_id ASC LIMIT 10"
     ),
     "ext_simsearch_ann": None,  # approximate by design
+    "ext_kmeans": None,  # iterative — nearest-centroid invariant unit-tested
+    "ext_semdedup": (
+        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
+        "  FROM embeddings)"
+        " SELECT a.vec_id, a.label FROM e a WHERE NOT EXISTS ("
+        "  SELECT 1 FROM e b WHERE b.label = a.label"
+        "   AND b.vec_id < a.vec_id"
+        f"   AND {_COSINE} >= 0.25)"
+    ),
+    "ext_domain_cap": (
+        "SELECT doc_id, source FROM ("
+        " SELECT doc_id, source, row_number() OVER ("
+        "  PARTITION BY source"
+        "  ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC)"
+        "  AS rn FROM documents) WHERE rn <= 15"
+    ),
     "ext_text_stats": (
         "WITH d AS (SELECT lang, length(text) AS chars,"
         "  len(string_split(text, ' ')) AS tokens,"
@@ -535,6 +586,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_simsearch": QueryDef(q_ext_simsearch, _ORACLES["ext_simsearch"]),
     "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, None),
     "ext_simsearch_ivf": QueryDef(q_ext_simsearch_ivf, None),
+    "ext_kmeans": QueryDef(q_ext_kmeans, None),
+    "ext_semdedup": QueryDef(q_ext_semdedup, _ORACLES["ext_semdedup"]),
+    "ext_domain_cap": QueryDef(q_ext_domain_cap, _ORACLES["ext_domain_cap"]),
     "ext_text_stats": QueryDef(q_ext_text_stats, _ORACLES["ext_text_stats"]),
     "ext_token_count": QueryDef(q_ext_token_count, _ORACLES["ext_token_count"]),
     "ext_quality_score": QueryDef(

@@ -1,0 +1,95 @@
+"""Unit tests for clustering / semantic-dedup / domain-cap operators
+(`operators/cluster.py`) — the invariants the rows-only driver check
+cannot see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_acordos_spark.operators.cluster import (
+    domain_cap,
+    kmeans_assign,
+    semantic_dedup_keep,
+)
+
+
+def _blob_df(spark):
+    """Three well-separated 4-d blobs, 5 points each (ids encode the
+    blob: 0-4, 10-14, 20-24)."""
+    rows = []
+    centers = {0: [10.0, 0.0, 0.0, 0.0], 10: [0.0, 10.0, 0.0, 0.0], 20: [0.0, 0.0, 10.0, 0.0]}
+    for base, c in centers.items():
+        for i in range(5):
+            jitter = [((base + i * 7) % 5) * 0.01, ((i * 3) % 5) * 0.01, i * 0.01, 0.0]
+            rows.append((base + i, [c[d] + jitter[d] for d in range(4)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestKmeans:
+    def test_separated_blobs_recovered(self, spark):
+        out = kmeans_assign(_blob_df(spark), k=3, n_iter=3).collect()
+        by_blob: dict[int, set[int]] = {}
+        for r in out:
+            by_blob.setdefault(r["vec_id"] // 10, set()).add(r["cluster"])
+        # each blob maps to exactly one cluster, and blobs don't collide
+        assert all(len(cs) == 1 for cs in by_blob.values())
+        assert len({cs.pop() for cs in by_blob.values()}) == 3
+
+    def test_deterministic_and_total(self, spark, sf_oracle):
+        emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+        a = sorted(map(tuple, kmeans_assign(emb, k=10, n_iter=2).collect()))
+        b = sorted(map(tuple, kmeans_assign(emb, k=10, n_iter=2).collect()))
+        assert a == b
+        assert len(a) == emb.count()  # every vector assigned exactly once
+        assert {c for _, c in a} <= set(range(10))
+
+
+class TestSemanticDedup:
+    def test_same_cluster_duplicate_dropped_cross_cluster_kept(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, 0, [1.0, 0.0]),   # kept: lowest id in cluster 0
+                (2, 0, [1.0, 0.0]),   # dropped: duplicate of 1, same cluster
+                (3, 0, [0.0, 1.0]),   # kept: orthogonal to 1
+                (4, 1, [1.0, 0.0]),   # kept: duplicate of 1 but other cluster
+            ],
+            "vec_id long, label int, embedding array<float>",
+        )
+        kept = {
+            r["vec_id"]
+            for r in semantic_dedup_keep(
+                df, threshold=0.9, cluster_col="label"
+            ).collect()
+        }
+        assert kept == {1, 3, 4}
+
+    def test_threshold_one_keeps_non_identical(self, spark, sf_oracle):
+        emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+        kept = semantic_dedup_keep(emb, threshold=1.01, cluster_col="label")
+        assert kept.count() == emb.count()  # nothing exceeds cosine 1
+
+
+class TestDomainCap:
+    def test_cap_respected_and_subset(self, spark, sf_oracle):
+        docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        capped = domain_cap(docs, cap=15, domain_col="source", id_col="doc_id")
+        per_src = {
+            r["source"]: r["n"]
+            for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_src and all(n <= 15 for n in per_src.values())
+        # a source with >= 15 docs is capped exactly at 15
+        full = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        for src, n in full.items():
+            assert per_src.get(src, 0) == min(n, 15)
+        # kept ids are a subset of input ids
+        assert capped.join(docs, ["doc_id", "source"], "left_anti").count() == 0
+
+    def test_deterministic(self, spark, sf_oracle):
+        docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        a = sorted(map(tuple, domain_cap(docs, 10, "source", "doc_id").collect()))
+        b = sorted(map(tuple, domain_cap(docs, 10, "source", "doc_id").collect()))
+        assert a == b
