@@ -115,32 +115,62 @@ def semantic_dedup_keep(
     cluster_col: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gram: bool = False,
 ) -> DataFrame:
     """SemDeDup keep-set: (id, cluster) of vectors NOT dominated by a
     lower-id vector in the same cluster with cosine ≥ threshold.
 
-    One self-join shuffling on the cluster id + one left-anti join; the
-    cosine is computed only for same-cluster pairs. Cosines are rounded
-    to 6 dp before the threshold compare (reproducible across engines —
-    same contract as `cosine_pairs`)."""
+    Two physical strategies, identical semantics:
+
+    - `gram=False` (oracle form): cluster-keyed self-join + the
+      sequential `zip_with`/`aggregate` cosine fold — bit-identical to
+      DuckDB's `list_dot_product`, so exactly SQL-checkable. Per-pair
+      interpreted-HOF cost: right at verification scale, wrong beyond.
+    - `gram=True` (scale path): one `applyInPandas` per cluster builds
+      the normalized gram matrix with a single numpy matmul and reads
+      the dominated ids off the strict lower triangle — same O(|c|²)
+      pair count but vectorized, ~100× the fold's throughput. Requires
+      each cluster to fit one task (the standard SemDeDup contract —
+      pick k so |cluster| ≲ 10⁵); numpy's blocked summation can differ
+      from the sequential fold in the last ulp, so a pair EXACTLY at
+      the rounded threshold boundary may flip — calibrate thresholds
+      away from observed cosines.
+
+    Both paths round cosines to 6 dp before the compare (same contract
+    as `cosine_pairs`) and shuffle only by the cluster id — pair cost is
+    Σ|cluster|², never |corpus|²."""
     vecs = df.select(
         F.col(cluster_col).alias("cluster"),
         F.col(id_col).alias("id"),
         as_double(vec_col).alias("v"),
     )
-    a = vecs.select(
-        F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("v_a")
-    )
-    b = vecs.select(
-        F.col("cluster"), F.col("id").alias("id_b"), F.col("v").alias("v_b")
-    )
-    dominated = (
-        a.join(b, ["cluster"])
-        .filter(F.col("id_b") < F.col("id_a"))
-        .filter(F.round(cosine("v_a", "v_b"), 6) >= threshold)
-        .select(F.col("id_a").alias("id"))
-        .distinct()
-    )
+    if gram:
+
+        def dominated_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id")
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            G = np.round(Mn @ Mn.T, 6)
+            hit = np.tril(G >= threshold, k=-1).any(axis=1)
+            return pdf.loc[hit, ["id"]]
+
+        dominated = vecs.groupBy("cluster").applyInPandas(
+            dominated_in_cluster, "id long"
+        )
+    else:
+        a = vecs.select(
+            F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("v_a")
+        )
+        b = vecs.select(
+            F.col("cluster"), F.col("id").alias("id_b"), F.col("v").alias("v_b")
+        )
+        dominated = (
+            a.join(b, ["cluster"])
+            .filter(F.col("id_b") < F.col("id_a"))
+            .filter(F.round(cosine("v_a", "v_b"), 6) >= threshold)
+            .select(F.col("id_a").alias("id"))
+            .distinct()
+        )
     return (
         vecs.join(dominated, ["id"], "left_anti")
         .select(F.col("id").alias(id_col), F.col("cluster").alias(cluster_col))

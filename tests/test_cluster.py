@@ -68,6 +68,31 @@ class TestSemanticDedup:
         kept = semantic_dedup_keep(emb, threshold=1.01, cluster_col="label")
         assert kept.count() == emb.count()  # nothing exceeds cosine 1
 
+    def test_gram_path_matches_fold_path(self, spark, sf_oracle):
+        emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+        fold = semantic_dedup_keep(emb, threshold=0.25, cluster_col="label")
+        fast = semantic_dedup_keep(
+            emb, threshold=0.25, cluster_col="label", gram=True
+        )
+        assert sorted(map(tuple, fold.collect())) == sorted(
+            map(tuple, fast.collect())
+        )
+
+    def test_kmeans_feeds_semdedup(self, spark, sf_oracle):
+        """The production composition: k-means cells bound the SemDeDup
+        pair space; the keep-set is a subset of ids and total."""
+        emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+        cells = kmeans_assign(emb, k=16, n_iter=2)
+        clustered = emb.join(cells, "vec_id").select(
+            "vec_id", "cluster", "embedding"
+        )
+        kept = semantic_dedup_keep(
+            clustered, threshold=0.25, cluster_col="cluster", gram=True
+        )
+        n_kept, n_all = kept.count(), emb.count()
+        assert 0 < n_kept <= n_all
+        assert kept.select("vec_id").distinct().count() == n_kept
+
 
 class TestDomainCap:
     def test_cap_respected_and_subset(self, spark, sf_oracle):
