@@ -64,6 +64,7 @@ HEADLINE = [
     "ext_stream_stateful",
     "ext_stream_dedup",
     "ext_stream_join",
+    "ext_stream_stream_join",
     "ext_stream_upsert",
     "ext_dedup_exact",
     "ext_dedup_near",

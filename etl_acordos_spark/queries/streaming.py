@@ -15,6 +15,7 @@ from etl_acordos_spark.queries.base import QueryDef, read_events, scratch_dir
 from etl_acordos_spark.streaming.events import (
     dedup_stream,
     incremental_upsert_run,
+    interval_join_streams,
     run_stream_to_table,
     session_stream_agg,
     stateful_user_totals,
@@ -82,6 +83,23 @@ def q_ext_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_stream_to_table(
         joined, "stream_join_result", output_mode="append"
+    )
+
+
+def q_ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to same-user purchases
+    within 30 minutes (attribution). Two watermarked streams, state
+    evicted past the time-range horizon; on finite availableNow input
+    the result equals the batch inequality join — the oracle."""
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return run_stream_to_table(
+        interval_join_streams(clicks, purchases),
+        "stream_stream_join_result",
+        output_mode="append",
     )
 
 
@@ -165,10 +183,22 @@ SELECT event_id, n_name, round(value, 4) AS value
 FROM events JOIN nation ON user_id % 25 = n_nationkey
 """
 
+_STREAM_STREAM_JOIN_ORACLE = """
+SELECT a.event_id AS left_id, b.event_id AS right_id, a.user_id,
+       round(b.value, 4) AS value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
 QUERIES: dict[str, QueryDef] = {
     "ext_stream_windows": QueryDef(q_ext_stream_windows, _WINDOWS_ORACLE),
     "ext_stream_dedup": QueryDef(q_ext_stream_dedup, _DEDUP_ORACLE),
     "ext_stream_join": QueryDef(q_ext_stream_join, _STREAM_JOIN_ORACLE),
+    "ext_stream_stream_join": QueryDef(
+        q_ext_stream_stream_join, _STREAM_STREAM_JOIN_ORACLE
+    ),
     "ext_stream_sessions": QueryDef(q_ext_stream_sessions, _SESSIONS_ORACLE),
     "ext_stream_stateful": QueryDef(q_ext_stream_stateful, _STATEFUL_ORACLE),
     "ext_stream_upsert": QueryDef(q_ext_stream_upsert, _STREAM_UPSERT_ORACLE),

@@ -142,6 +142,49 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: pair each left event with the
+    right events of the SAME user arriving within *max_delay* after it
+    (click→purchase attribution).
+
+    Both sides carry watermarks and the join predicate carries an
+    explicit event-time range — together they let Spark compute how long
+    a buffered row can still find a match and EVICT join state past
+    that bound. Without the range the state store grows forever; with
+    it, per-key state is O(events within the watermark+delay horizon).
+    The equality key (user_id) makes it a hash-partitioned stateful
+    join — both streams shuffle on user_id once, matches are local."""
+    a = left.select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id"),
+        F.col("ts").alias("left_ts"),
+    ).withWatermark("left_ts", watermark)
+    b = right.select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("right_user_id"),
+        F.col("ts").alias("right_ts"),
+        F.col("value"),
+    ).withWatermark("right_ts", watermark)
+    return a.join(
+        b,
+        F.expr(
+            "user_id = right_user_id"
+            " AND right_ts >= left_ts"
+            f" AND right_ts <= left_ts + interval {max_delay}"
+        ),
+    ).select(
+        "left_id",
+        "right_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+    )
+
+
 # ------------------------------------------------- custom stateful operator
 
 STATEFUL_OUTPUT_SCHEMA = StructType(
