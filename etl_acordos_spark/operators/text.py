@@ -357,6 +357,54 @@ def decontaminate(
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 3,
+    min_doc_frac: float = 0.01,
+    hashed: bool = False,
+) -> DataFrame:
+    """Corpus-boilerplate detection: the word *ngram*-grams present in
+    at least *min_doc_frac* of documents — headers, footers, license
+    blurbs, navigation chrome. Output: (gram, n_docs, doc_frac). The
+    complement of `decontaminate`: there a fixed eval set probes the
+    corpus; here the corpus reports on itself.
+
+    Plan shape: per-doc DISTINCT shingles (dedup.word_shingles) explode
+    to (doc, gram), then ONE hash aggregate per gram — partial
+    aggregation collapses each map task to its local gram counts before
+    the shuffle, so the exchange carries O(distinct grams · tasks), not
+    O(total gram instances). The corpus doc count joins in as a lazy
+    1-row cross join (no driver action). *hashed=True* is the at-scale
+    form (grams as xxhash64 longs, no strings shuffled — same contract
+    as `decontaminate(hashed=True)`); the flagged gram set is identical
+    up to ~2^-64 collisions, but the gram column is then a long, so the
+    string form stays the oracle."""
+    from etl_acordos_spark.operators.dedup import (
+        hashed_word_shingles,
+        word_shingles,
+    )
+
+    shingles = hashed_word_shingles if hashed else word_shingles
+    tok = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("tok"))
+    doc_grams = tok.select(
+        F.col(id_col), F.explode(shingles("tok", ngram)).alias("gram")
+    )
+    total = df.agg(F.count("*").alias("n_total"))
+    return (
+        doc_grams.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(total)
+        .filter(F.col("n_docs") / F.col("n_total") >= min_doc_frac)
+        .select(
+            "gram",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 4).alias("doc_frac"),
+        )
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     id_col: str,

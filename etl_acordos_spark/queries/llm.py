@@ -39,6 +39,7 @@ from etl_acordos_spark.operators.simsearch import (
 )
 from etl_acordos_spark.operators.relational import stratified_sample
 from etl_acordos_spark.operators.text import (
+    boilerplate_ngrams,
     corpus_stats,
     decontaminate,
     doc_chunks,
@@ -176,6 +177,16 @@ def q_ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     one domain dominating the training mix."""
     return domain_cap(
         t(spark, sf_dir, "documents"), cap=15, domain_col="source", id_col="doc_id"
+    )
+
+
+def q_ext_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate n-grams: word 3-grams present in ≥1% of
+    documents (calibrated: 151 grams at sf0.01) — what a cleaning pass
+    strips as headers/footers/chrome."""
+    return boilerplate_ngrams(
+        t(spark, sf_dir, "documents"), "text", "doc_id", ngram=3,
+        min_doc_frac=0.01,
     )
 
 
@@ -534,6 +545,19 @@ _ORACLES: dict[str, str | None] = {
         " WHERE (doc_id * 2246822519) % 4294967296 % 100 <"
         "  CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 80 ELSE 50 END"
     ),
+    "ext_boilerplate": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok"
+        "  FROM documents),"
+        " sh AS (SELECT doc_id, CASE WHEN len(tok) >= 3 THEN"
+        "   list_distinct(list_transform(generate_series(1, len(tok) - 2),"
+        "     i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]))"
+        "  ELSE [array_to_string(tok, ' ')] END AS st FROM tok),"
+        " g AS (SELECT doc_id, unnest(st) AS gram FROM sh),"
+        " nn AS (SELECT count(*) AS n_total FROM documents)"
+        " SELECT gram, n_docs, round(n_docs * 1.0 / n_total, 4) AS doc_frac"
+        " FROM (SELECT gram, count(*) AS n_docs FROM g GROUP BY 1), nn"
+        " WHERE n_docs * 1.0 / n_total >= 0.01"
+    ),
     "ext_multimodal": None,  # binary payload + stubbed decode
     "ext_decontaminate": (
         "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok"
@@ -603,6 +627,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
     "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),
+    "ext_boilerplate": QueryDef(q_ext_boilerplate, _ORACLES["ext_boilerplate"]),
     "ext_decontaminate": QueryDef(
         q_ext_decontaminate, _ORACLES["ext_decontaminate"]
     ),

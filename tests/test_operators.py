@@ -463,3 +463,23 @@ def test_decontaminate_hashed_matches_string_grams(spark, sf_oracle):
         ).collect()
     }
     assert string_form == hashed_form and string_form
+
+
+def test_boilerplate_hashed_matches_string_grams(spark, sf_oracle):
+    """The hashed-gram boilerplate scan must flag the same number of
+    grams with identical (n_docs, doc_frac) multiset as the string form
+    (gram identities differ by construction: strings vs xxhash64)."""
+    from etl_acordos_spark.operators.text import boilerplate_ngrams
+
+    docs = t(spark, sf_oracle, "documents")
+    string_form = sorted(
+        (r.n_docs, r.doc_frac)
+        for r in boilerplate_ngrams(docs, "text", "doc_id", 3, 0.01).collect()
+    )
+    hashed_form = sorted(
+        (r.n_docs, r.doc_frac)
+        for r in boilerplate_ngrams(
+            docs, "text", "doc_id", 3, 0.01, hashed=True
+        ).collect()
+    )
+    assert string_form == hashed_form and string_form
