@@ -38,10 +38,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: events.parquet carries TIMESTAMP(NANOS); with
-#: spark.sql.legacy.parquet.nanosAsLong the file-stream schema sees the
-#: raw int64 nanos (converted to timestamp_ntz in stream_events).
-EVENTS_FILE_SCHEMA = StructType(
+#: file-stream schema when events.parquet carries TIMESTAMP(NANOS): with
+#: spark.sql.legacy.parquet.nanosAsLong the raw int64 nanos surface as
+#: LongType (converted to micro TIMESTAMP in stream_events).
+EVENTS_NANOS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
         StructField("ts", LongType()),
@@ -55,18 +55,32 @@ EVENTS_FILE_SCHEMA = StructType(
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with event-time `ts`
-    normalized to micro-precision TIMESTAMP (integer div of nanos —
-    nanos exceed double's exact-integer range; watermarks reject
-    TIMESTAMP_NTZ, and the testdata timestamps are naive-UTC so the
-    instant semantics agree)."""
+    normalized to micro-precision TIMESTAMP.
+
+    The testdata's `ts` precision has varied across generations (NANOS
+    vs MICROS), so the stream schema is derived from the batch footer
+    read rather than pinned: nanos surface as int64 (nanosAsLong) and
+    are integer-div'd to micros (nanos exceed double's exact-integer
+    range — never float-divide); micros arrive as TIMESTAMP_NTZ and are
+    cast to TIMESTAMP (watermarks reject NTZ; the testdata timestamps
+    are naive-UTC and the session runs UTC, so the instant is
+    preserved)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_nanos = batch_schema["ts"].dataType == LongType()
     # glob, not the bare file path: the file-stream source requires a
     # directory basePath, which it derives from the glob's parent
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(
+            EVENTS_NANOS_FILE_SCHEMA if ts_is_nanos else batch_schema
+        )
         .parquet(f"{sf_dir}/events.parque*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_stream_agg(
