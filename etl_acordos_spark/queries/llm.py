@@ -165,9 +165,15 @@ def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep-set within ground-truth clusters (`label` stands in
     for the k-means cell id so the oracle stays exact): drop a vector
     when a lower-id same-cluster vector has cosine ≥ 0.25 (calibrated —
-    keeps 293/500 at sf0.01)."""
+    keeps 293/500 at sf0.01). Runs the vectorized gram-matrix scale
+    path; its hash-equality with the interpreted fold (the oracle form)
+    at this threshold is pinned by
+    tests/test_cluster.py::test_gram_path_matches_fold_path."""
     return semantic_dedup_keep(
-        t(spark, sf_dir, "embeddings"), threshold=0.25, cluster_col="label"
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.25,
+        cluster_col="label",
+        gram=True,
     )
 
 
