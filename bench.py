@@ -71,12 +71,14 @@ HEADLINE = [
     "ext_dedup_simhash",
     "ext_simsearch",
     "ext_simsearch_ann",
+    "ext_simsearch_pq",
     "ext_kmeans",
     "ext_semdedup",
     "ext_domain_cap",
     "ext_text_stats",
     "ext_token_count",
     "ext_quality_score",
+    "ext_entropy",
     "ext_lang_id",
     "ext_fingerprint",
     "ext_pii_redact",

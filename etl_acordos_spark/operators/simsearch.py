@@ -186,6 +186,117 @@ def ivf_topk(
     )
 
 
+def _pq_train_codebooks(
+    sample: np.ndarray, m: int, ks: int, n_iter: int
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means on the (already normalized) training
+    sample — all driver-side numpy on a few hundred rows. Deterministic:
+    init is the first *ks* sample rows' sub-vectors, fixed iteration
+    count, empty cells keep their previous codeword."""
+    n, dim = sample.shape
+    dsub = dim // m
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        X = sample[:, j * dsub : (j + 1) * dsub]
+        C = X[:ks].copy()
+        for _ in range(n_iter):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ks):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 16,
+    ks: int = 32,
+    train_n: int = 256,
+    refine: int = 4,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Approximate top-k via product quantization (the compression half
+    of IVF-PQ): L2-normalize, split each vector into *m* subspaces,
+    learn a *ks*-codeword codebook per subspace from a deterministic
+    training sample (first *train_n* by id), encode every vector as m
+    small codes (here 64 floats → 16 codes, 16× smaller), and score with
+    asymmetric distance (ADC): the full-precision query builds one
+    (m × ks) inner-product lookup table, each encoded vector's
+    approximate score is m table gathers — the corpus never
+    decompresses. The PQ shortlist (k·*refine* ids) is exactly
+    re-ranked with the HOF cosine for the final answer.
+
+    At 100 TB the codes ARE the stored scan column (m bytes/vector vs
+    dim·4), codebooks are kilobytes shipped in the UDF closure, and both
+    encode and ADC scan are map-only Arrow-batched numpy — no shuffle
+    until the k·refine TakeOrdered. Route with IVF cells (`ivf_topk`)
+    for the standard IVF-PQ composite. Approximate by design → rows-only
+    check; recall is unit-tested against `exact_topk`."""
+    train = (
+        df.select(as_double(vec_col))
+        .orderBy(id_col)
+        .limit(train_n)
+        .collect()
+    )
+    S = np.stack([np.asarray(r[0], dtype=np.float64) for r in train])
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    dim = S.shape[1]
+    dsub = dim // m
+    books = _pq_train_codebooks(S, m, ks, n_iter)
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            X = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = ((X[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    qrow = df.filter(F.col(id_col) == query_id).select(as_double(vec_col)).head()
+    q = np.asarray(qrow[0], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    # ADC lookup table: lut[j, c] = q_j · codeword_c  (IP on normalized
+    # vectors ≈ cosine)
+    lut = np.stack(
+        [books[j] @ qn[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+
+    @F.pandas_udf("double")
+    def adc_score(codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.to_numpy())
+        return pd.Series(lut[np.arange(m), C].sum(axis=1))
+
+    encoded = df.select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
+        encode(as_double(vec_col)).alias("codes"),
+    )
+    shortlist = (
+        encoded.filter(F.col("id") != query_id)
+        .withColumn("approx_ip", adc_score(F.col("codes")))
+        .orderBy(F.col("approx_ip").desc(), F.col("id").asc())
+        .limit(k * refine)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    return (
+        shortlist.withColumn("q", qcol)
+        .withColumn("cosine", F.round(cosine("v", "q"), 6))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias("vec_id"), "cosine")
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_id: int,

@@ -2,10 +2,15 @@
 ID, fingerprinting, corpus stats (LLM-pipeline extension, SURVEY.md
 §2.6). Everything is a Catalyst column expression over one scan; no
 Python per row, no shuffle except the final aggregate where one exists.
+(One exception: `char_entropy` needs a per-doc character histogram,
+which no builtin expresses — it uses the documented slow-path escape, a
+map-only Arrow-batched pandas UDF.)
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +38,39 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ),
         F.length(F.col(text_col)).alias("n_chars"),
         F.octet_length(F.col(text_col)).alias("n_bytes"),
+    )
+
+
+def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits per char) —
+    the classic gibberish/boilerplate quality signal: natural prose
+    sits ~4 bits, key-mash and repeated-char junk fall well below,
+    random base64 pushes toward log2(alphabet).
+
+    entropy = log2(N) − (Σ_c n_c·log2 n_c)/N over the doc's char counts
+    n_c — one pass, no shuffle. A per-doc histogram has no builtin
+    column expression, so this is the module's one pandas-UDF operator:
+    Arrow-batched, map-only, Counter+numpy per batch. Rounded to 4 dp so
+    the engine's and the oracle's float summation orders agree.
+    """
+    import math
+    from collections import Counter
+
+    @F.pandas_udf("double")
+    def ent(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts))
+        for i, s in enumerate(texts):
+            if s:
+                counts = np.fromiter(
+                    Counter(s).values(), dtype=np.float64
+                )
+                n = counts.sum()
+                out[i] = math.log2(n) - float(counts @ np.log2(counts)) / n
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        F.round(ent(F.col(text_col)), 4).alias("char_entropy"),
     )
 
 

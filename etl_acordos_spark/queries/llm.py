@@ -36,10 +36,12 @@ from etl_acordos_spark.operators.simsearch import (
     cosine_pairs,
     exact_topk,
     ivf_topk,
+    pq_topk,
 )
 from etl_acordos_spark.operators.relational import stratified_sample
 from etl_acordos_spark.operators.text import (
     boilerplate_ngrams,
+    char_entropy,
     corpus_stats,
     decontaminate,
     doc_chunks,
@@ -150,6 +152,15 @@ def q_ext_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_ext_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-10 for vec_id=0: 16
+    subspaces × 32 codewords (64 floats → 16 codes, 16× compression),
+    ADC table-lookup scan, exact re-rank of the 40-id shortlist.
+    Rows-only (approximate by design; recall unit-tested against
+    exact_topk)."""
+    return pq_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
 # ---------------------------------------------------- clustering / semantic
 
 
@@ -212,6 +223,11 @@ def q_ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass heuristic quality scoring."""
     return quality_scores(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ext_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality signal (bits/char)."""
+    return char_entropy(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,6 +474,17 @@ _ORACLES: dict[str, str | None] = {
         "  round(avg(distinct_tokens), 4) AS avg_distinct_tokens"
         " FROM d GROUP BY lang"
     ),
+    "ext_entropy": (
+        "WITH freq AS ("
+        "  SELECT doc_id, count(*)::DOUBLE AS n"
+        "  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch"
+        "        FROM documents)"
+        "  GROUP BY doc_id, ch)"
+        " SELECT doc_id,"
+        "  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4)"
+        "    AS char_entropy"
+        " FROM freq GROUP BY doc_id"
+    ),
     "ext_token_count": (
         "SELECT doc_id,"
         " CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,"
@@ -616,6 +643,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_simsearch": QueryDef(q_ext_simsearch, _ORACLES["ext_simsearch"]),
     "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, None),
     "ext_simsearch_ivf": QueryDef(q_ext_simsearch_ivf, None),
+    "ext_simsearch_pq": QueryDef(q_ext_simsearch_pq, None),
     "ext_kmeans": QueryDef(q_ext_kmeans, None),
     "ext_semdedup": QueryDef(q_ext_semdedup, _ORACLES["ext_semdedup"]),
     "ext_domain_cap": QueryDef(q_ext_domain_cap, _ORACLES["ext_domain_cap"]),
@@ -624,6 +652,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_quality_score": QueryDef(
         q_ext_quality_score, _ORACLES["ext_quality_score"]
     ),
+    "ext_entropy": QueryDef(q_ext_entropy, _ORACLES["ext_entropy"]),
     "ext_lang_id": QueryDef(q_ext_lang_id, _ORACLES["ext_lang_id"]),
     "ext_fingerprint": QueryDef(q_ext_fingerprint, _ORACLES["ext_fingerprint"]),
     "ext_repetition": QueryDef(q_ext_repetition, _ORACLES["ext_repetition"]),
