@@ -110,18 +110,29 @@ def q_ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     that key is exchange-free forever (tests/test_plan_health.py asserts
     the plan has no Exchange under the join). The merge hint pins
     sort-merge so the demo exercises the bucket alignment rather than
-    broadcasting the smaller side at this test scale.
+    broadcasting the smaller side at this test scale. Re-running against
+    unchanged sources reuses the bucketed layout (source mtime/size
+    fingerprint) — the write really is paid once.
     """
+
+    def fp(name: str, key: str) -> str:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        return f"{sf_dir}:{name}:{key}:8:{st.st_mtime_ns}:{st.st_size}"
+
     base = scratch_dir()
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     bl = write_bucketed_table(
-        li, "bkt_lineitem", "l_orderkey", 8, os.path.join(base, "bkt_lineitem")
+        li, "bkt_lineitem", "l_orderkey", 8,
+        os.path.join(base, "bkt_lineitem"),
+        fingerprint=fp("lineitem", "l_orderkey"),
     )
     bo = write_bucketed_table(
-        od, "bkt_orders", "o_orderkey", 8, os.path.join(base, "bkt_orders")
+        od, "bkt_orders", "o_orderkey", 8,
+        os.path.join(base, "bkt_orders"),
+        fingerprint=fp("orders", "o_orderkey"),
     )
     return (
         bl.join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)

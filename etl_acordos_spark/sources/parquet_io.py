@@ -58,6 +58,7 @@ def write_bucketed_table(
     key: str,
     buckets: int,
     path: str,
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """Write *df* as a bucketed + sorted Parquet table and return the
     catalog-backed read of it.
@@ -69,8 +70,23 @@ def write_bucketed_table(
     requirement. The `repartition(buckets, key)` before the write aligns
     write-partitions with buckets (repartition and the bucket spec use
     the same murmur3 pmod), yielding exactly one file per bucket.
+
+    Pass *fingerprint* (any string identifying the source data + bucket
+    spec) to get the pay-once-reuse contract bucketing exists for: when
+    the catalog already holds *table* and the marker written alongside
+    the buckets matches, the write is skipped and the existing layout is
+    served. A changed source (new mtime/size) changes the fingerprint
+    and forces a rewrite — stale buckets are never silently reused.
     """
     spark = df.sparkSession
+    marker = os.path.join(path, "_BUCKET_FINGERPRINT")
+    if fingerprint is not None and spark.catalog.tableExists(table):
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                if fh.read() == fingerprint:
+                    return spark.table(table)
+        except OSError:
+            pass
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         df.repartition(buckets, F.col(key))
@@ -81,6 +97,9 @@ def write_bucketed_table(
         .option("path", path)
         .saveAsTable(table)
     )
+    if fingerprint is not None:
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write(fingerprint)
     return spark.table(table)
 
 

@@ -268,14 +268,15 @@ def run_stream_to_table(
     # first start (it's baked into the checkpoint). Every state partition
     # pays a per-microbatch commit (checkpoint file write), so for a
     # one-shot availableNow run the partition count is almost pure
-    # overhead: measured at sf0.1, 8 partitions halve the wall time of 32.
-    # A long-running production stream would instead size this once for
-    # its key cardinality / throughput and keep it for the checkpoint's
-    # lifetime.
+    # overhead: measured at sf0.1, 8 partitions halve the wall time of
+    # 32 and 4 shaves another ~20% (2 is flat vs 4 — state-store open
+    # cost dominates below that). A long-running production stream would
+    # instead size this once for its key cardinality / throughput and
+    # keep it for the checkpoint's lifetime.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(min(8, spark.sparkContext.defaultParallelism)),
+        str(min(4, spark.sparkContext.defaultParallelism)),
     )
     try:
         q = (

@@ -193,6 +193,37 @@ def test_bucketed_join_is_shuffle_free(spark, sf_oracle):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_table_reused_then_invalidated(spark, sf_smoke, sf_oracle):
+    """The fingerprinted bucketed write is paid once: a second run over
+    the same source serves the existing layout (bucket files untouched),
+    while a different source (other sf_dir) forces a rewrite — stale
+    buckets are never reused across data changes."""
+    import __spark_entry__ as contract
+
+    q = contract.queries()["ext_bucketed_join"]
+    from etl_acordos_spark.queries.base import scratch_dir
+
+    bkt = os.path.join(scratch_dir(), "bkt_lineitem")
+
+    first = sorted(map(tuple, q(spark, sf_smoke).collect()))
+    mtimes = {f: os.path.getmtime(os.path.join(bkt, f)) for f in os.listdir(bkt)}
+    again = sorted(map(tuple, q(spark, sf_smoke).collect()))
+    assert again == first
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(bkt, f)) for f in os.listdir(bkt)
+    }, "unchanged source must not rewrite the bucketed layout"
+
+    other = sorted(map(tuple, q(spark, sf_oracle).collect()))
+    assert other != first  # rewrote for the new source (different data)
+    assert mtimes != {
+        f: os.path.getmtime(os.path.join(bkt, f))
+        for f in os.listdir(bkt)
+        if f in mtimes
+    } or set(os.listdir(bkt)) != set(mtimes), (
+        "changed source must invalidate the bucketed layout"
+    )
+
+
 def test_zorder_layout_tightens_file_ranges(spark, sf_oracle):
     """Z-order clustering must make per-file min-max ranges tight in
     BOTH dimensions: under a linear sort on custkey, each file spans
