@@ -86,6 +86,7 @@ HEADLINE = [
     "ext_repetition",
     "ext_doc_chunk",
     "ext_stratified_sample",
+    "ext_mixture_sample",
     "ext_boilerplate",
     "ext_decontaminate",
     "ext_seq_pack",

@@ -443,6 +443,79 @@ def boilerplate_ngrams(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Corpus mixture rebalancing: sample each language at the rate that
+    makes the kept corpus approximate the target token mixture *weights*
+    within a token budget of *budget_frac* × total tokens — the step that
+    turns a raw crawl's accidental language mix into a training recipe's
+    intended one (the DoReMi/llama-style "data mixture" applied at the
+    sampling layer).
+
+    Per-lang acceptance rate r_l = min(1, B·w_l / T_l) with T_l the
+    lang's token total and B the token budget — a lang under its target
+    share is taken whole (rate 1, it cannot be upsampled by dropping),
+    an over-represented one is thinned. Acceptance is the deterministic
+    multiplicative id hash (same family as `ext_train_test_split` /
+    `domain_cap`), so re-runs and engines agree row-for-row.
+
+    Plan shape: one token-count scan → one tiny per-lang aggregate →
+    rates derived in-plan and BROADCAST back — the corpus never
+    shuffles; the second scan pass is a map-side hash filter. Output is
+    the per-lang audit (kept docs/tokens, rate) a pipeline logs next to
+    the sampled write. Weights for langs absent from *weights* are 0 —
+    unknown languages are dropped, the conservative default for a
+    training mix."""
+    w_expr = F.coalesce(
+        *[
+            F.when(F.col(lang_col) == lng, F.lit(float(w)))
+            for lng, w in sorted(weights.items())
+        ],
+        F.lit(0.0),
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+        w_expr.alias("w"),
+    )
+    totals = tok.groupBy("lang").agg(
+        F.sum("n_tok").alias("t_lang"), F.first("w").alias("w")
+    )
+    grand = totals.agg(
+        (F.sum("t_lang") * budget_frac).alias("budget")
+    ).withColumn("_k", F.lit(1))
+    rates = (
+        totals.withColumn("_k", F.lit(1))
+        .join(F.broadcast(grand), "_k")
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0), F.col("budget") * F.col("w") / F.col("t_lang")
+            ).alias("rate"),
+        )
+    )
+    u = ((F.col("id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    return (
+        tok.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.first("rate"), 6).alias("rate"),
+        )
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     id_col: str,

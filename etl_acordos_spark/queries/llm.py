@@ -47,6 +47,7 @@ from etl_acordos_spark.operators.text import (
     doc_chunks,
     fingerprints,
     lang_id,
+    mixture_sample,
     pack_chunks,
     pii_redact,
     quality_scores,
@@ -223,6 +224,24 @@ def q_ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass heuristic quality scoring."""
     return quality_scores(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+#: demo mixture recipe over the corpus's five languages
+MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.15, "es": 0.15, "fr": 0.1}
+
+
+def q_ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture rebalancing: sample each language toward a
+    target token mixture within half the corpus's token budget; output
+    is the per-lang audit (kept docs/tokens, acceptance rate)."""
+    return mixture_sample(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "lang",
+        "doc_id",
+        MIXTURE_WEIGHTS,
+        budget_frac=0.5,
+    )
 
 
 def q_ext_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,6 +493,27 @@ _ORACLES: dict[str, str | None] = {
         "  round(avg(distinct_tokens), 4) AS avg_distinct_tokens"
         " FROM d GROUP BY lang"
     ),
+    "ext_mixture_sample": (
+        "WITH tok AS ("
+        "  SELECT doc_id AS id, lang,"
+        "   len(string_split(text, ' ')) AS n_tok,"
+        "   CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2"
+        "    WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1"
+        "    ELSE 0.0 END AS w"
+        "  FROM documents),"
+        " totals AS ("
+        "  SELECT lang, sum(n_tok)::DOUBLE AS t_lang, first(w) AS w"
+        "  FROM tok GROUP BY lang),"
+        " grand AS (SELECT 0.5 * sum(t_lang) AS budget FROM totals),"
+        " rates AS ("
+        "  SELECT lang, least(1.0, budget * w / t_lang) AS rate"
+        "  FROM totals, grand)"
+        " SELECT t.lang, count(*) AS n_docs,"
+        "  sum(t.n_tok) AS n_tokens, round(first(r.rate), 6) AS rate"
+        " FROM tok t JOIN rates r ON t.lang = r.lang"
+        " WHERE ((t.id * 2654435761) % 4294967296) / 4294967296.0 < r.rate"
+        " GROUP BY t.lang"
+    ),
     "ext_entropy": (
         "WITH freq AS ("
         "  SELECT doc_id, count(*)::DOUBLE AS n"
@@ -653,6 +693,9 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_quality_score, _ORACLES["ext_quality_score"]
     ),
     "ext_entropy": QueryDef(q_ext_entropy, _ORACLES["ext_entropy"]),
+    "ext_mixture_sample": QueryDef(
+        q_ext_mixture_sample, _ORACLES["ext_mixture_sample"]
+    ),
     "ext_lang_id": QueryDef(q_ext_lang_id, _ORACLES["ext_lang_id"]),
     "ext_fingerprint": QueryDef(q_ext_fingerprint, _ORACLES["ext_fingerprint"]),
     "ext_repetition": QueryDef(q_ext_repetition, _ORACLES["ext_repetition"]),

@@ -173,6 +173,31 @@ def test_char_entropy_closed_forms(spark):
     assert got == {1: 2.0, 2: 0.0, 3: 0.0, 4: 1.0}
 
 
+def test_mixture_sample_rates(spark):
+    """A lang already under its target token share is taken whole
+    (rate 1); an over-represented one is thinned toward target. Kept
+    counts are exact for the deterministic hash."""
+    from etl_acordos_spark.operators.text import mixture_sample
+
+    rows = [(i, "en", "w " * 9 + "w") for i in range(90)]  # 900 en tokens
+    rows += [(100 + i, "fr", "w " * 9 + "w") for i in range(10)]  # 100 fr
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    # budget = 500 tokens; targets: en 250 (have 900 -> thinned to
+    # rate 250/900), fr 250 (have 100 -> rate 1, kept whole)
+    out = {
+        r["lang"]: r
+        for r in mixture_sample(
+            df, "text", "lang", "doc_id",
+            {"en": 0.5, "fr": 0.5}, budget_frac=0.5,
+        ).collect()
+    }
+    assert out["fr"]["n_docs"] == 10 and out["fr"]["rate"] == 1.0
+    assert abs(out["en"]["rate"] - 250 / 900) < 1e-6
+    # thinning is the hash filter, so kept docs ~ rate (exact count
+    # depends on the hash; bound it loosely)
+    assert 10 <= out["en"]["n_docs"] <= 50
+
+
 def test_keep_representatives_components(spark):
     """Chain 1-2-3 and pair 10-11 collapse to min-id representatives;
     isolated doc stays."""
