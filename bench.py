@@ -87,6 +87,7 @@ HEADLINE = [
     "ext_doc_chunk",
     "ext_stratified_sample",
     "ext_mixture_sample",
+    "ext_corpus_pipeline",
     "ext_boilerplate",
     "ext_decontaminate",
     "ext_seq_pack",

@@ -230,6 +230,33 @@ def q_ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.15, "es": 0.15, "fr": 0.1}
 
 
+def q_ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-preparation pipeline composed as ONE lazy
+    Catalyst plan — the capstone the operator library exists for:
+
+      quality gate (≥40 ws tokens) → exact dedup (min-id per content
+      hash) → per-source cap (≤15 by stable hash rank) → token-budgeted
+      mixture sample (MIXTURE_WEIGHTS, half the surviving tokens)
+
+    No step materializes: Catalyst sees the whole pipeline, so the scan
+    is shared, the quality filter is pushed below everything, and each
+    stage's shuffle carries only ids/digests/counts — document bodies
+    move zero times before the final audit aggregate. Every stage is the
+    library operator, not a re-implementation; the DuckDB oracle chains
+    the same four stages as CTEs."""
+    from etl_acordos_spark.operators.dedup import exact_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    gated = docs.filter(F.size(F.split(F.col("text"), " ")) >= 40)
+    keep = exact_dedup(gated, "text", "doc_id").select("doc_id")
+    deduped = gated.join(keep, "doc_id", "left_semi")
+    capped_ids = domain_cap(deduped, 15, "source", "doc_id").select("doc_id")
+    capped = deduped.join(capped_ids, "doc_id", "left_semi")
+    return mixture_sample(
+        capped, "text", "lang", "doc_id", MIXTURE_WEIGHTS, budget_frac=0.5
+    )
+
+
 def q_ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted mixture rebalancing: sample each language toward a
     target token mixture within half the corpus's token budget; output
@@ -493,6 +520,40 @@ _ORACLES: dict[str, str | None] = {
         "  round(avg(distinct_tokens), 4) AS avg_distinct_tokens"
         " FROM d GROUP BY lang"
     ),
+    "ext_corpus_pipeline": (
+        "WITH gated AS ("
+        "  SELECT doc_id, lang, source, text FROM documents"
+        "  WHERE len(string_split(text, ' ')) >= 40),"
+        " keep AS ("
+        "  SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text)),"
+        " deduped AS ("
+        "  SELECT g.* FROM gated g JOIN keep k USING (doc_id)),"
+        " capped AS ("
+        "  SELECT doc_id, lang, text FROM ("
+        "   SELECT doc_id, lang, text, row_number() OVER ("
+        "    PARTITION BY source"
+        "    ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC)"
+        "    AS rn FROM deduped) WHERE rn <= 15),"
+        " tok AS ("
+        "  SELECT doc_id AS id, lang,"
+        "   len(string_split(text, ' ')) AS n_tok,"
+        "   CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2"
+        "    WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1"
+        "    ELSE 0.0 END AS w"
+        "  FROM capped),"
+        " totals AS ("
+        "  SELECT lang, sum(n_tok)::DOUBLE AS t_lang, first(w) AS w"
+        "  FROM tok GROUP BY lang),"
+        " grand AS (SELECT 0.5 * sum(t_lang) AS budget FROM totals),"
+        " rates AS ("
+        "  SELECT lang, least(1.0, budget * w / t_lang) AS rate"
+        "  FROM totals, grand)"
+        " SELECT t.lang, count(*) AS n_docs,"
+        "  sum(t.n_tok) AS n_tokens, round(first(r.rate), 6) AS rate"
+        " FROM tok t JOIN rates r ON t.lang = r.lang"
+        " WHERE ((t.id * 2654435761) % 4294967296) / 4294967296.0 < r.rate"
+        " GROUP BY t.lang"
+    ),
     "ext_mixture_sample": (
         "WITH tok AS ("
         "  SELECT doc_id AS id, lang,"
@@ -695,6 +756,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_entropy": QueryDef(q_ext_entropy, _ORACLES["ext_entropy"]),
     "ext_mixture_sample": QueryDef(
         q_ext_mixture_sample, _ORACLES["ext_mixture_sample"]
+    ),
+    "ext_corpus_pipeline": QueryDef(
+        q_ext_corpus_pipeline, _ORACLES["ext_corpus_pipeline"]
     ),
     "ext_lang_id": QueryDef(q_ext_lang_id, _ORACLES["ext_lang_id"]),
     "ext_fingerprint": QueryDef(q_ext_fingerprint, _ORACLES["ext_fingerprint"]),

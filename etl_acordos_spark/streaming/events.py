@@ -326,6 +326,18 @@ def incremental_upsert_run(
     for p in (src, lake, ckpt):
         shutil.rmtree(p, ignore_errors=True)
 
+    # Same one-shot sizing rationale as run_stream_to_table: each batch's
+    # two latest-per-key windows and the snapshot rewrite inherit the
+    # session's shuffle partitions — at full width that's dozens of tiny
+    # tasks and part-files per microbatch for a snapshot of a few
+    # thousand keys. A production deployment sizes this to the key
+    # cardinality; restore on exit.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(4, spark.sparkContext.defaultParallelism)),
+    )
+
     cols = ["event_id", "user_id", "ts", "value"]
     events.select(*cols).repartition(n_batches).write.parquet(src)
     stream = (
@@ -360,11 +372,14 @@ def incremental_upsert_run(
         os.rename(tmp, lake)
         shutil.rmtree(old, ignore_errors=True)
 
-    (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    try:
+        (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(lake)

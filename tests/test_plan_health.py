@@ -73,6 +73,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_tfidf",  # 1-row corpus-size broadcast join
     "ext_boilerplate",  # same 1-row corpus-size broadcast join
     "ext_mixture_sample",  # 1-row token-budget broadcast join
+    "ext_corpus_pipeline",  # ends in the same 1-row budget join
     "ext_multimodal",  # binary payload demo joins a 1-row key
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
 }
