@@ -238,12 +238,14 @@ def q_ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       hash) → per-source cap (≤15 by stable hash rank) → token-budgeted
       mixture sample (MIXTURE_WEIGHTS, half the surviving tokens)
 
-    No step materializes: Catalyst sees the whole pipeline, so the scan
-    is shared, the quality filter is pushed below everything, and each
-    stage's shuffle carries only ids/digests/counts — document bodies
-    move zero times before the final audit aggregate. Every stage is the
-    library operator, not a re-implementation; the DuckDB oracle chains
-    the same four stages as CTEs."""
+    No step materializes: Catalyst sees the whole pipeline, each keep-
+    set joins back broadcast (plan-verified: 10 BroadcastHashJoins, no
+    sort-merge), and no shuffle ever carries document text — only ids,
+    digests, and counts move. Lazy branches re-derive the pruned scan
+    instead of materializing (fine here; at 100 TB persist the dedup and
+    cap boundaries — the medallion layer writes are those points). Every
+    stage is the library operator, not a re-implementation; the DuckDB
+    oracle chains the same four stages as CTEs."""
     from etl_acordos_spark.operators.dedup import exact_dedup
 
     docs = t(spark, sf_dir, "documents")

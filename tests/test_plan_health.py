@@ -103,6 +103,19 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_oracle):
     )
 
 
+def test_corpus_pipeline_bodies_never_shuffle(spark, sf_oracle):
+    """The one-plan corpus-prep capstone must join every stage's keep-set
+    back broadcast (no sort-merge join) and no Exchange may carry the
+    document text — the shuffles of a 100 TB corpus prep are ids,
+    digests, and counts, never bodies."""
+    df = contract.queries()["ext_corpus_pipeline"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for exch in re.findall(r"Exchange hashpartitioning\([^)]*\)", plan):
+        assert "text" not in exch, f"document body shuffled: {exch}"
+
+
 @pytest.mark.parametrize(
     "key",
     sorted(k for k in contract.queries() if k not in SKIP_PLAN_CHECK),
