@@ -52,8 +52,10 @@ from etl_acordos_spark.sources.records import records_to_df
 from etl_acordos_spark.sources.text_io import (
     read_csv,
     read_jsonl,
+    read_orc,
     write_csv,
     write_jsonl,
+    write_orc,
 )
 
 # ---------------------------------------------------------------- sources
@@ -175,6 +177,20 @@ def q_src_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_jsonl(spark, path, schema)
+
+
+def q_src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange: export `supplier` to ORC, read it back from the
+    file footer's schema. Columnar with stripe stats (pushdown/pruning
+    like Parquet) — the lake format when the ecosystem is ORC-native."""
+    path = os.path.join(scratch_dir(), "orc_roundtrip")
+    write_orc(
+        t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey"
+        ),
+        path,
+    )
+    return read_orc(spark, path)
 
 
 def q_snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +516,7 @@ _ORACLES: dict[str, str | None] = {
         "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
         " CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"
     ),
+    "src_orc": "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
     "snk_partitioned": (
         "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,"
         " CAST(year(o_orderdate) AS INTEGER) AS ano"
@@ -608,6 +625,7 @@ QUERIES: dict[str, QueryDef] = {
     "snk_parquet": QueryDef(q_snk_parquet, _ORACLES["snk_parquet"]),
     "src_csv": QueryDef(q_src_csv, _ORACLES["src_csv"]),
     "src_json": QueryDef(q_src_json, _ORACLES["src_json"]),
+    "src_orc": QueryDef(q_src_orc, _ORACLES["src_orc"]),
     "snk_partitioned": QueryDef(q_snk_partitioned, _ORACLES["snk_partitioned"]),
     "snk_dbapi_append": QueryDef(
         q_snk_dbapi_append,

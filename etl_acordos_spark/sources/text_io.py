@@ -49,3 +49,18 @@ def write_jsonl(df: DataFrame, path: str) -> str:
     """Write JSON lines."""
     df.write.mode("overwrite").json(path)
     return path
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC. Unlike the text formats, ORC is columnar with stripe
+    statistics — predicate pushdown and column pruning work as with
+    Parquet, so it's an acceptable lake format when the surrounding
+    ecosystem (e.g. Hive) is ORC-native; schema comes from the file
+    footer, no inference pass."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> str:
+    """Write ORC (zlib-compressed by default; splittable stripes)."""
+    df.write.mode("overwrite").orc(path)
+    return path
