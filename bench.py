@@ -79,6 +79,7 @@ HEADLINE = [
     "ext_token_count",
     "ext_quality_score",
     "ext_entropy",
+    "ext_lm_score",
     "ext_lang_id",
     "ext_fingerprint",
     "ext_pii_redact",

@@ -443,6 +443,39 @@ def boilerplate_ngrams(
     )
 
 
+def lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document surprisal under the corpus's own unigram LM —
+    bits/token = −mean log2 P(w), the cheap in-engine proxy for the
+    perplexity filters (KenLM-style) real pipelines run: documents of
+    corpus-typical words score low, rare-token gibberish scores high.
+
+    Plan: one explode+agg builds the unigram model, a 1-row total joins
+    in-plan, and the scored pass joins tokens→probs then re-aggregates
+    per doc. The vocab join is left to Catalyst (auto-broadcast here);
+    at 100 TB cap the model to a top-V vocab + OOV bucket so the
+    broadcast stays MBs, or let the token-keyed shuffle join run with
+    AQE handling stopword skew. MLE over the full corpus vocab means no
+    OOV smoothing is needed — every token has corpus support."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n")).withColumn("_k", F.lit(1))
+    probs = (
+        vocab.withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .select("w", F.log2(F.col("c") / F.col("n")).alias("logp"))
+    )
+    return (
+        tok.join(probs, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("bits_per_token"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     text_col: str,

@@ -47,6 +47,7 @@ from etl_acordos_spark.operators.text import (
     doc_chunks,
     fingerprints,
     lang_id,
+    lm_score,
     mixture_sample,
     pack_chunks,
     pii_redact,
@@ -276,6 +277,12 @@ def q_ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-entropy quality signal (bits/char)."""
     return char_entropy(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under the corpus unigram LM (bits/token)
+    — the cheap perplexity-filter proxy."""
+    return lm_score(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,6 +584,17 @@ _ORACLES: dict[str, str | None] = {
         " WHERE ((t.id * 2654435761) % 4294967296) / 4294967296.0 < r.rate"
         " GROUP BY t.lang"
     ),
+    "ext_lm_score": (
+        "WITH tok AS ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        "  FROM documents),"
+        " vocab AS (SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY w),"
+        " tot AS (SELECT sum(c) AS n FROM vocab),"
+        " probs AS (SELECT w, log2(c / n) AS logp FROM vocab, tot)"
+        " SELECT t.doc_id, count(*) AS n_tokens,"
+        "  round(-avg(p.logp), 4) AS bits_per_token"
+        " FROM tok t JOIN probs p USING (w) GROUP BY t.doc_id"
+    ),
     "ext_entropy": (
         "WITH freq AS ("
         "  SELECT doc_id, count(*)::DOUBLE AS n"
@@ -756,6 +774,7 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_quality_score, _ORACLES["ext_quality_score"]
     ),
     "ext_entropy": QueryDef(q_ext_entropy, _ORACLES["ext_entropy"]),
+    "ext_lm_score": QueryDef(q_ext_lm_score, _ORACLES["ext_lm_score"]),
     "ext_mixture_sample": QueryDef(
         q_ext_mixture_sample, _ORACLES["ext_mixture_sample"]
     ),

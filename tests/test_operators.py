@@ -173,6 +173,20 @@ def test_char_entropy_closed_forms(spark):
     assert got == {1: 2.0, 2: 0.0, 3: 0.0, 4: 1.0}
 
 
+def test_lm_score_closed_form(spark):
+    """Two-doc corpus with counts a=3, b=1: P(a)=0.75, P(b)=0.25.
+    doc1 = 'a a' → -log2(0.75) = 0.415; doc2 = 'a b' →
+    (0.415 + 2.0)/2 = 1.2075 bits/token."""
+    from etl_acordos_spark.operators.text import lm_score
+
+    df = spark.createDataFrame([(1, "a a"), (2, "a b")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in lm_score(df, "text", "doc_id").collect()
+    }
+    assert got == {1: (2, 0.415), 2: (2, 1.2075)}
+
+
 def test_mixture_sample_rates(spark):
     """A lang already under its target token share is taken whole
     (rate 1); an over-represented one is thinned toward target. Kept

@@ -74,6 +74,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_boilerplate",  # same 1-row corpus-size broadcast join
     "ext_mixture_sample",  # 1-row token-budget broadcast join
     "ext_corpus_pipeline",  # ends in the same 1-row budget join
+    "ext_lm_score",  # 1-row vocab-total broadcast join
     "ext_multimodal",  # binary payload demo joins a 1-row key
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
 }
