@@ -93,19 +93,23 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_tokens
     )
     stop_ratio = F.expr(_stop_hits("tok", "en")) / n_tokens
+    blend = (
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.25
+        + distinct_ratio * 0.25
+        + F.least(avg_token_len / F.lit(8.0), F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+    )
     return tok.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         F.round(distinct_ratio, 4).alias("distinct_ratio"),
         F.round(avg_token_len, 4).alias("avg_token_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(
-            F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.25
-            + distinct_ratio * 0.25
-            + F.least(avg_token_len / F.lit(8.0), F.lit(1.0)) * 0.25
-            + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25,
-            4,
-        ).alias("quality"),
+        # arithmetic half-up rounding, NOT round(): engines disagree on
+        # round() for doubles whose 15-digit decimal repr sits on a half
+        # (0.42374999999999996 → Spark .4237, DuckDB .4238); floor of
+        # the scaled double is bit-deterministic in both
+        (F.floor(blend * 10000.0 + 0.5) / 10000.0).alias("quality"),
     )
 
 

@@ -629,9 +629,19 @@ _ORACLES: dict[str, str | None] = {
         "  round(distinct_ratio, 4) AS distinct_ratio,"
         "  round(avg_token_len, 4) AS avg_token_len,"
         "  round(stop_ratio, 4) AS stopword_ratio,"
-        "  round(least(n_tokens / 200.0, 1.0) * 0.25 + distinct_ratio * 0.25"
-        "   + least(avg_token_len / 8.0, 1.0) * 0.25"
-        "   + least(stop_ratio * 5, 1.0) * 0.25, 4) AS quality"
+        # literals cast to DOUBLE (bare 0.25 is DECIMAL in DuckDB) and
+        # arithmetic floor-based half-up rounding instead of round():
+        # DuckDB's round() on doubles disagrees with Spark's for values
+        # whose decimal repr sits on a half (0.42374999999999996 →
+        # .4238 vs .4237) even when both engines hold the same double
+        "  floor((least(n_tokens / 200.0::DOUBLE, 1.0::DOUBLE)"
+        "    * 0.25::DOUBLE"
+        "   + distinct_ratio * 0.25::DOUBLE"
+        "   + least(avg_token_len / 8.0::DOUBLE, 1.0::DOUBLE)"
+        "    * 0.25::DOUBLE"
+        "   + least(stop_ratio * 5.0::DOUBLE, 1.0::DOUBLE)"
+        "    * 0.25::DOUBLE) * 10000.0::DOUBLE + 0.5::DOUBLE)"
+        "   / 10000.0::DOUBLE AS quality"
         " FROM m"
     ),
     "ext_lang_id": (
