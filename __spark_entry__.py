@@ -31,9 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ flagship)."""
-    out = {name: qd.fn for name, qd in all_queries().items()}
-    out["flagship"] = flagship
+    """One entry per implemented operator from SURVEY.md §2 (+ flagship).
+
+    The flagship sits at slot 2 (after the hoisted ``ext_approx``) so it
+    gains a hard driver CORRECTNESS row inside the first-50 window — see
+    ``all_queries`` for the window design.
+    """
+    regs = {name: qd.fn for name, qd in all_queries().items()}
+    out = {"ext_approx": regs.pop("ext_approx"), "flagship": flagship}
+    out.update(regs)
     return out
 
 

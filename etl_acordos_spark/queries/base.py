@@ -53,7 +53,19 @@ def scratch_dir() -> str:
 
 
 def all_queries() -> dict[str, QueryDef]:
-    """Merge every query module's registry (import here to avoid cycles)."""
+    """Merge every query module's registry (import here to avoid cycles).
+
+    Key ORDER is load-bearing: the driver's per-round CORRECTNESS check
+    caps at the first 50 registry keys. Rounds 1-2 covered the natural
+    core→relational head, so round 3 front-loads the surfaces that have
+    never had a hard driver row — the LLM-data-pipeline family, then
+    streaming, then extensibility — plus the repaired ``ext_approx``
+    hoisted to slot 1 so its previously-ERR row re-verifies clean (slot 2
+    is the flagship, inserted by ``__spark_entry__.queries()``). That
+    window is exactly 1 + 1 + 34 llm + 7 streaming + 7 extensibility =
+    50; the already-driver-green core/relational/pipeline keys rotate
+    behind it, guarded by tests/test_oracle_parity.py.
+    """
     from etl_acordos_spark.queries import (
         core,
         extensibility,
@@ -64,9 +76,11 @@ def all_queries() -> dict[str, QueryDef]:
     )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (core, relational, pipeline, llm, streaming, extensibility):
+    for mod in (llm, streaming, extensibility, core, relational, pipeline):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
         merged.update(mod.QUERIES)
-    return merged
+    out = {"ext_approx": merged.pop("ext_approx")}
+    out.update(merged)
+    return out
