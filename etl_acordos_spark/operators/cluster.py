@@ -66,15 +66,17 @@ def kmeans_assign(
     n_iter: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float = 1e-7,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column; returns (id, cluster).
 
     Deterministic end-to-end: init is the first k vectors by id; each
     recomputed centroid component is rounded to 9 dp before broadcast so
     the order-dependent last-ulp noise of a distributed float sum cannot
-    leak into assignments; fixed iteration count (convergence on this
-    well-conditioned objective is fast; a production loop adds a
-    movement-epsilon early exit).
+    leak into assignments. *n_iter* bounds the iterations; the loop
+    exits early once the max centroid movement drops below *tol* —
+    every converged iteration saved is one full assignment scan plus one
+    (cluster, pos) shuffle that never runs.
     """
     vecs = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     vecs.persist()
@@ -99,7 +101,11 @@ def kmeans_assign(
             new_C = C.copy()  # empty cluster keeps its old centroid
             for r in stats:
                 new_C[r["cluster"], r["pos"]] = r["m"]
-            C = np.round(new_C, 9)
+            new_C = np.round(new_C, 9)
+            moved = float(np.max(np.abs(new_C - C)))
+            C = new_C
+            if moved < tol:
+                break
 
         return vecs.select(
             F.col("id").alias(id_col),
@@ -195,7 +201,9 @@ def domain_cap(
     bodies (id + domain + hash only); text re-attaches by semi-join."""
     from pyspark.sql import Window
 
-    h = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    from etl_acordos_spark.functions.hashing import hash32
+
+    h = hash32(F.col(id_col))
     w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
     ranked = df.select(
         F.col(id_col), F.col(domain_col), F.row_number().over(w).alias("rn")

@@ -289,7 +289,9 @@ def stratified_sample(
     split's (`queries/relational.py q_ext_train_test_split`) so the two
     bucketings are uncorrelated.
     """
-    bucket = (F.col(key_col) * F.lit(2246822519)) % 4294967296 % 100
+    from etl_acordos_spark.functions.hashing import XX_PRIME, hash32
+
+    bucket = hash32(F.col(key_col), XX_PRIME) % 100
     rate = F.lit(default_rate)
     for value, pct in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)

@@ -48,6 +48,15 @@ def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _safe_norms(mat: np.ndarray) -> np.ndarray:
+    """Row L2 norms with zeros mapped to 1 — a zero vector stays zero
+    after "normalization" instead of becoming NaN and poisoning every
+    downstream distance/argmin."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return norms
+
+
 def exact_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -155,12 +164,12 @@ def ivf_topk(
         .collect()
     ]
     C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / _safe_norms(C)
 
     @F.pandas_udf("int")
     def assign_cell(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / _safe_norms(mat)
         return pd.Series(np.argmax(mat @ Cn.T, axis=1).astype(np.int32))
 
     assigned = df.select(
@@ -170,8 +179,15 @@ def ivf_topk(
     )
 
     qrow = df.filter(F.col(id_col) == query_id).select(as_double(vec_col)).head()
+    if qrow is None:
+        raise ValueError(f"ivf_topk: query id {query_id!r} not found in {id_col!r}")
     q = np.asarray(qrow[0], dtype=np.float64)
-    qn = q / np.linalg.norm(q)
+    q_norm = float(np.linalg.norm(q))
+    if q_norm == 0.0:
+        raise ValueError(
+            f"ivf_topk: query vector {query_id!r} has zero norm — cosine undefined"
+        )
+    qn = q / q_norm
     probe = np.argsort(-(Cn @ qn))[:n_probe].tolist()
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
 
@@ -246,7 +262,7 @@ def pq_topk(
         .collect()
     )
     S = np.stack([np.asarray(r[0], dtype=np.float64) for r in train])
-    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    S = S / _safe_norms(S)
     dim = S.shape[1]
     dsub = dim // m
     books = _pq_train_codebooks(S, m, ks, n_iter)
@@ -254,7 +270,7 @@ def pq_topk(
     @F.pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / _safe_norms(mat)
         codes = np.empty((len(mat), m), dtype=np.int32)
         for j in range(m):
             X = mat[:, j * dsub : (j + 1) * dsub]
@@ -263,8 +279,15 @@ def pq_topk(
         return pd.Series(list(codes))
 
     qrow = df.filter(F.col(id_col) == query_id).select(as_double(vec_col)).head()
+    if qrow is None:
+        raise ValueError(f"pq_topk: query id {query_id!r} not found in {id_col!r}")
     q = np.asarray(qrow[0], dtype=np.float64)
-    qn = q / np.linalg.norm(q)
+    q_norm = float(np.linalg.norm(q))
+    if q_norm == 0.0:
+        raise ValueError(
+            f"pq_topk: query vector {query_id!r} has zero norm — cosine undefined"
+        )
+    qn = q / q_norm
     # ADC lookup table: lut[j, c] = q_j · codeword_c  (IP on normalized
     # vectors ≈ cosine)
     lut = np.stack(

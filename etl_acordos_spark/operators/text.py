@@ -52,6 +52,11 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     column expression, so this is the module's one pandas-UDF operator:
     Arrow-batched, map-only, Counter+numpy per batch. Rounded to 4 dp so
     the engine's and the oracle's float summation orders agree.
+
+    NULL/empty text has no character distribution, so those docs are
+    DROPPED (not scored 0.0) — the same semantics a SQL engine gets for
+    free from unnesting an empty char list, keeping engine and oracle
+    row sets identical whatever the corpus contains.
     """
     import math
     from collections import Counter
@@ -68,7 +73,9 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 out[i] = math.log2(n) - float(counts @ np.log2(counts)) / n
         return pd.Series(out)
 
-    return df.select(
+    return df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
         F.col(id_col),
         F.round(ent(F.col(text_col)), 4).alias("char_entropy"),
     )
@@ -538,9 +545,9 @@ def mixture_sample(
             ).alias("rate"),
         )
     )
-    u = ((F.col("id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
-        4294967296.0
-    )
+    from etl_acordos_spark.functions.hashing import unit_hash
+
+    u = unit_hash(F.col("id"))
     return (
         tok.join(F.broadcast(rates), "lang")
         .filter(u < F.col("rate"))

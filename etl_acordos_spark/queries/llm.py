@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_acordos_spark.functions.hashing import sql_hash32, sql_unit_hash
 from etl_acordos_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -515,7 +516,7 @@ _ORACLES: dict[str, str | None] = {
         "SELECT doc_id, source FROM ("
         " SELECT doc_id, source, row_number() OVER ("
         "  PARTITION BY source"
-        "  ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC)"
+        f"  ORDER BY {sql_hash32('doc_id')} ASC, doc_id ASC)"
         "  AS rn FROM documents) WHERE rn <= 15"
     ),
     "ext_text_stats": (
@@ -541,7 +542,7 @@ _ORACLES: dict[str, str | None] = {
         "  SELECT doc_id, lang, text FROM ("
         "   SELECT doc_id, lang, text, row_number() OVER ("
         "    PARTITION BY source"
-        "    ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC)"
+        f"    ORDER BY {sql_hash32('doc_id')} ASC, doc_id ASC)"
         "    AS rn FROM deduped) WHERE rn <= 15),"
         " tok AS ("
         "  SELECT doc_id AS id, lang,"
@@ -560,7 +561,7 @@ _ORACLES: dict[str, str | None] = {
         " SELECT t.lang, count(*) AS n_docs,"
         "  sum(t.n_tok) AS n_tokens, round(first(r.rate), 6) AS rate"
         " FROM tok t JOIN rates r ON t.lang = r.lang"
-        " WHERE ((t.id * 2654435761) % 4294967296) / 4294967296.0 < r.rate"
+        f" WHERE {sql_unit_hash('t.id')} < r.rate"
         " GROUP BY t.lang"
     ),
     "ext_mixture_sample": (
@@ -581,7 +582,7 @@ _ORACLES: dict[str, str | None] = {
         " SELECT t.lang, count(*) AS n_docs,"
         "  sum(t.n_tok) AS n_tokens, round(first(r.rate), 6) AS rate"
         " FROM tok t JOIN rates r ON t.lang = r.lang"
-        " WHERE ((t.id * 2654435761) % 4294967296) / 4294967296.0 < r.rate"
+        f" WHERE {sql_unit_hash('t.id')} < r.rate"
         " GROUP BY t.lang"
     ),
     "ext_lm_score": (
@@ -596,10 +597,13 @@ _ORACLES: dict[str, str | None] = {
         " FROM tok t JOIN probs p USING (w) GROUP BY t.doc_id"
     ),
     "ext_entropy": (
+        # NULL/empty text drops out of the unnest anyway; the WHERE makes
+        # the drop-not-zero semantics explicit and future-data-proof.
         "WITH freq AS ("
         "  SELECT doc_id, count(*)::DOUBLE AS n"
         "  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch"
-        "        FROM documents)"
+        "        FROM documents"
+        "        WHERE text IS NOT NULL AND length(text) > 0)"
         "  GROUP BY doc_id, ch)"
         " SELECT doc_id,"
         "  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4)"
@@ -706,7 +710,7 @@ _ORACLES: dict[str, str | None] = {
     ),
     "ext_stratified_sample": (
         "SELECT doc_id, lang FROM documents"
-        " WHERE (doc_id * 2246822519) % 4294967296 % 100 <"
+        f" WHERE {sql_hash32('doc_id', 2246822519)} % 100 <"
         "  CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 80 ELSE 50 END"
     ),
     "ext_boilerplate": (

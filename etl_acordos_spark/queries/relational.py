@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_acordos_spark.functions.hashing import sql_hash32
 from etl_acordos_spark.operators.relational import (
     asof_join,
     merge_upsert,
@@ -246,8 +247,10 @@ def q_ext_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster layouts (no rand()); a production pipeline swaps the
     portable demo hash for xxhash64. Map-only: splits at 100 TB cost
     one scan, no shuffle."""
+    from etl_acordos_spark.functions.hashing import hash32
+
     docs = t(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % 4294967296 % 100
+    bucket = hash32(F.col("doc_id")) % 100
     return docs.select(
         "doc_id",
         F.when(bucket < 90, F.lit("train"))
@@ -331,14 +334,22 @@ def q_ext_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct + quantile sketch) — the
     100 TB path where exact distinct is a full shuffle. Rows-only: sketch
-    implementations differ across engines by design."""
+    implementations differ across engines by design.
+
+    The quantile sketch is computed ONCE (single percentile_approx
+    buffer) and projected into scalar columns — array outputs also break
+    the driver's canonicalizer (pandas can't sort list cells)."""
     lineitem = t(spark, sf_dir, "lineitem")
     return lineitem.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("pq"),
+    ).select(
+        "approx_orders",
+        "approx_parts",
+        F.col("pq")[0].alias("p50_price"),
+        F.col("pq")[1].alias("p95_price"),
+        F.col("pq")[2].alias("p99_price"),
     )
 
 
@@ -702,7 +713,7 @@ _ORACLES: dict[str, str | None] = {
     ),
     "ext_train_test_split": (
         "SELECT doc_id,"
-        " CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90"
+        f" CASE WHEN {sql_hash32('doc_id')} % 100 < 90"
         " THEN 'train' ELSE 'test' END AS split"
         " FROM documents"
     ),

@@ -332,47 +332,50 @@ def incremental_upsert_run(
     # tasks and part-files per microbatch for a snapshot of a few
     # thousand keys. A production deployment sizes this to the key
     # cardinality; restore on exit.
+    # The try/finally starts at the override itself: the seed write and
+    # stream construction below also run under the narrowed setting, and
+    # an exception anywhere in setup must not leak it into the session.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(min(4, spark.sparkContext.defaultParallelism)),
-    )
-
-    cols = ["event_id", "user_id", "ts", "value"]
-    events.select(*cols).repartition(n_batches).write.parquet(src)
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-
-    latest_order = [F.col("ts").desc(), F.col("event_id").desc()]
-
-    def latest_per_user(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy(*latest_order)
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(4, spark.sparkContext.defaultParallelism)),
         )
 
-    def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        upserts = latest_per_user(batch)
-        if os.path.exists(lake):
-            merged = latest_per_user(
-                spark.read.parquet(lake).unionByName(upserts)
-            )
-        else:
-            merged = upserts
-        tmp = f"{lake}_v{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{lake}_old{batch_id}"
-        if os.path.exists(lake):
-            os.rename(lake, old)
-        os.rename(tmp, lake)
-        shutil.rmtree(old, ignore_errors=True)
+        cols = ["event_id", "user_id", "ts", "value"]
+        events.select(*cols).repartition(n_batches).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
 
-    try:
+        latest_order = [F.col("ts").desc(), F.col("event_id").desc()]
+
+        def latest_per_user(df: DataFrame) -> DataFrame:
+            w = Window.partitionBy("user_id").orderBy(*latest_order)
+            return (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+
+        def merge_batch(batch: DataFrame, batch_id: int) -> None:
+            upserts = latest_per_user(batch)
+            if os.path.exists(lake):
+                merged = latest_per_user(
+                    spark.read.parquet(lake).unionByName(upserts)
+                )
+            else:
+                merged = upserts
+            tmp = f"{lake}_v{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            old = f"{lake}_old{batch_id}"
+            if os.path.exists(lake):
+                os.rename(lake, old)
+            os.rename(tmp, lake)
+            shutil.rmtree(old, ignore_errors=True)
+
         (
             stream.writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", ckpt)

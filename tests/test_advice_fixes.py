@@ -1,0 +1,151 @@
+"""Regression tests for the round-1/2 ADVICE.md defects.
+
+(a) char_entropy NULL/empty-text parity — NULL and empty docs are
+    DROPPED (matching the SQL oracle's unnest semantics), not scored 0.0.
+(b) pq_topk / ivf_topk — missing query id raises a clear ValueError;
+    zero-norm corpus vectors cannot poison distances with NaN.
+(c) incremental_upsert_run — the shuffle-partitions override is restored
+    even when setup fails before the stream starts.
+(d) sampling hashes — wrap-free DECIMAL(38,0) arithmetic keeps the
+    engine bit-identical to Python/DuckDB for ids past the int64 wrap
+    point (~3.47e9 for the Knuth multiplier).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_acordos_spark.functions.hashing import (
+    KNUTH_C,
+    M32,
+    XX_PRIME,
+    hash32,
+    sql_hash32,
+    sql_unit_hash,
+    unit_hash,
+)
+from etl_acordos_spark.operators.simsearch import ivf_topk, pq_topk
+from etl_acordos_spark.operators.text import char_entropy
+
+
+# ------------------------------------------------------------------ (a)
+
+
+def test_char_entropy_drops_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, None), (3, ""), (4, "zzzz")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["char_entropy"] for r in char_entropy(df, "text", "doc_id").collect()}
+    assert set(got) == {1, 4}, "NULL/empty docs must be dropped, not scored"
+    assert got[1] == pytest.approx(1.0)
+    assert got[4] == pytest.approx(0.0)
+
+
+# ------------------------------------------------------------------ (b)
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _grid_vectors(n: int, dim: int = 16):
+    # deterministic non-degenerate vectors
+    return [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 + 0.01 for j in range(dim)])
+        for i in range(n)
+    ]
+
+
+def test_pq_topk_missing_query_id_raises(spark):
+    df = _vec_df(spark, _grid_vectors(40))
+    with pytest.raises(ValueError, match="query id 999"):
+        pq_topk(df, query_id=999, k=3, m=4, ks=8, train_n=32)
+
+
+def test_ivf_topk_missing_query_id_raises(spark):
+    df = _vec_df(spark, _grid_vectors(40))
+    with pytest.raises(ValueError, match="query id 999"):
+        ivf_topk(df, query_id=999, k=3, n_lists=4, n_probe=2)
+
+
+def test_pq_topk_zero_norm_query_raises(spark):
+    rows = _grid_vectors(40)
+    rows[5] = (5, [0.0] * 16)
+    df = _vec_df(spark, rows)
+    with pytest.raises(ValueError, match="zero norm"):
+        pq_topk(df, query_id=5, k=3, m=4, ks=8, train_n=32)
+
+
+def test_pq_topk_zero_norm_corpus_vector_is_not_nan(spark):
+    rows = _grid_vectors(40)
+    rows[7] = (7, [0.0] * 16)  # zero vector inside corpus AND train sample
+    df = _vec_df(spark, rows)
+    out = pq_topk(df, query_id=1, k=5, m=4, ks=8, train_n=32).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["cosine"] is not None
+        assert r["cosine"] == r["cosine"], "NaN cosine leaked from zero-norm vector"
+
+
+# ------------------------------------------------------------------ (c)
+
+
+def test_incremental_upsert_restores_shuffle_partitions_on_setup_failure(
+    spark, tmp_path
+):
+    from etl_acordos_spark.streaming.events import incremental_upsert_run
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    # events frame lacking the expected columns → setup (select) throws
+    bad = spark.range(3).toDF("event_id")
+    with pytest.raises(Exception):
+        incremental_upsert_run(spark, bad, str(tmp_path), n_batches=2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ------------------------------------------------------------------ (d)
+
+WRAP_IDS = [0, 1, 97, 3_470_000_000, 2**40 + 17, 2**62 + 123, 2**63 - 1]
+
+
+def test_hash32_matches_python_past_int64_wrap(spark):
+    df = spark.createDataFrame([(i,) for i in WRAP_IDS], "id bigint")
+    for mult in (KNUTH_C, XX_PRIME):
+        got = {
+            r["id"]: int(r["h"])
+            for r in df.select("id", hash32(F.col("id"), mult).alias("h")).collect()
+        }
+        for i in WRAP_IDS:
+            assert got[i] == (i * mult) % M32, (mult, i)
+
+
+def test_unit_hash_matches_duckdb_past_int64_wrap(spark):
+    import duckdb
+
+    df = spark.createDataFrame([(i,) for i in WRAP_IDS], "id bigint")
+    got = {
+        r["id"]: r["u"]
+        for r in df.select("id", unit_hash(F.col("id")).alias("u")).collect()
+    }
+    rel = duckdb.sql(
+        "SELECT id, "
+        + sql_unit_hash("id")
+        + " AS u FROM (SELECT unnest($ids::BIGINT[]) AS id)",
+        params={"ids": WRAP_IDS},
+    ).fetchall()
+    for i, u in rel:
+        assert got[i] == u, i
+
+
+def test_sql_hash32_matches_python():
+    import duckdb
+
+    rel = duckdb.sql(
+        "SELECT id, " + sql_hash32("id") + " AS h"
+        " FROM (SELECT unnest($ids::BIGINT[]) AS id)",
+        params={"ids": WRAP_IDS},
+    ).fetchall()
+    for i, h in rel:
+        assert int(h) == (i * KNUTH_C) % M32, i
