@@ -312,16 +312,20 @@ def keep_representatives(
     max_iter: int = 10,
 ) -> DataFrame:
     """Reduce a near-duplicate PAIR set to a KEEP set: connected
-    components over the pair graph via iterative min-label propagation;
-    the kept document of each cluster is its smallest id.
+    components over the pair graph via min-label propagation with
+    POINTER JUMPING; the kept document of each cluster is its smallest
+    id.
 
     This is the operator a real dedup pipeline ends with — emitting all
-    pairs is O(cluster²) output, the keep set is O(n). Each iteration is
-    one join + one aggregate on (id, label) longs; label propagation
-    halves path lengths per round, so max_iter=10 covers clusters with
-    diameter 2^10. Iterates only while labels still change (driver-side
-    count check per round — an iterative algorithm, the one place a
-    driver loop is the right Spark shape).
+    pairs is O(cluster²) output, the keep set is O(n). Each round is a
+    neighbor-min hop (one join + one aggregate on (id, label) longs)
+    followed by a path-halving jump (``label := label(label)``, a
+    self-join of the label table) — the jump is what turns O(diameter)
+    rounds into O(log diameter): a 1000-node chain converges in 10
+    rounds, property-tested in tests/test_properties.py. Iterates only
+    while labels still change (driver-side count check per round — an
+    iterative algorithm, the one place a driver loop is the right Spark
+    shape). All shuffles carry ids only, never document payloads.
     """
     spark = docs.sparkSession
     edges = (
@@ -342,24 +346,43 @@ def keep_representatives(
         str(spark.sparkContext.defaultParallelism),
     )
     try:
+        # The pair stream feeding `edges` can be an expensive plan (LSH
+        # banding); cache it so each round re-reads, not re-derives.
+        edges = edges.cache()
         labels = docs.select(
             F.col(id_col).alias("a"), F.col(id_col).alias("label")
-        ).cache()
+        ).localCheckpoint(eager=True)
         for _ in range(max_iter):
             neighbor_min = (
                 edges.join(labels.withColumnRenamed("a", "b"), "b")
                 .groupBy("a")
                 .agg(F.min("label").alias("nlabel"))
             )
+            hopped = labels.join(neighbor_min, "a", "left").select(
+                "a",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            # pointer jump (path halving): label := label(label). Labels
+            # are monotone (label(v) <= v), so the parent lookup always
+            # moves toward the component minimum; coalesce covers labels
+            # pointing at ids outside the doc set (defensive).
+            parents = hopped.select(
+                F.col("a").alias("label"), F.col("label").alias("jlabel")
+            )
+            # localCheckpoint, not cache: the jump references `hopped`
+            # twice, so an uncut lineage would DOUBLE the logical plan
+            # every round — exponential analyzer blow-up by iteration
+            # ~10. Checkpointing materializes the round and resets the
+            # plan to a leaf (iterative algorithms are the one place
+            # lineage must be cut by hand).
             new_labels = (
-                labels.join(neighbor_min, "a", "left")
+                hopped.join(parents, "label", "left")
                 .select(
-                    "a",
-                    F.least(
-                        F.col("label"), F.coalesce("nlabel", F.col("label"))
-                    ).alias("label"),
+                    "a", F.coalesce("jlabel", F.col("label")).alias("label")
                 )
-                .cache()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -368,7 +391,6 @@ def keep_representatives(
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break

@@ -43,6 +43,30 @@ class TestKmeans:
         assert len(a) == emb.count()  # every vector assigned exactly once
         assert {c for _, c in a} <= set(range(10))
 
+    def test_early_exit_on_convergence(self, spark, monkeypatch):
+        """Well-separated blobs converge after one centroid update; with
+        tol set, a 50-iteration budget must NOT run 50 assignment scans."""
+        import etl_acordos_spark.operators.cluster as cl
+
+        calls: list[int] = []
+        orig = cl._assign_udf
+
+        def counting(C):
+            calls.append(1)
+            return orig(C)
+
+        monkeypatch.setattr(cl, "_assign_udf", counting)
+        out = kmeans_assign(
+            _blob_df(spark), k=3, n_iter=50, tol=1e-7
+        ).collect()
+        # loop iterations + the final assignment projection
+        assert len(calls) <= 4, f"no early exit: {len(calls)} assignment scans"
+        by_blob: dict[int, set[int]] = {}
+        for r in out:
+            by_blob.setdefault(r["vec_id"] // 10, set()).add(r["cluster"])
+        assert all(len(cs) == 1 for cs in by_blob.values())
+        assert len({cs.pop() for cs in by_blob.values()}) == 3
+
 
 class TestSemanticDedup:
     def test_same_cluster_duplicate_dropped_cross_cluster_kept(self, spark):

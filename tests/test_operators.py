@@ -159,7 +159,8 @@ def test_pq_recall_vs_exact_topk(spark, sf_oracle):
 
 def test_char_entropy_closed_forms(spark):
     """Entropy of a uniform 4-char string is exactly 2 bits; a
-    single-repeated-char string is 0; empty text is 0 by convention."""
+    single-repeated-char string is 0; empty text is DROPPED (no char
+    distribution — matches the SQL oracle's unnest semantics)."""
     from etl_acordos_spark.operators.text import char_entropy
 
     df = spark.createDataFrame(
@@ -170,7 +171,7 @@ def test_char_entropy_closed_forms(spark):
         r["doc_id"]: r["char_entropy"]
         for r in char_entropy(df, "text", "doc_id").collect()
     }
-    assert got == {1: 2.0, 2: 0.0, 3: 0.0, 4: 1.0}
+    assert got == {1: 2.0, 2: 0.0, 4: 1.0}
 
 
 def test_lm_score_closed_form(spark):
@@ -228,6 +229,25 @@ def test_keep_representatives_components(spark):
         for r in keep_representatives(docs, pairs, "doc_id").collect()
     )
     assert kept == [1, 10, 99]
+
+
+def test_keep_representatives_long_chain_pointer_jumping(spark):
+    """A 1000-node path (diameter 999) must collapse to one keep within
+    the default iteration budget — only possible because each round
+    pointer-jumps (path halving), not 1-hop propagation: 10 rounds, not
+    1000."""
+    from etl_acordos_spark.operators.dedup import keep_representatives
+
+    n = 1000
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    kept = [
+        r["doc_id"]
+        for r in keep_representatives(docs, pairs, "doc_id").collect()
+    ]
+    assert kept == [0]
 
 
 def test_pii_redact_patterns(spark):
