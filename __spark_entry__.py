@@ -22,11 +22,30 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from etl_acordos_spark.flagship import FLAGSHIP_ORACLE, flagship  # noqa: E402
-from etl_acordos_spark.queries.base import all_queries  # noqa: E402
+from etl_acordos_spark.queries.base import (  # noqa: E402
+    all_queries,
+    ensure_package_shipped,
+)
+
+
+def _shipped(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Ship the package zip to executors before the first plan builds —
+    operators that pickle package functions (pandas UDFs, mapInPandas)
+    must import `etl_acordos_spark` inside workers even when the driver
+    harness launches from an arbitrary cwd."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_package_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    ensure_package_shipped(spark)
     return flagship(spark, "/root/testdata/sf0.001")
 
 
@@ -37,8 +56,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gains a hard driver CORRECTNESS row inside the first-50 window — see
     ``all_queries`` for the window design.
     """
-    regs = {name: qd.fn for name, qd in all_queries().items()}
-    out = {"ext_approx": regs.pop("ext_approx"), "flagship": flagship}
+    regs = {name: _shipped(qd.fn) for name, qd in all_queries().items()}
+    out = {
+        "ext_approx": regs.pop("ext_approx"),
+        "flagship": _shipped(flagship),
+    }
     out.update(regs)
     return out
 

@@ -21,6 +21,10 @@ if _REPO_ROOT not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+#: min-of-N runs per query (N>=2 amortizes JIT; bump for variance hunts)
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+#: prior-round bench file to emit per-query ratios against (variance audit)
+BASELINE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r01.json")
 
 # Heavy/representative subset of the §2 registry: star join, hash agg,
 # window functions, time windows, JSON, set ops, the LLM-pipeline family
@@ -68,6 +72,7 @@ HEADLINE = [
     "ext_stream_upsert",
     "ext_dedup_exact",
     "ext_dedup_near",
+    "ext_passage_dedup",
     "ext_dedup_simhash",
     "ext_simsearch",
     "ext_simsearch_ann",
@@ -141,21 +146,40 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        timings[name] = round(min(run(name), run(name)), 4)
+        timings[name] = round(min(run(name) for _ in range(RUNS)), 4)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    payload = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Per-query ratio vs a prior round's bench file (run-to-run variance
+    # audit — VERDICT r2 item 5). Extra key; drivers that only read the
+    # contract fields ignore it.
+    base_path = os.path.join(_REPO_ROOT, BASELINE_BENCH)
+    if os.path.exists(base_path):
+        try:
+            with open(base_path) as f:
+                raw = json.load(f)
+            # driver round files nest the printed line under "parsed"
+            base = raw.get("queries") or raw.get("parsed", {}).get(
+                "queries", {}
+            )
+            ratios = {
+                k: round(v / base[k], 3)
+                for k, v in timings.items()
+                if base.get(k)
             }
-        )
-    )
+            if ratios:
+                payload["ratios_vs_baseline"] = ratios
+                payload["baseline_bench"] = os.path.basename(base_path)
+        except (OSError, ValueError, ZeroDivisionError):
+            pass
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -601,3 +601,69 @@ def pack_chunks(
             F.sum(tokens_col).cast("long").alias("n_tokens"),
         )
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    words_per_passage: int = 10,
+) -> DataFrame:
+    """Global passage-level dedup (the C4 "three-sentence span" rule,
+    re-expressed over deterministic word windows because the corpus has
+    no sentence markers): split every document into consecutive
+    ``words_per_passage``-word passages, keep each distinct passage only
+    at its first occurrence ordered by (doc_id, passage index), and
+    reassemble documents from their surviving passages.
+
+    Returns ``(id_col, text, n_passages)`` — documents whose every
+    passage was seen earlier elsewhere disappear entirely.
+
+    Scale shape (100 TB): chunking is map-side Catalyst HOFs (split +
+    sequence + slice — no Python). The dedup decision shuffles only
+    ``(xxhash64(passage), doc_id, passage_idx)`` — never passage bodies
+    — through one window; the surviving indexes are folded to one
+    ``keep``-array row per doc (ids-only shuffle), and a single
+    doc_id-keyed join hands each document its keep-set, after which the
+    rebuild (re-chunk + filter by index + re-join words) is pure
+    map-side. Document text crosses the wire exactly once, and the plan
+    never groups-by or windows over passage bodies.
+    """
+    from pyspark.sql import Window
+
+    n = words_per_passage
+    chunk_expr = (
+        f"transform(sequence(1, size(w), {n}),"
+        f" s -> array_join(slice(w, s, {n}), ' '))"
+    )
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    )
+    digests = words.select(
+        id_col,
+        F.posexplode(F.expr(f"transform({chunk_expr}, p -> xxhash64(p))")).alias(
+            "pidx", "dig"
+        ),
+    )
+    w_first = Window.partitionBy("dig").orderBy(
+        F.col(id_col).asc(), F.col("pidx").asc()
+    )
+    keep_sets = (
+        digests.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("pidx").alias("keep"))
+    )
+    rebuilt = words.join(keep_sets, [id_col], "inner").select(
+        id_col,
+        F.expr(
+            "filter("
+            f" transform({chunk_expr}, (p, i) -> struct(i as i, p as p)),"
+            " c -> array_contains(keep, c.i))"
+        ).alias("kept"),
+    )
+    return rebuilt.select(
+        id_col,
+        F.expr("array_join(transform(kept, c -> c.p), ' ')").alias("text"),
+        F.size("kept").cast("long").alias("n_passages"),
+    )

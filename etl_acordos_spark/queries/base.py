@@ -23,6 +23,63 @@ class QueryDef:
     oracle: str | None = None
 
 
+_SHIPPED_CONTEXTS: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make `etl_acordos_spark` importable inside executor Python
+    workers regardless of the driver process's cwd.
+
+    The driver harness imports ``__spark_entry__`` by path, so the
+    *driver* always resolves the package — but local-mode Python workers
+    inherit the driver's cwd, not its ``sys.path``, so any operator that
+    pickles a package function (pandas UDFs, mapInPandas) dies with
+    ModuleNotFoundError when the harness launches from another
+    directory. Shipping the package archive via ``addPyFile`` is also
+    exactly what a real 1000-executor deployment does (``--py-files``),
+    so the sandbox path and the cluster path are the same code.
+
+    The zip is rebuilt only when a module mtime moves; re-adding the
+    same path to the same context is a Spark no-op, and the context
+    guard keeps the common case to one set lookup.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_CONTEXTS:
+        return
+    import tempfile
+    import zipfile
+
+    import etl_acordos_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    stamp = max(
+        int(os.stat(os.path.join(root, f)).st_mtime)
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"etl_acordos_spark_{stamp}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "etl_acordos_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    _SHIPPED_CONTEXTS.add(app_id)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

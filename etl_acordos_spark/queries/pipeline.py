@@ -313,9 +313,35 @@ def q_ext_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global passage dedup over documents.text: every
+    10-word passage is kept only at its first (doc_id, position)
+    occurrence corpus-wide; documents are rebuilt from surviving
+    passages. See operators/text.py:passage_dedup for the 100 TB
+    shuffle shape (digests-only dedup window, text moves once)."""
+    from etl_acordos_spark.operators.text import passage_dedup
+
+    return passage_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 # ---------------------------------------------------------------- oracles
 
 _ORACLES: dict[str, str | None] = {
+    "ext_passage_dedup": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words"
+        "  FROM documents),"
+        " c AS (SELECT doc_id, i.pidx AS pidx,"
+        "   array_to_string(list_slice(words, i.pidx*10 + 1,"
+        "    i.pidx*10 + 10), ' ') AS passage"
+        "  FROM w, LATERAL (SELECT unnest(generate_series(0,"
+        "   CAST((len(words)+9)//10 AS BIGINT) - 1)) AS pidx) i),"
+        " r AS (SELECT doc_id, pidx, passage,"
+        "   row_number() OVER (PARTITION BY passage"
+        "    ORDER BY doc_id, pidx) AS rn FROM c)"
+        " SELECT doc_id, string_agg(passage, ' ' ORDER BY pidx) AS text,"
+        "  count(*) AS n_passages"
+        " FROM r WHERE rn = 1 GROUP BY doc_id"
+    ),
     "ext_cdc_diff": (
         "WITH old AS (SELECT o_orderkey, round(o_totalprice, 2) AS price"
         "  FROM orders WHERE o_orderkey % 89 <> 0),"
@@ -436,5 +462,8 @@ QUERIES: dict[str, QueryDef] = {
     "ext_compaction": QueryDef(q_ext_compaction, None),
     "ext_schema_evolution": QueryDef(
         q_ext_schema_evolution, _ORACLES["ext_schema_evolution"]
+    ),
+    "ext_passage_dedup": QueryDef(
+        q_ext_passage_dedup, _ORACLES["ext_passage_dedup"]
     ),
 }

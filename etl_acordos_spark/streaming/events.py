@@ -320,11 +320,17 @@ def incremental_upsert_run(
 
     from pyspark.sql import Window
 
-    src = os.path.join(base_dir, "stream_upsert_src")
-    lake = os.path.join(base_dir, "stream_upsert_lake")
-    ckpt = os.path.join(base_dir, "stream_upsert_ckpt")
-    for p in (src, lake, ckpt):
-        shutil.rmtree(p, ignore_errors=True)
+    # PID-scoped working dirs: a structured-streaming checkpoint is
+    # fatally corrupted if another process rmtree's it mid-run (observed
+    # as "ckpt/commits does not exist" when two harnesses run this query
+    # concurrently against the same scratch root), so each process gets
+    # its own trio (fresh-started per run; the snapshot must outlive this
+    # call because the returned DataFrame reads it lazily).
+    run_ns = os.path.join(base_dir, f"stream_upsert_{os.getpid()}")
+    src = os.path.join(run_ns, "src")
+    lake = os.path.join(run_ns, "lake")
+    ckpt = os.path.join(run_ns, "ckpt")
+    shutil.rmtree(run_ns, ignore_errors=True)
 
     # Same one-shot sizing rationale as run_stream_to_table: each batch's
     # two latest-per-key windows and the snapshot rewrite inherit the

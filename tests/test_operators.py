@@ -579,3 +579,35 @@ def test_boilerplate_hashed_matches_string_grams(spark, sf_oracle):
         ).collect()
     )
     assert string_form == hashed_form and string_form
+
+
+def test_passage_dedup_removes_repeats_and_rebuilds(spark):
+    from etl_acordos_spark.operators.text import passage_dedup
+
+    p1 = "a b c d e f g h i j"  # exactly one 10-word passage
+    p2 = "k l m n o p q r s t"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {p2}"),  # original: both passages survive
+            (2, p1),  # fully duplicated -> doc disappears
+            (3, f"{p2} zz"),  # p2 dup removed, tail passage 'zz' kept
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_passages"])
+        for r in passage_dedup(docs, "text", "doc_id").collect()
+    }
+    assert got == {1: (f"{p1} {p2}", 2), 3: ("zz", 1)}
+
+
+def test_passage_dedup_first_occurrence_order(spark):
+    from etl_acordos_spark.operators.text import passage_dedup
+
+    p = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(10, p), (2, p)], ["doc_id", "text"]
+    )
+    got = passage_dedup(docs, "text", "doc_id").collect()
+    # lowest doc_id wins, regardless of input order
+    assert [(r["doc_id"], r["n_passages"]) for r in got] == [(2, 1)]

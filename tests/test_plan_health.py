@@ -117,6 +117,23 @@ def test_corpus_pipeline_bodies_never_shuffle(spark, sf_oracle):
         assert "text" not in exch, f"document body shuffled: {exch}"
 
 
+def test_passage_dedup_bodies_cross_wire_once(spark, sf_oracle):
+    """Passage dedup: the first-occurrence decision must ride on
+    xxhash64 digests — the only Exchange allowed to carry document/
+    passage text is the single doc_id-keyed join that hands each doc
+    its keep-set (text crosses the wire exactly once)."""
+    df = contract.queries()["ext_passage_dedup"](spark, sf_oracle)
+    plan = plan_of(df)
+    carrying = [
+        exch
+        for exch in re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        if "text" in exch or "passage" in exch or re.search(r"\bw\b", exch)
+    ]
+    assert len(carrying) <= 1, (
+        "document bodies shuffled more than once:\n" + "\n".join(carrying)
+    )
+
+
 @pytest.mark.parametrize(
     "key",
     sorted(k for k in contract.queries() if k not in SKIP_PLAN_CHECK),
