@@ -667,3 +667,91 @@ def passage_dedup(
         F.expr("array_join(transform(kept, c -> c.p), ' ')").alias("text"),
         F.size("kept").cast("long").alias("n_passages"),
     )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 4,
+    m_bits: int = 1 << 22,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Constant-memory benchmark decontamination: the eval set's word
+    *ngram*-grams are folded into an *m_bits* Bloom filter (k_hashes
+    seeded xxhash64 probes per gram) and every training document is
+    flagged with the count of its distinct grams the filter claims to
+    contain. Output: (id, n_bloom_hits) for flagged docs only — a
+    superset of the exact `decontaminate` hit set (false positives at
+    rate ~(k·n/m)^k, zero false negatives; callers route flagged docs
+    to the exact re-check).
+
+    Why this exists next to `decontaminate(hashed=True)`: the exact
+    path broadcasts one long per eval gram, so its executor footprint
+    grows with the eval suite; the Bloom bitset is a FIXED m_bits/8
+    bytes (512 KiB at the default) no matter how many benchmarks are
+    folded in — the probe side stays one broadcast row + pure Catalyst
+    bit arithmetic, and the 100 TB train scan still never shuffles.
+
+    The bitset is built distributively (grams → k bit positions →
+    distinct), and only the positions ever reach the driver — bounded
+    by k·|eval grams|, independent of corpus size.
+    """
+    from etl_acordos_spark.operators.dedup import hashed_word_shingles
+
+    assert m_bits % 64 == 0, "m_bits must pack into 64-bit words"
+    m = m_bits
+
+    def gram_sets(df: DataFrame) -> DataFrame:
+        tok = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
+        )
+        return tok.select(
+            id_col, hashed_word_shingles("tok", ngram).alias("gs")
+        )
+
+    def positions(gram: str, seed: int) -> str:
+        return f"pmod(xxhash64({gram}, {seed}), {m})"
+
+    pos_rows = (
+        gram_sets(eval_docs)
+        .select(F.explode("gs").alias("g"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(positions("g", s)).cast("long")
+                        for s in range(k_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    for r in pos_rows:
+        p = int(r["p"])
+        bits[p // 64] |= np.uint64(1) << np.uint64(p % 64)
+    bits_df = train.sparkSession.createDataFrame(
+        [(bits.view(np.int64).tolist(),)], "bloom array<bigint>"
+    )
+
+    def probe(seed: int) -> str:
+        p = positions("g", seed)
+        return (
+            f"(shiftright(element_at(bloom, cast({p} div 64 as int) + 1),"
+            f" cast({p} % 64 as int)) & 1) = 1"
+        )
+
+    test = " AND ".join(probe(s) for s in range(k_hashes))
+    return (
+        gram_sets(train)
+        .join(F.broadcast(bits_df))
+        .select(
+            id_col,
+            F.expr(f"size(filter(gs, g -> {test}))").alias("n_bloom_hits"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+    )

@@ -324,6 +324,26 @@ def q_ext_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_ext_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (constant-memory variant of
+    ext_decontaminate, same eval split): eval 4-grams folded into a
+    fixed 512 KiB bitset, training docs flagged via pure-Catalyst bit
+    probes. Rows-only check by design — the hit set is a deterministic
+    superset of the exact path's (false-positive rate ~(k·n/m)^k), and
+    tests/test_operators.py pins superset + FP-bound against the exact
+    operator."""
+    from etl_acordos_spark.operators.text import bloom_decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        train=docs.filter(F.col("doc_id") % 50 != 0),
+        eval_docs=docs.filter(F.col("doc_id") % 50 == 0),
+        text_col="text",
+        id_col="doc_id",
+        ngram=4,
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _ORACLES: dict[str, str | None] = {
@@ -466,4 +486,5 @@ QUERIES: dict[str, QueryDef] = {
     "ext_passage_dedup": QueryDef(
         q_ext_passage_dedup, _ORACLES["ext_passage_dedup"]
     ),
+    "ext_bloom_decontam": QueryDef(q_ext_bloom_decontam, None),
 }

@@ -611,3 +611,62 @@ def test_passage_dedup_first_occurrence_order(spark):
     got = passage_dedup(docs, "text", "doc_id").collect()
     # lowest doc_id wins, regardless of input order
     assert [(r["doc_id"], r["n_passages"]) for r in got] == [(2, 1)]
+
+
+def test_bloom_decontaminate_superset_of_exact_with_bounded_fp(
+    spark, sf_oracle
+):
+    """Bloom hits must include every exact hit with hit counts >= the
+    exact shared-gram counts (zero false negatives); false positives
+    are bounded far below the corpus size at the default sizing."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.text import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    exact = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in decontaminate(train, ev, "text", "doc_id", ngram=4).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in bloom_decontaminate(
+            train, ev, "text", "doc_id", ngram=4
+        ).collect()
+    }
+    assert set(exact) <= set(bloom), "bloom missed an exact hit (FN)"
+    for doc_id, n in exact.items():
+        assert bloom[doc_id] >= n, (doc_id, bloom[doc_id], n)
+    n_train = train.count()
+    false_pos = len(bloom) - len(exact)
+    assert false_pos <= max(2, n_train // 100), (false_pos, n_train)
+
+
+def test_bloom_decontaminate_tiny_filter_saturates_to_all_hits(spark):
+    """Degenerate sizing sanity: with m_bits tiny every bit saturates
+    and every training doc is flagged — the probe math itself (word
+    indexing, shifts) cannot silently drop bits."""
+    # ~400 distinct eval grams x 2 hashes over 64 bits: every bit is set
+    # with overwhelming probability, so every train doc must be flagged
+    long_eval = " ".join(f"w{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, long_eval), (2, "v w x y z"), (3, "q r s t u")],
+        ["doc_id", "text"],
+    )
+    from etl_acordos_spark.operators.text import bloom_decontaminate
+
+    out = bloom_decontaminate(
+        train=docs,
+        eval_docs=docs.limit(1),
+        text_col="text",
+        id_col="doc_id",
+        ngram=4,
+        m_bits=64,
+        k_hashes=2,
+    ).collect()
+    assert len(out) == 3

@@ -77,6 +77,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_lm_score",  # 1-row vocab-total broadcast join
     "ext_multimodal",  # binary payload demo joins a 1-row key
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
+    "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
 }
 
 #: keys that execute eagerly on build (streams, sinks) or need scratch
