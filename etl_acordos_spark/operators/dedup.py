@@ -120,6 +120,66 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ------------------------------------------------------------ MinHash-LSH
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash signature machinery: returns ``(base, bandtab)``
+    where base = (doc, sh) shingle-hash sets and bandtab = (doc,
+    band_idx, band_val), cached (multiple plan branches read it).
+
+    hash-shingle (n-gram hashes computed straight from the token array —
+    no shingle strings ever materialize) → derive the num_perm
+    permutations as Carter-Wegman universal hashes (a*h+b) mod p,
+    p = 2^31-1, over the reduced base hash — the standard MinHash
+    permutation family (what datasketch uses): one multiply+add+mod per
+    perm instead of a full hash call, and every intermediate stays under
+    2^62 so ANSI-mode arithmetic never overflows → band each signature
+    into bands slices of num_perm//bands rows. The permutation constants
+    are seeded, so two invocations (e.g. a corpus index built last month
+    and today's incoming batch) produce join-compatible band values —
+    the property incremental dedup relies on.
+    """
+    rows_per_band = num_perm // bands
+    base = prepare_tokens(ensure_parallelism(df), text_col, id_col).select(
+        F.col(id_col).alias("doc"),
+        hashed_word_shingles("tok", shingle_n).alias("sh"),
+    )
+    # fixed per-permutation multipliers/offsets (seeded ⇒ deterministic
+    # across runs and engines), drawn from [1, p) / [0, p)
+    p = (1 << 31) - 1  # Mersenne prime
+    rng = random.Random(0x5EED)
+    mult = [rng.randrange(1, p) for _ in range(num_perm)]
+    add = [rng.randrange(0, p) for _ in range(num_perm)]
+    mult_arr = "array(" + ", ".join(f"{a}L" for a in mult) + ")"
+    add_arr = "array(" + ", ".join(f"{b}L" for b in add) + ")"
+    # hs and sig are let-bound (not projection aliases): each is computed
+    # once per row, then looped over — see let_bound's docstring.
+    band_expr = let_bound(
+        f"transform(sh, x -> pmod(x, {p}L))",
+        "hs",
+        let_bound(
+            f"zip_with({mult_arr}, {add_arr},"
+            f" (pa, pb) -> array_min(transform(hs, h -> pmod(pa * h + pb, {p}L))))",
+            "sig",
+            f"transform(sequence(0, {bands - 1}),"
+            f" j -> xxhash64(slice(sig, j * {rows_per_band} + 1, {rows_per_band})))",
+        ),
+    )
+    bandtab = (
+        base.select(
+            "doc",
+            F.posexplode(F.expr(band_expr)).alias("band_idx", "band_val"),
+        )
+        .cache()
+    )
+    return base, bandtab
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -158,38 +218,8 @@ def minhash_lsh_pairs(
     (bucket histogram + both self-join sides) would otherwise recompute
     the signature scan.
     """
-    rows_per_band = num_perm // bands
-    base = prepare_tokens(ensure_parallelism(df), text_col, id_col).select(
-        F.col(id_col).alias("doc"),
-        hashed_word_shingles("tok", shingle_n).alias("sh"),
-    )
-    # fixed per-permutation multipliers/offsets (seeded ⇒ deterministic
-    # across runs and engines), drawn from [1, p) / [0, p)
-    p = (1 << 31) - 1  # Mersenne prime
-    rng = random.Random(0x5EED)
-    mult = [rng.randrange(1, p) for _ in range(num_perm)]
-    add = [rng.randrange(0, p) for _ in range(num_perm)]
-    mult_arr = "array(" + ", ".join(f"{a}L" for a in mult) + ")"
-    add_arr = "array(" + ", ".join(f"{b}L" for b in add) + ")"
-    # hs and sig are let-bound (not projection aliases): each is computed
-    # once per row, then looped over — see let_bound's docstring.
-    band_expr = let_bound(
-        f"transform(sh, x -> pmod(x, {p}L))",
-        "hs",
-        let_bound(
-            f"zip_with({mult_arr}, {add_arr},"
-            f" (pa, pb) -> array_min(transform(hs, h -> pmod(pa * h + pb, {p}L))))",
-            "sig",
-            f"transform(sequence(0, {bands - 1}),"
-            f" j -> xxhash64(slice(sig, j * {rows_per_band} + 1, {rows_per_band})))",
-        ),
-    )
-    bandtab = (
-        base.select(
-            "doc",
-            F.posexplode(F.expr(band_expr)).alias("band_idx", "band_val"),
-        )
-        .cache()
+    base, bandtab = minhash_bands(
+        df, text_col, id_col, num_perm, bands, shingle_n
     )
     bucket_ok = (
         bandtab.groupBy("band_idx", "band_val")
@@ -218,6 +248,102 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Dedup an incoming batch against an existing corpus — the
+    production ingest shape: yesterday's N-billion-doc corpus is already
+    internally deduplicated, so re-running corpus×corpus every day is
+    O(N²·days) wasted. Only two candidate classes exist for a new doc:
+    (a) it collides with a corpus doc, (b) it collides with another
+    batch doc. Returns the batch docs that survive both.
+
+    Semantics (keep-first, matching `exact_dedup`): a batch doc is
+    dropped iff its verified Jaccard ≥ threshold against ANY corpus doc
+    or any lower-id batch doc.
+
+    Scale shape: both sides run the same seeded signature machinery
+    (`minhash_bands` — in production the corpus side is a STORED band
+    index, appended on every ingest, and this function's corpus branch
+    is replaced by a scan of that index; the seeded constants are what
+    make last month's index join-compatible with today's batch). The
+    probe joins key on (band_idx, band_val) with the batch side as the
+    (small) build side; corpus band entries never self-join, so daily
+    cost is O(|batch| · corpus-collision rate), not O(N²). Oversized
+    buckets are dropped like in `minhash_lsh_pairs` (degenerate
+    boilerplate); the verify join moves shingle arrays only for the
+    thresholded candidate pairs.
+    """
+    c_base, c_bands = minhash_bands(
+        corpus, text_col, id_col, num_perm, bands, shingle_n
+    )
+    b_base, b_bands = minhash_bands(
+        batch, text_col, id_col, num_perm, bands, shingle_n
+    )
+    # cap degenerate buckets by their COMBINED population
+    bucket_ok = (
+        c_bands.select("band_idx", "band_val")
+        .unionByName(b_bands.select("band_idx", "band_val"))
+        .groupBy("band_idx", "band_val")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    b_entries = b_bands.join(bucket_ok, ["band_idx", "band_val"])
+    c_entries = c_bands.join(bucket_ok, ["band_idx", "band_val"])
+    new_vs_corpus = b_entries.select(
+        "band_idx", "band_val", F.col("doc").alias("doc_new")
+    ).join(
+        c_entries.select(
+            "band_idx", "band_val", F.col("doc").alias("doc_old")
+        ),
+        ["band_idx", "band_val"],
+    )
+    new_vs_new = (
+        b_entries.select(
+            "band_idx", "band_val", F.col("doc").alias("doc_new")
+        )
+        .join(
+            b_entries.select(
+                "band_idx", "band_val", F.col("doc").alias("doc_old")
+            ),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("doc_old") < F.col("doc_new"))
+    )
+    candidates = (
+        new_vs_corpus.select("doc_new", "doc_old")
+        .unionByName(new_vs_new.select("doc_new", "doc_old"))
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    older = c_base.unionByName(b_base).select(
+        F.col("doc").alias("doc_old"), F.col("sh").alias("sh_old")
+    )
+    newer = b_base.select(
+        F.col("doc").alias("doc_new"), F.col("sh").alias("sh_new")
+    )
+    dominated = (
+        candidates.join(newer, "doc_new")
+        .join(older, "doc_old")
+        .filter(jaccard("sh_new", "sh_old") >= threshold)
+        .select(F.col("doc_new").alias("doc"))
+        .distinct()
+    )
+    return (
+        b_base.select("doc")
+        .join(dominated, "doc", "left_anti")
+        .select(F.col("doc").alias(id_col))
     )
 
 

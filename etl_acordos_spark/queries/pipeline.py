@@ -344,6 +344,25 @@ def q_ext_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with doc_id % 5 == 0 play today's
+    incoming batch, the rest the already-deduplicated corpus; returns
+    the batch docs that are near-duplicates of neither a corpus doc nor
+    a lower-id batch doc (MinHash-LSH probe — corpus never self-joins).
+    Rows-only by design (seeded xxhash64 banding has no SQL twin);
+    keep-first semantics are unit-pinned with exact-duplicate fixtures."""
+    from etl_acordos_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        corpus=docs.filter(F.col("doc_id") % 5 != 0),
+        batch=docs.filter(F.col("doc_id") % 5 == 0),
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.5,
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _ORACLES: dict[str, str | None] = {
@@ -487,4 +506,5 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_passage_dedup, _ORACLES["ext_passage_dedup"]
     ),
     "ext_bloom_decontam": QueryDef(q_ext_bloom_decontam, None),
+    "ext_dedup_incremental": QueryDef(q_ext_dedup_incremental, None),
 }

@@ -670,3 +670,59 @@ def test_bloom_decontaminate_tiny_filter_saturates_to_all_hits(spark):
         k_hashes=2,
     ).collect()
     assert len(out) == 3
+
+
+def test_incremental_minhash_dedup_keep_first_semantics(spark):
+    """Exact duplicates always share identical signatures, so the LSH
+    probe is deterministic: a batch doc duplicating a corpus doc is
+    dropped, a batch doc duplicating a lower-id batch doc is dropped,
+    the first of the batch-internal duplicates and unique docs survive."""
+    from etl_acordos_spark.operators.dedup import incremental_minhash_dedup
+
+    body_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    body_b = "one two three four five six seven eight nine ten " * 4
+    body_c = "red orange yellow green blue indigo violet maroon " * 4
+    corpus = spark.createDataFrame(
+        [(1, body_a), (2, "corpus only " + body_c)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, body_a),  # dup of corpus doc 1 -> dropped
+            (102, body_b),  # first of the batch-internal dups -> kept
+            (103, body_b),  # dup of lower-id batch doc 102 -> dropped
+            (104, "totally fresh unique words " + body_b[:20]),  # kept
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            corpus, batch, "text", "doc_id", threshold=0.9
+        ).collect()
+    )
+    assert kept == [102, 104]
+
+
+def test_incremental_minhash_dedup_never_drops_corpus_or_uniques(
+    spark, sf_oracle
+):
+    """On the real corpus: output ⊆ batch ids, and every batch doc whose
+    text is globally unique at the exact-duplicate level must survive a
+    high-threshold run (threshold=1.0 keeps everything not exactly
+    duplicated under Jaccard)."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    kept = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            corpus, batch, "text", "doc_id", threshold=1.0
+        ).collect()
+    }
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert kept <= batch_ids
+    assert len(kept) > 0
