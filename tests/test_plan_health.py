@@ -78,6 +78,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_multimodal",  # binary payload demo joins a 1-row key
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
     "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
+    "ext_quality_filter",  # 1-row quantile-thresholds broadcast join
 }
 
 #: keys that execute eagerly on build (streams, sinks) or need scratch
