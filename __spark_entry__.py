@@ -25,6 +25,7 @@ from etl_acordos_spark.flagship import FLAGSHIP_ORACLE, flagship  # noqa: E402
 from etl_acordos_spark.queries.base import (  # noqa: E402
     all_queries,
     ensure_package_shipped,
+    rotate_unchecked_first,
 )
 
 
@@ -52,17 +53,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ flagship).
 
-    The flagship sits at slot 2 (after the hoisted ``ext_approx``) so it
-    gains a hard driver CORRECTNESS row inside the first-50 window — see
-    ``all_queries`` for the window design.
+    Key order is the driver-verification schedule: never-driver-green
+    keys rotate to the front of the (capped) CORRECTNESS window each
+    round — see ``rotate_unchecked_first``.
     """
     regs = {name: _shipped(qd.fn) for name, qd in all_queries().items()}
-    out = {
-        "ext_approx": regs.pop("ext_approx"),
-        "flagship": _shipped(flagship),
-    }
-    out.update(regs)
-    return out
+    regs["flagship"] = _shipped(flagship)
+    return {k: regs[k] for k in rotate_unchecked_first(list(regs))}
 
 
 def oracle_sql() -> dict[str, str]:
