@@ -169,3 +169,100 @@ def test_snapshot_diff_reconstructs_new_snapshot(spark, old_rows, new_rows):
                 assert r.k not in rebuilt
             rebuilt[r.k] = r.new_v
     assert rebuilt == new_map
+
+
+# ------------------------- sampling-hash cross-engine parity
+
+
+@given(
+    ids=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=(1 << 63) - 1),
+            # the wrap-hazard band the DECIMAL(38,0) widening exists for
+            st.integers(min_value=3_000_000_000, max_value=4_000_000_000),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_unit_hash_matches_duckdb_for_full_int64_range(spark, ids):
+    """The sampling acceptance hash must be bit-identical between the
+    Spark engine and the DuckDB oracle across the WHOLE non-negative
+    int64 id range — including ids past ~3.47e9 where a naive int64
+    multiply silently wraps in Spark but not in the oracle."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.functions.hashing import sql_unit_hash, unit_hash
+
+    got = [
+        r["h"]
+        for r in spark.createDataFrame([(i,) for i in ids], "id long")
+        .select(unit_hash(F.col("id")).alias("h"))
+        .collect()
+    ]
+    want = [
+        r[0]
+        for i in ids
+        for r in [
+            duckdb.sql(f"SELECT {sql_unit_hash(str(i))}").fetchone()
+        ]
+    ]
+    assert got == want
+
+
+# ------------------------- passage-dedup invariants
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta".split()),
+            min_size=1,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_passage_dedup_exactly_once_and_order_preserving(spark, docs):
+    """Over random tiny-vocabulary corpora (engineered for passage
+    collisions): every distinct input passage appears exactly once
+    across the output, and each surviving doc's text is the in-order
+    concatenation of a subset of its own passages."""
+    from collections import Counter
+
+    from etl_acordos_spark.operators.text import passage_dedup
+
+    n = 5  # small passages -> plenty of collisions
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in passage_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            "text",
+            "doc_id",
+            words_per_passage=n,
+        ).collect()
+    }
+
+    def passages(text):
+        w = text.split(" ")
+        return [
+            " ".join(w[i : i + n]) for i in range(0, len(w), n)
+        ]
+
+    distinct_input = {p for _, t in rows for p in passages(t)}
+    out_counts = Counter(p for t in out.values() for p in passages(t))
+    # exactly-once: no passage survives twice, none is lost
+    assert set(out_counts) == distinct_input
+    assert all(c == 1 for c in out_counts.values()), out_counts
+    # order: surviving passages stay in original in-doc order
+    for doc_id, text in out.items():
+        orig = passages(rows[doc_id][1])
+        kept = passages(text)
+        it = iter(orig)
+        assert all(p in it for p in kept), (doc_id, kept, orig)
