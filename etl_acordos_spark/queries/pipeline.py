@@ -388,10 +388,40 @@ def _quality_filter_oracle() -> str:
     )
 
 
+def q_ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: per-doc deterministic gradient PNGs
+    (stdlib codec) attached as binary payloads, then decoded back inside
+    Arrow-batched mapInPandas into integer-exact features — the first
+    multimodal key with a full value-hash oracle (the gradient's pixel
+    sum has a closed form the SQL oracle replays)."""
+    from etl_acordos_spark.operators.multimodal import (
+        attach_image_payload,
+        extract_image_features,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return extract_image_features(attach_image_payload(docs, "doc_id"))
+
+
 # ---------------------------------------------------------------- oracles
 
 _ORACLES: dict[str, str | None] = {
     "ext_quality_filter": _quality_filter_oracle(),
+    "ext_mm_decode": (
+        "WITH dims AS (SELECT doc_id,"
+        "  CAST(8 + doc_id % 9 AS INTEGER) AS width,"
+        "  CAST(8 + doc_id % 7 AS INTEGER) AS height FROM documents),"
+        " px AS (SELECT doc_id, width, height,"
+        "   (x.v + y.v + doc_id) % 256 AS p"
+        "  FROM dims,"
+        "  LATERAL (SELECT unnest(generate_series(0,"
+        "   CAST(width AS BIGINT) - 1)) AS v) x,"
+        "  LATERAL (SELECT unnest(generate_series(0,"
+        "   CAST(height AS BIGINT) - 1)) AS v) y)"
+        " SELECT doc_id, width, height, 1 AS channels,"
+        "  CAST(sum(p) AS BIGINT) AS sum_px"
+        " FROM px GROUP BY doc_id, width, height"
+    ),
     "ext_passage_dedup": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words"
         "  FROM documents),"
@@ -536,4 +566,5 @@ QUERIES: dict[str, QueryDef] = {
     "ext_quality_filter": QueryDef(
         q_ext_quality_filter, _ORACLES["ext_quality_filter"]
     ),
+    "ext_mm_decode": QueryDef(q_ext_mm_decode, _ORACLES["ext_mm_decode"]),
 }

@@ -266,3 +266,30 @@ def test_passage_dedup_exactly_once_and_order_preserving(spark, docs):
         kept = passages(text)
         it = iter(orig)
         assert all(p in it for p in kept), (doc_id, kept, orig)
+
+
+# ------------------------- stdlib PNG codec round-trip
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    filter_type=st.sampled_from([0, 1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_all_filters_and_channels(h, w, ch, filter_type, seed):
+    """decode(encode(img)) == img for every color type and every
+    scanline filter — the decoder's filter arms are exercised against
+    our own encoder's output."""
+    import numpy as np
+
+    from etl_acordos_spark.functions.png import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w, ch), dtype=np.uint8
+    )
+    out = decode_png(encode_png(img, filter_type=filter_type))
+    assert out.shape == img.shape
+    assert (out == img).all()
