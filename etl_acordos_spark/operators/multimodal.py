@@ -249,3 +249,129 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images_nn(
+    media: DataFrame, target_width: int = 8, target_height: int = 8
+) -> DataFrame:
+    """REAL resize for PNG payloads: decode → nearest-neighbor resample
+    (src index = floor(dst·src_dim/dst_dim) — the closed-form-friendly
+    NN convention, documented so an independent oracle can replay it) →
+    re-encode → re-decode features. Map-only; payloads never shuffle.
+    Output: (doc_id, width, height, channels, sum_px) of the RESIZED
+    image."""
+    import numpy as np
+
+    from etl_acordos_spark.functions.png import decode_png, encode_png
+
+    W, H = target_width, target_height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                src = decode_png(bytes(p))
+                h, w, ch = src.shape
+                ys = (np.arange(H) * h) // H
+                xs = (np.arange(W) * w) // W
+                dst = src[np.ix_(ys, xs)]
+                # encode→decode round-trip: the resized payload is a
+                # real PNG again, exactly as a production pipeline
+                # re-materializes thumbnails
+                out = decode_png(encode_png(dst))
+                feats.append(
+                    (W, H, ch, int(out.astype("int64").sum()))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "channels": [f[2] for f in feats],
+                    "sum_px": [f[3] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+# frames are shipped length-prefixed (4-byte big-endian size + PNG) —
+# the chunked-container shape real video/archive formats use
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, sum_px bigint"
+)
+
+
+def attach_video_payload(
+    df: DataFrame, id_col: str, frame_w: int = 8, frame_h: int = 6
+) -> DataFrame:
+    """Synthesize a video-like payload per row: n = 2 + id%4 PNG frames
+    (frame f pixel(y,x) = (x + y + id + f) % 256) concatenated with
+    4-byte length prefixes. Real container parsing + real image decode
+    downstream, still zero external libraries."""
+    import struct
+
+    import numpy as np
+
+    from etl_acordos_spark.functions.png import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                yy, xx = np.mgrid[0:frame_h, 0:frame_w]
+                frames = []
+                for f in range(2 + d % 4):
+                    img = ((xx + yy + d + f) % 256).astype(np.uint8)
+                    png = encode_png(img)
+                    frames.append(struct.pack(">I", len(png)) + png)
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return media_ids(df, id_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary"
+    )
+
+
+def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL frame sampling: walk the length-prefixed container, decode
+    every *stride*-th frame, emit integer-exact per-frame features —
+    the fan-out mapInPandas shape a video keyframe sampler needs
+    (row-multiplying, but payloads still never shuffle)."""
+    import struct
+
+    from etl_acordos_spark.functions.png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, sums = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                pos = frame_idx = 0
+                while pos + 4 <= len(b):
+                    (ln,) = struct.unpack(">I", b[pos : pos + 4])
+                    png = b[pos + 4 : pos + 4 + ln]
+                    pos += 4 + ln
+                    if frame_idx % stride == 0:
+                        arr = decode_png(png)
+                        h, w, _ = arr.shape
+                        ids.append(doc_id)
+                        idxs.append(frame_idx)
+                        ws.append(w)
+                        hs.append(h)
+                        sums.append(int(arr.astype("int64").sum()))
+                    frame_idx += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "sum_px": sums,
+                }
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

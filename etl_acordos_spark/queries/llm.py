@@ -24,8 +24,6 @@ from etl_acordos_spark.operators.dedup import (
 from etl_acordos_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
-    resize_images,
-    sample_frames,
 )
 from etl_acordos_spark.operators.cluster import (
     domain_cap,
@@ -403,17 +401,31 @@ def q_ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing over binary payloads (stubbed resampling;
-    map-only, payloads never shuffle)."""
-    media = attach_binary_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
-    return resize_images(media).select("doc_id", "out_width", "out_height", "scale")
+    """REAL image resize: per-doc gradient PNGs decoded, nearest-
+    neighbor resampled to 8×8, re-encoded and re-decoded — all with the
+    stdlib codec, map-only, payloads never shuffle. Features are
+    integer-exact, so the NN index math (src = floor(dst·src/dst)) is
+    replayed closed-form by the SQL oracle."""
+    from etl_acordos_spark.operators.multimodal import (
+        attach_image_payload,
+        resize_images_nn,
+    )
+
+    media = attach_image_payload(t(spark, sf_dir, "documents"), "doc_id")
+    return resize_images_nn(media, target_width=8, target_height=8)
 
 
 def q_ext_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: fan-out mapInPandas, one row per sampled
-    frame window."""
-    media = attach_binary_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
-    return sample_frames(media)
+    """REAL frame sampling: per-doc length-prefixed PNG-frame containers
+    (2 + id%4 frames), every 2nd frame container-parsed, decoded, and
+    reduced to integer-exact per-frame features (fan-out mapInPandas)."""
+    from etl_acordos_spark.operators.multimodal import (
+        attach_video_payload,
+        sample_video_frames,
+    )
+
+    media = attach_video_payload(t(spark, sf_dir, "documents"), "doc_id")
+    return sample_video_frames(media, stride=2)
 
 
 # ------------------------------------------------------------------ oracles
@@ -810,6 +822,33 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_seq_pack": QueryDef(q_ext_seq_pack, _ORACLES["ext_seq_pack"]),
     "ext_multimodal": QueryDef(q_ext_multimodal, None),
-    "ext_mm_resize": QueryDef(q_ext_mm_resize, None),
-    "ext_mm_frames": QueryDef(q_ext_mm_frames, None),
+    "ext_mm_resize": QueryDef(
+        q_ext_mm_resize,
+        # closed-form replay of the NN resample: src = floor(dst·src/dst)
+        "WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS sw,"
+        "  8 + doc_id % 7 AS sh FROM documents),"
+        " px AS (SELECT doc_id,"
+        "   ((x.v * sw) // 8 + (y.v * sh) // 8 + doc_id) % 256 AS p"
+        "  FROM dims,"
+        "  LATERAL (SELECT unnest(generate_series(0, 7)) AS v) x,"
+        "  LATERAL (SELECT unnest(generate_series(0, 7)) AS v) y)"
+        " SELECT doc_id, 8 AS width, 8 AS height, 1 AS channels,"
+        "  CAST(sum(p) AS BIGINT) AS sum_px FROM px GROUP BY doc_id",
+    ),
+    "ext_mm_frames": QueryDef(
+        q_ext_mm_frames,
+        # frames f < 2 + id%4, sampled at stride 2; 8×6 gradient frames
+        "WITH f AS (SELECT doc_id, fr.v AS frame_idx FROM documents,"
+        "  LATERAL (SELECT unnest(generate_series(0,"
+        "   CAST(2 + doc_id % 4 AS BIGINT) - 1)) AS v) fr"
+        "  WHERE fr.v % 2 = 0),"
+        " px AS (SELECT doc_id, frame_idx,"
+        "   (x.v + y.v + doc_id + frame_idx) % 256 AS p"
+        "  FROM f,"
+        "  LATERAL (SELECT unnest(generate_series(0, 7)) AS v) x,"
+        "  LATERAL (SELECT unnest(generate_series(0, 5)) AS v) y)"
+        " SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,"
+        "  8 AS width, 6 AS height, CAST(sum(p) AS BIGINT) AS sum_px"
+        " FROM px GROUP BY doc_id, frame_idx",
+    ),
 }

@@ -748,3 +748,25 @@ def test_quality_band_filter_drops_both_tails(spark, sf_oracle):
     assert max(kept_scores) <= all_scores[-1]
     # the worst doc and the best doc are both gone
     assert all_scores[0] not in kept_scores or all_scores[0] >= min(kept_scores)
+
+
+def test_resize_nn_matches_numpy_reference(spark):
+    """resize_images_nn must equal the numpy NN resample (src index =
+    floor(dst*src/dst)) for an arbitrary RGB image, not just the
+    gradient fixture the oracle replays."""
+    import numpy as np
+
+    from etl_acordos_spark.functions.png import encode_png
+    from etl_acordos_spark.operators.multimodal import resize_images_nn
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)))], "doc_id long, payload binary"
+    )
+    row = resize_images_nn(media, target_width=8, target_height=8).head()
+    ys = (np.arange(8) * 11) // 8
+    xs = (np.arange(8) * 13) // 8
+    want = img[np.ix_(ys, xs)]
+    assert (row["width"], row["height"], row["channels"]) == (8, 8, 3)
+    assert row["sum_px"] == int(want.astype("int64").sum())
