@@ -403,10 +403,36 @@ def q_ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(attach_image_payload(docs, "doc_id"))
 
 
+def q_ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per-doc RIFF/WAVE payloads (16-bit
+    PCM sawtooth, pure struct-packing) container-parsed and decoded to
+    integer-exact features inside mapInPandas; the waveform's closed
+    form lets the SQL oracle replay Σ|s| and peak bit-for-bit."""
+    from etl_acordos_spark.operators.multimodal import (
+        attach_audio_payload,
+        extract_audio_features,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return extract_audio_features(attach_audio_payload(docs, "doc_id"))
+
+
 # ---------------------------------------------------------------- oracles
 
 _ORACLES: dict[str, str | None] = {
     "ext_quality_filter": _quality_filter_oracle(),
+    "ext_mm_audio": (
+        "WITH s AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),"
+        " v AS (SELECT doc_id, n,"
+        "   ((doc_id + i.v) * 523) % 65536 - 32768 AS samp"
+        "  FROM s, LATERAL (SELECT unnest(generate_series(0,"
+        "   CAST(n AS BIGINT) - 1)) AS v) i)"
+        " SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,"
+        "  CAST(n AS INTEGER) AS n_samples,"
+        "  CAST(sum(abs(samp)) AS BIGINT) AS sum_abs,"
+        "  CAST(max(abs(samp)) AS INTEGER) AS peak"
+        " FROM v GROUP BY doc_id, n"
+    ),
     "ext_mm_decode": (
         "WITH dims AS (SELECT doc_id,"
         "  CAST(8 + doc_id % 9 AS INTEGER) AS width,"
@@ -567,4 +593,5 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_quality_filter, _ORACLES["ext_quality_filter"]
     ),
     "ext_mm_decode": QueryDef(q_ext_mm_decode, _ORACLES["ext_mm_decode"]),
+    "ext_mm_audio": QueryDef(q_ext_mm_audio, _ORACLES["ext_mm_audio"]),
 }

@@ -770,3 +770,40 @@ def test_resize_nn_matches_numpy_reference(spark):
     want = img[np.ix_(ys, xs)]
     assert (row["width"], row["height"], row["channels"]) == (8, 8, 3)
     assert row["sum_px"] == int(want.astype("int64").sum())
+
+
+def test_wav_payload_is_standard_riff(spark):
+    """The synthesized audio payloads must be genuine WAV files: the
+    stdlib `wave` module (an independent parser) reads them and agrees
+    with extract_audio_features on every field."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from etl_acordos_spark.operators.multimodal import (
+        attach_audio_payload,
+        extract_audio_features,
+    )
+
+    docs = spark.createDataFrame([(7,), (13,)], ["doc_id"])
+    media = attach_audio_payload(docs, "doc_id").collect()
+    feats = {
+        r["doc_id"]: r
+        for r in extract_audio_features(
+            attach_audio_payload(docs, "doc_id")
+        ).collect()
+    }
+    for row in media:
+        with wave.open(io.BytesIO(bytes(row["payload"]))) as w:
+            assert w.getsampwidth() == 2 and w.getcomptype() == "NONE"
+            pcm = np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2"
+            ).astype(np.int64)
+            f = feats[row["doc_id"]]
+            assert w.getframerate() == f["sample_rate"]
+            assert w.getnchannels() == f["n_channels"]
+            assert w.getnframes() == f["n_samples"]
+            assert int(np.abs(pcm).sum()) == f["sum_abs"]
+            assert int(np.abs(pcm).max()) == f["peak"]
