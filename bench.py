@@ -104,6 +104,11 @@ HEADLINE = [
     "ext_histogram",
     "ext_profile",
     "ext_schema_evolution",
+    "ext_bloom_decontam",
+    "ext_dedup_incremental",
+    "ext_quality_filter",
+    "ext_mm_decode",
+    "ext_mm_audio",
 ]
 
 

@@ -711,22 +711,18 @@ def bloom_decontaminate(
             id_col, hashed_word_shingles("tok", ngram).alias("gs")
         )
 
-    def positions(gram: str, seed: int) -> str:
-        return f"pmod(xxhash64({gram}, {seed}), {m})"
+    # k positions per gram in ONE pass: seeds come from sequence() and
+    # each xxhash64 is evaluated once per (gram, seed) — positions are
+    # lambda-bound values downstream, never recomputed
+    pos_expr = (
+        f"transform(sequence(0, {k_hashes - 1}),"
+        f" s -> pmod(xxhash64(g, s), {m}))"
+    )
 
     pos_rows = (
         gram_sets(eval_docs)
         .select(F.explode("gs").alias("g"))
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.expr(positions("g", s)).cast("long")
-                        for s in range(k_hashes)
-                    ]
-                )
-            ).alias("p")
-        )
+        .select(F.explode(F.expr(pos_expr)).alias("p"))
         .distinct()
         .collect()
     )
@@ -738,14 +734,14 @@ def bloom_decontaminate(
         [(bits.view(np.int64).tolist(),)], "bloom array<bigint>"
     )
 
-    def probe(seed: int) -> str:
-        p = positions("g", seed)
-        return (
-            f"(shiftright(element_at(bloom, cast({p} div 64 as int) + 1),"
-            f" cast({p} % 64 as int)) & 1) = 1"
-        )
-
-    test = " AND ".join(probe(s) for s in range(k_hashes))
+    # the probe references each position twice (word index + bit index),
+    # but p is a lambda-bound VALUE inside forall — the hash runs once
+    # per (gram, seed), not once per reference
+    test = (
+        f"forall({pos_expr},"
+        " p -> (shiftright(element_at(bloom, cast(p div 64 as int) + 1),"
+        " cast(p % 64 as int)) & 1) = 1)"
+    )
     return (
         gram_sets(train)
         .join(F.broadcast(bits_df))
