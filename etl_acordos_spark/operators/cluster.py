@@ -6,13 +6,13 @@ has no array/vector processing at all).
 Two operators:
 
 - `kmeans_assign` — Lloyd's k-means expressed as DataFrame iterations:
-  per-iteration a map-only Arrow-batched assignment (one numpy matmul
-  per batch against the broadcast centroid matrix) followed by ONE
-  partial-aggregated shuffle (`posexplode` → `groupBy(cluster, pos)`)
-  whose map-side combine reduces the exchange to O(partitions·k·dim)
-  rows regardless of input size. Centroids live on the driver (k·dim
-  doubles — kilobytes), the corpus never leaves the executors. This is
-  the same aggregation shape MLlib's k-means uses (treeAggregate of
+  per-iteration ONE fused Arrow-batched mapInPandas (numpy matmul
+  assignment + partition-local `np.add.at` centroid sums) followed by
+  one tiny (cluster, pos) shuffle of partial sums — the exchange
+  carries O(partitions·k·dim) rows and no per-element explode ever
+  materializes. Centroids live on the driver (k·dim doubles —
+  kilobytes), the corpus never leaves the executors. This is the same
+  aggregation shape MLlib's k-means uses (treeAggregate of
   per-partition sums), declared in DataFrame ops.
 
 - `semantic_dedup_keep` — SemDeDup-style semantic dedup (Abbas et al.
@@ -60,6 +60,45 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def _partial_stats(centroids: np.ndarray):
+    """Fused assignment + partition-local centroid sums for one Lloyd
+    iteration: each Arrow batch is assigned with the same matmul as
+    `_assign_udf`, then folded into per-cluster (sum, count)
+    accumulators with `np.add.at` — one output row per non-empty
+    (cluster, pos) per PARTITION, i.e. the exchange carries
+    O(partitions·k·dim) rows with no 64×-row explode ever
+    materializing. The same treeAggregate shape MLlib's k-means uses,
+    with numpy doing the partition-local reduction."""
+    from collections.abc import Iterator
+
+    C = centroids.astype(np.float64)
+    k, dim = C.shape
+    c_sq = (C * C).sum(axis=1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            a = np.argmin(-2.0 * (mat @ C.T) + c_sq, axis=1)
+            np.add.at(sums, a, mat)
+            counts += np.bincount(a, minlength=k)
+        nz = np.nonzero(counts)[0]
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(nz, dim).astype(np.int32),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                    "s": sums[nz].reshape(-1),
+                    "n": np.repeat(counts[nz], dim),
+                }
+            )
+
+    return run
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 10,
@@ -86,16 +125,15 @@ def kmeans_assign(
         dim = C.shape[1]
 
         for _ in range(n_iter):
-            assigned = vecs.select(
-                "id", "v", _assign_udf(C)(F.col("v")).alias("cluster")
-            )
-            # one partial-aggregated shuffle: (cluster, pos) -> mean
+            # fused assign + partition-local sums (one mapInPandas),
+            # then one tiny (cluster, pos) shuffle of partial sums
             stats = (
-                assigned.select(
-                    "cluster", F.posexplode("v").alias("pos", "x")
+                vecs.mapInPandas(
+                    _partial_stats(C),
+                    schema="cluster int, pos int, s double, n bigint",
                 )
                 .groupBy("cluster", "pos")
-                .agg(F.avg("x").alias("m"))
+                .agg((F.sum("s") / F.sum("n")).alias("m"))
                 .collect()
             )
             new_C = C.copy()  # empty cluster keeps its old centroid
