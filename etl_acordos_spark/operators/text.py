@@ -321,16 +321,19 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
     )
-    bigrams = tok.select(
+    # bigram arrays cached before the explode (explode-over-HOF rule:
+    # the interpreted transform would otherwise re-run per bigram row)
+    bigram_arrays = tok.select(
         F.col(id_col),
-        F.explode(
-            F.expr(
-                "CASE WHEN size(tok) >= 2 THEN"
-                " transform(sequence(1, size(tok) - 1),"
-                "  i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"
-                " ELSE array() END"
-            )
-        ).alias("bg"),
+        F.expr(
+            "CASE WHEN size(tok) >= 2 THEN"
+            " transform(sequence(1, size(tok) - 1),"
+            "  i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"
+            " ELSE array() END"
+        ).alias("bgs"),
+    ).cache()
+    bigrams = bigram_arrays.select(
+        F.col(id_col), F.explode("bgs").alias("bg")
     )
     top_share = (
         bigrams.groupBy(id_col, "bg")
@@ -371,22 +374,75 @@ def decontaminate(
     set. Output: (id, n_shared_ngrams) for contaminated docs only.
 
     The eval side's distinct grams are broadcast — the training corpus
-    never shuffles; each 100 TB scan task probes a hash set of eval
-    grams and the only aggregation runs on the (tiny) hit stream.
-    *hashed=True* is the at-scale form: grams become xxhash64 longs
-    computed straight from the token array (dedup.hashed_word_shingles)
-    — no shingle strings materialize, the broadcast carries longs, and
-    the probe is an integer compare (measured ~3× faster at 100k docs,
-    growing with gram length). Default stays string grams for oracle parity
-    (xxhash64 has no DuckDB equivalent); results are identical up to
-    ~2^-64 hash collisions.
+    never shuffles. *hashed=True* is the at-scale form: grams become
+    xxhash64 longs computed straight from the token array
+    (dedup.hashed_word_shingles) — no shingle strings materialize, the
+    grams broadcast as ONE sorted numpy array, and the per-doc probe is
+    a vectorized `np.isin` (binary search) in map-only mapInPandas:
+    zero explode, zero join, zero shuffle. Default stays string grams
+    for oracle parity (xxhash64 has no DuckDB equivalent); results are
+    identical up to ~2^-64 hash collisions.
     """
     from etl_acordos_spark.operators.dedup import (
         hashed_word_shingles,
         word_shingles,
     )
 
-    shingles = hashed_word_shingles if hashed else word_shingles
+    if hashed:
+        ev_rows = (
+            eval_docs.select(
+                F.split(F.col(text_col), " ").alias("tok")
+            )
+            .select(hashed_word_shingles("tok", ngram).alias("gs"))
+            .collect()
+        )
+        ev = np.sort(
+            np.unique(
+                np.fromiter(
+                    (g for r in ev_rows for g in r["gs"]), dtype=np.int64
+                )
+            )
+        )
+        ev_bc = train.sparkSession.sparkContext.broadcast(ev)
+
+        def probe(batches):
+            E = ev_bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                arrays = [
+                    np.asarray(gs, dtype=np.int64) for gs in pdf["gs"]
+                ]
+                lens = np.fromiter(
+                    (a.size for a in arrays), dtype=np.int64,
+                    count=len(arrays),
+                )
+                # one batch-wide membership test + segmented sums —
+                # no per-document Python work
+                flat_hits = np.isin(np.concatenate(arrays), E)
+                starts = np.zeros(len(arrays), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                hits = np.add.reduceat(
+                    np.append(flat_hits, False), starts
+                )[: len(arrays)]
+                hits[lens == 0] = 0
+                flagged = hits > 0
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col][flagged],
+                        "n_shared_ngrams": hits[flagged].astype(np.int64),
+                    }
+                )
+
+        return (
+            train.select(
+                F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
+            )
+            .select(id_col, hashed_word_shingles("tok", ngram).alias("gs"))
+            .mapInPandas(
+                probe, schema=f"{id_col} bigint, n_shared_ngrams bigint"
+            )
+        )
 
     def grams(df: DataFrame) -> DataFrame:
         tok = df.select(
@@ -394,7 +450,7 @@ def decontaminate(
         )
         return tok.select(
             id_col,
-            F.explode(shingles("tok", ngram)).alias("gram"),
+            F.explode(word_shingles("tok", ngram)).alias("gram"),
         )
 
     eval_grams = grams(eval_docs).select("gram").distinct()
@@ -437,8 +493,14 @@ def boilerplate_ngrams(
 
     shingles = hashed_word_shingles if hashed else word_shingles
     tok = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("tok"))
-    doc_grams = tok.select(
-        F.col(id_col), F.explode(shingles("tok", ngram)).alias("gram")
+    # cache the shingle ARRAYS before the explode — exploding the
+    # interpreted-HOF shingle expression re-evaluates the whole array
+    # per output row (see README's explode-over-HOF note)
+    gram_arrays = tok.select(
+        F.col(id_col), shingles("tok", ngram).alias("gs")
+    ).cache()
+    doc_grams = gram_arrays.select(
+        F.col(id_col), F.explode("gs").alias("gram")
     )
     total = df.agg(F.count("*").alias("n_total"))
     return (
