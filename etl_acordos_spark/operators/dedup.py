@@ -389,17 +389,26 @@ def simhash_pairs(
         "   0, (a2, h) -> a2 + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END) > 0"
         " THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)",
     )
-    sh = tok.select(
-        F.col(id_col).alias("doc"), F.expr(simhash_expr).alias("simhash")
-    ).withColumn(
-        "chunk",
-        F.expr(
-            "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"
-        ),
+    # cache the (doc, simhash, chunk-array) rows BEFORE the explode:
+    # exploding the interpreted-HOF chunk expression would re-run the
+    # whole 64-bit vote loop once per emitted chunk row (4× per doc —
+    # the explode-over-HOF landmine documented in the README)
+    sh = (
+        tok.select(
+            F.col(id_col).alias("doc"), F.expr(simhash_expr).alias("simhash")
+        )
+        .withColumn(
+            "chunk",
+            F.expr(
+                "transform(sequence(0, 3),"
+                " c -> shiftright(simhash, c * 16) & 65535)"
+            ),
+        )
+        .cache()
     )
     exploded = sh.select(
         "doc", "simhash", F.posexplode("chunk").alias("chunk_idx", "chunk_val")
-    ).cache()
+    )
     left = exploded.select(
         "chunk_idx",
         "chunk_val",
