@@ -138,6 +138,33 @@ def test_passage_dedup_bodies_cross_wire_once(spark, sf_oracle):
 
 @pytest.mark.parametrize(
     "key",
+    ["ext_dedup_near", "ext_dedup_simhash", "ext_passage_dedup",
+     "ext_boilerplate", "ext_repetition"],
+)
+def test_generators_explode_materialized_arrays(spark, sf_oracle, key):
+    """Explode-over-HOF pin: a Generate whose generator argument is an
+    inline higher-order function re-evaluates the whole array per
+    OUTPUT row (bands× the MinHash signature, passages× the chunk
+    pipeline — see README). Every Generate in these plans must consume
+    a plain attribute from a materialized (cached) projection."""
+    df = contract.queries()[key](spark, sf_oracle)
+    plan = plan_of(df)
+    for section in plan.split("\n\n"):
+        if ") Generate" not in section:
+            continue
+        arg_lines = [
+            ln for ln in section.splitlines()
+            if ln.startswith("Arguments")
+        ]
+        for ln in arg_lines:
+            assert "transform(" not in ln and "aggregate(" not in ln, (
+                f"{key}: Generate explodes an inline HOF "
+                f"(per-output-row re-evaluation):\n{ln}"
+            )
+
+
+@pytest.mark.parametrize(
+    "key",
     sorted(k for k in contract.queries() if k not in SKIP_PLAN_CHECK),
 )
 def test_no_unintended_cartesian(spark, sf_oracle, key):
