@@ -881,3 +881,49 @@ def quality_band_filter(
         )
         .select(id_col, "quality")
     )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, split documents
+    into head / middle / tail terciles of LM surprisal (bits/token
+    under the corpus's own unigram model — `lm_score`). Training
+    recipes keep 'head', sample 'middle', and drop or down-weight
+    'tail'; doing it per language stops high-resource languages from
+    defining the threshold for low-resource ones.
+
+    One scored scan + one tiny per-language percentile aggregate joined
+    back broadcast (#languages rows). Tercile thresholds are floored to
+    the score's 4-dp grid (same convention as `quality_band_filter`) so
+    the bucket boundary decisions replay exactly in an independent
+    engine.
+    """
+    scores = lm_score(df, text_col, id_col)
+    scored = scores.join(
+        df.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col
+    )
+    grid = lambda c: F.floor(c * 10000.0 + 1e-6) / 10000.0  # noqa: E731
+    th = scored.groupBy("lang").agg(
+        grid(
+            F.expr("percentile(bits_per_token, CAST(1 AS DOUBLE)/3)")
+        ).alias("p33"),
+        grid(
+            F.expr("percentile(bits_per_token, CAST(2 AS DOUBLE)/3)")
+        ).alias("p67"),
+    )
+    return (
+        scored.join(F.broadcast(th), "lang")
+        .select(
+            id_col,
+            "lang",
+            "bits_per_token",
+            F.when(F.col("bits_per_token") <= F.col("p33"), "head")
+            .when(F.col("bits_per_token") <= F.col("p67"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

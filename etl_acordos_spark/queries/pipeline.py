@@ -417,10 +417,45 @@ def q_ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(attach_audio_payload(docs, "doc_id"))
 
 
+def q_ext_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per-language head/middle/tail
+    terciles of unigram-LM surprisal (grid-floored exact percentiles,
+    broadcast back over the scored scan)."""
+    from etl_acordos_spark.operators.text import ppl_buckets
+
+    return ppl_buckets(
+        t(spark, sf_dir, "documents"), "text", "lang", "doc_id"
+    )
+
+
+def _ppl_buckets_oracle() -> str:
+    from etl_acordos_spark.queries import llm
+
+    lm_sql = llm._ORACLES["ext_lm_score"]
+    grid = (
+        "floor(quantile_cont(bits_per_token, {p}) * 10000.0 + 1e-6)"
+        " / 10000.0"
+    )
+    return (
+        f"WITH s AS ({lm_sql}),"
+        " j AS (SELECT s.doc_id, d.lang, s.bits_per_token"
+        "  FROM s JOIN documents d USING (doc_id)),"
+        f" th AS (SELECT lang, {grid.format(p='CAST(1 AS DOUBLE)/3')} AS p33,"
+        f"  {grid.format(p='CAST(2 AS DOUBLE)/3')} AS p67"
+        "  FROM j GROUP BY lang)"
+        " SELECT j.doc_id, j.lang, j.bits_per_token,"
+        "  CASE WHEN bits_per_token <= p33 THEN 'head'"
+        "       WHEN bits_per_token <= p67 THEN 'middle'"
+        "       ELSE 'tail' END AS bucket"
+        " FROM j JOIN th USING (lang)"
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _ORACLES: dict[str, str | None] = {
     "ext_quality_filter": _quality_filter_oracle(),
+    "ext_ppl_buckets": _ppl_buckets_oracle(),
     "ext_mm_audio": (
         "WITH s AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),"
         " v AS (SELECT doc_id, n,"
@@ -594,4 +629,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_mm_decode": QueryDef(q_ext_mm_decode, _ORACLES["ext_mm_decode"]),
     "ext_mm_audio": QueryDef(q_ext_mm_audio, _ORACLES["ext_mm_audio"]),
+    "ext_ppl_buckets": QueryDef(
+        q_ext_ppl_buckets, _ORACLES["ext_ppl_buckets"]
+    ),
 }

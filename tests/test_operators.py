@@ -807,3 +807,32 @@ def test_wav_payload_is_standard_riff(spark):
             assert w.getnframes() == f["n_samples"]
             assert int(np.abs(pcm).sum()) == f["sum_abs"]
             assert int(np.abs(pcm).max()) == f["peak"]
+
+
+def test_ppl_buckets_terciles_per_language(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.text import ppl_buckets
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    out = ppl_buckets(docs, "text", "lang", "doc_id")
+    counts = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in out.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    langs = {k[0] for k in counts}
+    assert langs and all(
+        {"head", "middle", "tail"}
+            <= {b for (lg, b) in counts if lg == lang}
+        for lang in langs
+    ), counts
+    # terciles: within each language the three buckets are balanced
+    # (ties at a grid-floored threshold can shift a few docs)
+    for lang in langs:
+        sizes = [counts[(lang, b)] for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= max(4, sum(sizes) // 5), (
+            lang,
+            sizes,
+        )

@@ -75,6 +75,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_mixture_sample",  # 1-row token-budget broadcast join
     "ext_corpus_pipeline",  # ends in the same 1-row budget join
     "ext_lm_score",  # 1-row vocab-total broadcast join
+    "ext_ppl_buckets",  # builds on lm_score's 1-row vocab-total join
     "ext_multimodal",  # binary payload demo joins a 1-row key
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
     "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
