@@ -109,6 +109,7 @@ HEADLINE = [
     "ext_quality_filter",
     "ext_mm_decode",
     "ext_mm_audio",
+    "ext_ppl_buckets",
 ]
 
 
