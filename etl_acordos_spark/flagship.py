@@ -58,8 +58,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # The fact⋈dim strategy is left to the optimizer: nation/region are
+    # forced broadcast above (always tiny), but dim derives from the
+    # FULL customer table — at 100× scale a FORCED broadcast of a
+    # multi-GB dim is a driver/executor memory risk, so size-based
+    # selection (autoBroadcastJoinThreshold + AQE runtime stats) picks
+    # broadcast when dim fits and shuffle join when it doesn't.
     return (
-        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
         .withColumn("ano", year_of("o_orderdate"))
         .groupBy("hierarquia", "segmento", "ano")
         .agg(

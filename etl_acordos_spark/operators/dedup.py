@@ -130,7 +130,12 @@ def minhash_bands(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash signature machinery: returns ``(base, bandtab)``
     where base = (doc, sh) shingle-hash sets and bandtab = (doc,
-    band_idx, band_val), cached (multiple plan branches read it).
+    band_idx, band_val). Only the band-value table is materialized
+    (cached): it is tiny (doc + `bands` longs) and read by several plan
+    branches. ``base`` is deliberately NOT cached — downstream verify
+    joins re-derive the tokenize+shingle scan per branch, which at
+    100 TB is the right trade (a map-only re-scan beats pinning the
+    full shingle table in executor storage).
 
     hash-shingle (n-gram hashes computed straight from the token array —
     no shingle strings ever materialize) → derive the num_perm
@@ -290,6 +295,12 @@ def incremental_minhash_dedup(
     buckets are dropped like in `minhash_lsh_pairs` (degenerate
     boilerplate); the verify join moves shingle arrays only for the
     thresholded candidate pairs.
+
+    Corpus and batch id spaces MAY overlap: every candidate carries a
+    side marker ('c' = corpus, 'b' = batch) and the verify join keys on
+    (doc_old, side), so an id present on both sides is compared against
+    the shingle set it actually collided with, never its namesake on
+    the other side.
     """
     c_base, c_bands = minhash_bands(
         corpus, text_col, id_col, num_perm, bands, shingle_n
@@ -328,20 +339,37 @@ def incremental_minhash_dedup(
         )
         .filter(F.col("doc_old") < F.col("doc_new"))
     )
+    # side marker disambiguates doc_old when an id exists on BOTH
+    # sides: the verify join must compare against the shingle set the
+    # band collision actually came from
     candidates = (
-        new_vs_corpus.select("doc_new", "doc_old")
-        .unionByName(new_vs_new.select("doc_new", "doc_old"))
-        .dropDuplicates(["doc_new", "doc_old"])
+        new_vs_corpus.select(
+            "doc_new", "doc_old", F.lit("c").alias("side")
+        )
+        .unionByName(
+            new_vs_new.select(
+                "doc_new", "doc_old", F.lit("b").alias("side")
+            )
+        )
+        .dropDuplicates(["doc_new", "doc_old", "side"])
     )
-    older = c_base.unionByName(b_base).select(
-        F.col("doc").alias("doc_old"), F.col("sh").alias("sh_old")
+    older = c_base.select(
+        F.col("doc").alias("doc_old"),
+        F.col("sh").alias("sh_old"),
+        F.lit("c").alias("side"),
+    ).unionByName(
+        b_base.select(
+            F.col("doc").alias("doc_old"),
+            F.col("sh").alias("sh_old"),
+            F.lit("b").alias("side"),
+        )
     )
     newer = b_base.select(
         F.col("doc").alias("doc_new"), F.col("sh").alias("sh_new")
     )
     dominated = (
         candidates.join(newer, "doc_new")
-        .join(older, "doc_old")
+        .join(older, ["doc_old", "side"])
         .filter(jaccard("sh_new", "sh_old") >= threshold)
         .select(F.col("doc_new").alias("doc"))
         .distinct()

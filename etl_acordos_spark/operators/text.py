@@ -410,8 +410,14 @@ def decontaminate(
             for pdf in batches:
                 if not len(pdf):
                     continue
+                # NULL text → NULL gram array; drop to empty (no hits)
+                # to match the string-gram path's explode semantics
+                # instead of crashing np.asarray on None
                 arrays = [
-                    np.asarray(gs, dtype=np.int64) for gs in pdf["gs"]
+                    np.asarray(
+                        gs if gs is not None else [], dtype=np.int64
+                    )
+                    for gs in pdf["gs"]
                 ]
                 lens = np.fromiter(
                     (a.size for a in arrays), dtype=np.int64,
@@ -684,15 +690,14 @@ def passage_dedup(
     Scale shape (100 TB): chunking is map-side Catalyst HOFs (split +
     sequence + slice — no Python). The dedup decision shuffles only
     ``(xxhash64(passage), doc_id, passage_idx)`` — never passage bodies
-    — through one window; the surviving indexes are folded to one
+    — through one map-side-combinable hash aggregate (min-struct per
+    digest, no per-digest sort); the surviving indexes are folded to one
     ``keep``-array row per doc (ids-only shuffle), and a single
     doc_id-keyed join hands each document its keep-set, after which the
     rebuild (re-chunk + filter by index + re-join words) is pure
     map-side. Document text crosses the wire exactly once, and the plan
     never groups-by or windows over passage bodies.
     """
-    from pyspark.sql import Window
-
     n = words_per_passage
     chunk_expr = (
         f"transform(sequence(1, size(w), {n}),"
@@ -713,14 +718,21 @@ def passage_dedup(
     digests = digest_arrays.select(
         id_col, F.posexplode("digs").alias("pidx", "dig")
     )
-    w_first = Window.partitionBy("dig").orderBy(
-        F.col(id_col).asc(), F.col("pidx").asc()
-    )
+    # first occurrence per digest as min(struct(id, pidx)) — a hash
+    # aggregate with MAP-SIDE partial aggregation, so each input
+    # partition ships at most one candidate winner per digest instead
+    # of every (dig, id, pidx) tuple into a per-digest sort window
     keep_sets = (
-        digests.withColumn("rn", F.row_number().over(w_first))
-        .filter(F.col("rn") == 1)
-        .groupBy(id_col)
-        .agg(F.collect_list("pidx").alias("keep"))
+        digests.groupBy("dig")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("id"), F.col("pidx").alias("pidx")
+                )
+            ).alias("win")
+        )
+        .groupBy(F.col("win.id").alias(id_col))
+        .agg(F.collect_list("win.pidx").alias("keep"))
     )
     rebuilt = words.join(keep_sets, [id_col], "inner").select(
         id_col,
@@ -793,24 +805,36 @@ def bloom_decontaminate(
         f" s -> pmod(xxhash64(g, s), {m}))"
     )
 
-    # one position-array per eval doc, NO explode: exploding an
+    # DISTRIBUTED bitset build: positions fold into 64-bit words with
+    # `bit_or` on the executors, so the driver collects at most m/64
+    # rows (65,536 at the default) regardless of eval-suite size — a
+    # million-gram eval corpus never ships raw positions to the driver.
+    # The position arrays are cached before the explode (exploding an
     # interpreted-HOF-computed array re-evaluates the whole array per
-    # OUTPUT row (measured 4.7s vs 0.3s on a 100-doc eval split); a
-    # plain projection evaluates it once per row, and the driver unions
-    # the per-doc sets — still bounded by k·|eval grams|
-    pos_rows = (
+    # OUTPUT row — measured 4.7s vs 0.3s on a 100-doc eval split).
+    pos_arrays = (
         gram_sets(eval_docs)
         .select(
             F.expr(
                 f"array_distinct(flatten(transform(gs, g -> {pos_expr})))"
             ).alias("ps")
         )
+        .cache()
+    )
+    word_rows = (
+        pos_arrays.select(F.explode("ps").alias("p"))
+        .select(
+            F.expr("p div 64").alias("widx"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
         .collect()
     )
+    pos_arrays.unpersist()
     bits = np.zeros(m // 64, dtype=np.uint64)
-    for r in pos_rows:
-        for p in r["ps"]:
-            bits[p // 64] |= np.uint64(1) << np.uint64(p % 64)
+    for r in word_rows:
+        bits[r["widx"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
     bits_bc = train.sparkSession.sparkContext.broadcast(bits)
     k = k_hashes
 
@@ -819,7 +843,10 @@ def bloom_decontaminate(
         for pdf in batches:
             hits = np.zeros(len(pdf), dtype=np.int32)
             for i, ps in enumerate(pdf["ps"]):
-                p = np.asarray(ps, dtype=np.int64)
+                # NULL text → NULL position array: treat as no grams
+                p = np.asarray(
+                    ps if ps is not None else [], dtype=np.int64
+                )
                 if p.size == 0:
                     continue
                 hit = (

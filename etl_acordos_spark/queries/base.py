@@ -63,7 +63,9 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"etl_acordos_spark_{stamp}.zip"
     )
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        # unique tmp name: two processes racing on the same mtime stamp
+        # must not interleave writes before the atomic os.replace
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _, files in os.walk(pkg_dir):
                 for f in files:
@@ -109,17 +111,22 @@ def scratch_dir() -> str:
     return path
 
 
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+
+
 def driver_green_keys() -> set[str]:
     """Keys that already have a verified row in ANY committed
     ``CORRECTNESS_r*.json`` at the repo root — either a full
     count+schema+hash match, or the rows-only check for keys that
     declare no oracle. Keys whose only rows are errors (e.g. a
-    canonicalizer crash) stay un-green so they re-enter the window.
+    canonicalizer crash) or empty rows-only results (the driver expects
+    rows > 0) stay un-green so they re-enter the window.
     """
     import glob
     import json
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    root = _repo_root()
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -135,7 +142,7 @@ def driver_green_keys() -> set[str]:
             full = row.get("hash_match") is True
             rows_only = (
                 row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
+                and (row.get("spark_rows") or 0) > 0
             )
             if full or rows_only:
                 green.add(key)

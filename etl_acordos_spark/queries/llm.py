@@ -571,7 +571,8 @@ _ORACLES: dict[str, str | None] = {
         "  SELECT lang, least(1.0, budget * w / t_lang) AS rate"
         "  FROM totals, grand)"
         " SELECT t.lang, count(*) AS n_docs,"
-        "  sum(t.n_tok) AS n_tokens, round(first(r.rate), 6) AS rate"
+        "  CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,"
+        "  round(first(r.rate), 6) AS rate"
         " FROM tok t JOIN rates r ON t.lang = r.lang"
         f" WHERE {sql_unit_hash('t.id')} < r.rate"
         " GROUP BY t.lang"
@@ -592,7 +593,8 @@ _ORACLES: dict[str, str | None] = {
         "  SELECT lang, least(1.0, budget * w / t_lang) AS rate"
         "  FROM totals, grand)"
         " SELECT t.lang, count(*) AS n_docs,"
-        "  sum(t.n_tok) AS n_tokens, round(first(r.rate), 6) AS rate"
+        "  CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,"
+        "  round(first(r.rate), 6) AS rate"
         " FROM tok t JOIN rates r ON t.lang = r.lang"
         f" WHERE {sql_unit_hash('t.id')} < r.rate"
         " GROUP BY t.lang"

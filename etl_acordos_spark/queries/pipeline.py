@@ -584,9 +584,9 @@ _ORACLES: dict[str, str | None] = {
         "  least(greatest(o_custkey, 0), 65535) AS a,"
         "  least(greatest(dia, 0), 65535) AS b FROM o)"
         " SELECT o_orderkey, o_custkey, dia, o_totalprice,"
-        "  list_sum(list_transform(range(0, 16), i ->"
+        "  CAST(list_sum(list_transform(range(0, 16), i ->"
         "   (((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))))"
-        "   AS zval"
+        "   AS BIGINT) AS zval"
         " FROM z"
         " WHERE o_custkey BETWEEN 100 AND 200 AND dia BETWEEN 9000 AND 9500"
     ),

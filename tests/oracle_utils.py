@@ -50,12 +50,41 @@ def _row_key(row: tuple) -> tuple:
     )
 
 
+_SPARK_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _assert_dtype_parity(spark_df, duck_cols, duck_types) -> None:
+    """Driver-hash seam guard: the driver materializes the DuckDB result
+    via pandas, where HUGEINT (the default type of ``sum(INTEGER)``)
+    becomes float64 while Spark returns bigint — identical values then
+    hash as ``4931.0`` vs ``4931``. ``fetchall()`` hides this (HUGEINT →
+    Python int), so check declared types, not fetched values: any
+    HUGEINT output column, or a float-typed oracle column paired with an
+    integer-typed Spark column, is a latent driver mismatch even when
+    the value comparison below passes.
+    """
+    spark_types = dict(spark_df.dtypes)
+    for col, dtype in zip(duck_cols, duck_types):
+        duck_t = str(dtype).upper()
+        stype = spark_types.get(col)
+        if stype in _SPARK_INT_TYPES:
+            assert duck_t not in ("HUGEINT", "UHUGEINT"), (
+                f"oracle column {col!r} is {duck_t} (pandas float64) but "
+                f"Spark returns {stype}: add CAST(... AS BIGINT) to the oracle"
+            )
+            assert duck_t not in ("FLOAT", "DOUBLE"), (
+                f"oracle column {col!r} is {duck_t} but Spark returns "
+                f"{stype}: align the types on both sides"
+            )
+
+
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     conn = duckdb_conn(sf_dir)
     try:
-        duck = conn.execute(oracle_sql)
-        duck_cols = [d[0] for d in duck.description]
-        duck_rows = duck.fetchall()
+        rel = conn.sql(oracle_sql)
+        duck_cols = list(rel.columns)
+        duck_types = list(rel.types)
+        duck_rows = rel.fetchall()
     finally:
         conn.close()
 
@@ -63,6 +92,7 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     )
+    _assert_dtype_parity(spark_df, duck_cols, duck_types)
 
     order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
     duck_sorted = [tuple(_canon(r[i]) for i in order) for r in duck_rows]

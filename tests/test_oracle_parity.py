@@ -19,11 +19,30 @@ def test_query_matches_oracle(spark, sf_oracle, key):
     oracle = contract.oracle_sql().get(key)
     df = qfn(spark, sf_oracle)
     if oracle is None:
-        # rows-only check: must build and run with a stable schema
+        # rows-only check: must build and run with a stable schema AND
+        # produce rows — the driver treats an empty rows-only result as
+        # a failure, and driver_green_keys now requires spark_rows > 0
         assert df.columns, f"{key}: no columns"
-        assert df.count() >= 0
+        assert df.count() > 0, f"{key}: rows-only query returned 0 rows"
         return
     assert_matches_oracle(df, oracle, sf_oracle)
+
+
+def test_dtype_guard_catches_uncast_hugeint_sum(spark, sf_oracle):
+    """The r3 failure class: DuckDB sum(INTEGER) → HUGEINT → pandas
+    float64 vs Spark bigint hashes differently despite equal values.
+    The parity harness must reject a bare sum(int) final projection."""
+    df = spark.range(3).selectExpr("CAST(sum(id) AS BIGINT) AS s")
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_matches_oracle(
+            df, "SELECT sum(x) AS s FROM (VALUES (0), (1), (2)) v(x)", sf_oracle
+        )
+    # and the cast form passes
+    assert_matches_oracle(
+        df,
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (0), (1), (2)) v(x)",
+        sf_oracle,
+    )
 
 
 def test_entry_smoke(spark):

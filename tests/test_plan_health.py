@@ -35,10 +35,14 @@ def scan_schema(plan: str, table_file: str) -> str:
     return re.search(r"ReadSchema: struct<([^>]*)>", section).group(1)
 
 
-def test_flagship_broadcasts_all_dims_and_prunes_orders_scan(spark, sf_oracle):
+def test_flagship_broadcasts_small_dims_and_prunes_orders_scan(spark, sf_oracle):
+    """nation/region must broadcast (forced hints — always tiny). The
+    fact⋈dim join is deliberately NOT pinned to a strategy: dim derives
+    from the full customer table, so its join is size-selected
+    (broadcast at test scale, shuffle at 100×) — forcing the broadcast
+    was flagged as a large-sf memory risk in VERDICT r3."""
     plan = plan_of(contract.queries()["flagship"](spark, sf_oracle))
-    assert plan.count("BroadcastHashJoin") >= 3, plan
-    assert "SortMergeJoin" not in plan, "a dim join fell back to shuffle"
+    assert plan.count("BroadcastHashJoin") >= 2, plan
     read_schema = scan_schema(plan, "orders.parquet")
     assert len(read_schema.split(",")) == 3, read_schema
 

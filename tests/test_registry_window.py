@@ -42,13 +42,35 @@ def test_hoisted_repairs_lead_while_unchecked() -> None:
 
 def test_green_set_reflects_committed_rounds() -> None:
     """Sanity on the green-row parser: rounds 1-2 verified the
-    core/relational head, so those keys must parse as green and the
-    known ERR row (ext_approx's array-column canonicalizer crash) must
-    not."""
+    core/relational head, so those keys must parse as green; round 3
+    re-declared ext_approx rows-only (no oracle for approximate
+    aggregates) and its r3 row is a legitimate no_oracle + rows row, so
+    it now counts as green (its earlier ERR rows alone would not)."""
     green = driver_green_keys()
     assert "src_parquet" in green and "ext_join_star" in green
     assert "chk_exists" in green  # rows-only (no_oracle) counts
-    assert "ext_approx" not in green  # ERR rows never count
+    assert "ext_approx" in green  # rows-only green since r3
+
+
+def test_err_only_and_zero_row_rows_never_green(tmp_path, monkeypatch) -> None:
+    """Pin the parser's reject rules directly: a key whose only rows are
+    errors, and a no-oracle key that returned 0 rows (failing the
+    driver's rows>0 expectation), must both stay un-green so they
+    re-enter the window."""
+    import json
+
+    import etl_acordos_spark.queries.base as base
+
+    rows = {
+        "err_key": {"hash_match": None, "spark_rows": None, "err": "boom"},
+        "zero_key": {"hash_match": None, "spark_rows": 0, "err": "no_oracle"},
+        "rows_key": {"hash_match": None, "spark_rows": 7, "err": "no_oracle"},
+        "full_key": {"hash_match": True, "spark_rows": 3, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(base, "_repo_root", lambda: str(tmp_path))
+    green = base.driver_green_keys()
+    assert green == {"rows_key", "full_key"}
 
 
 def test_every_query_key_has_callable_and_oracle_slot() -> None:
