@@ -92,6 +92,26 @@ def hashed_word_shingles(tok_col: str = "tok", n: int = 3) -> Column:
     )
 
 
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(doc, sh) hashed-shingle sets — the map-only scan every MinHash
+    stage starts from. Called on the full table to build signatures, and
+    again on a candidate-restricted slice (semi-join BEFORE the shingle
+    HOF, so the n-gram hashing runs only on surviving rows) for verify
+    joins.
+
+    Deliberately NO ensure_parallelism here: that helper inspects
+    ``df.rdd``, and under AQE converting a join-bearing plan to an RDD
+    EXECUTES its upstream shuffle stages at plan-BUILD time (measured:
+    an 11 s eager pause before any action). Callers that need the
+    repartition guard apply it to the raw scan themselves."""
+    return prepare_tokens(df, text_col, id_col).select(
+        F.col(id_col).alias("doc"),
+        hashed_word_shingles("tok", shingle_n).alias("sh"),
+    )
+
+
 def jaccard(a: str, b: str) -> Column:
     """Exact set Jaccard between two array columns."""
     return (
@@ -127,15 +147,15 @@ def minhash_bands(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared MinHash signature machinery: returns ``(base, bandtab)``
-    where base = (doc, sh) shingle-hash sets and bandtab = (doc,
-    band_idx, band_val). Only the band-value table is materialized
-    (cached): it is tiny (doc + `bands` longs) and read by several plan
-    branches. ``base`` is deliberately NOT cached — downstream verify
-    joins re-derive the tokenize+shingle scan per branch, which at
-    100 TB is the right trade (a map-only re-scan beats pinning the
-    full shingle table in executor storage).
+) -> DataFrame:
+    """Shared MinHash signature machinery: returns the band table
+    ``(doc, band_idx, band_val)``. The per-doc band-value arrays are
+    materialized (cached): tiny (doc + `bands` longs) and read by
+    several plan branches. The shingle sets themselves are NOT kept —
+    verify joins rebuild them via `shingle_sets` on a
+    candidate-restricted slice, which at 100 TB is the right trade (a
+    semi-joined re-scan beats pinning the full shingle table in
+    executor storage).
 
     hash-shingle (n-gram hashes computed straight from the token array —
     no shingle strings ever materialize) → derive the num_perm
@@ -150,10 +170,7 @@ def minhash_bands(
     the property incremental dedup relies on.
     """
     rows_per_band = num_perm // bands
-    base = prepare_tokens(ensure_parallelism(df), text_col, id_col).select(
-        F.col(id_col).alias("doc"),
-        hashed_word_shingles("tok", shingle_n).alias("sh"),
-    )
+    base = shingle_sets(ensure_parallelism(df), text_col, id_col, shingle_n)
     # fixed per-permutation multipliers/offsets (seeded ⇒ deterministic
     # across runs and engines), drawn from [1, p) / [0, p)
     p = (1 << 31) - 1  # Mersenne prime
@@ -185,10 +202,9 @@ def minhash_bands(
     sig_tab = base.select(
         "doc", F.expr(band_expr).alias("bandvals")
     ).cache()
-    bandtab = sig_tab.select(
+    return sig_tab.select(
         "doc", F.posexplode("bandvals").alias("band_idx", "band_val")
     )
-    return base, bandtab
 
 
 def minhash_lsh_pairs(
@@ -227,11 +243,13 @@ def minhash_lsh_pairs(
     the final verify join, sized by the (already thresholded) candidate
     count. The tiny band table is cached because three plan branches
     (bucket histogram + both self-join sides) would otherwise recompute
-    the signature scan.
+    the signature scan. The verify join rebuilds shingle sets only for
+    the ids that appear in a candidate pair — a semi-join BEFORE the
+    shingle HOF — so the rebuild re-reads the table but hashes n-grams
+    for O(candidates) rows, and the resulting slice is small enough to
+    cache for both join sides.
     """
-    base, bandtab = minhash_bands(
-        df, text_col, id_col, num_perm, bands, shingle_n
-    )
+    bandtab = minhash_bands(df, text_col, id_col, num_perm, bands, shingle_n)
     bucket_ok = (
         bandtab.groupBy("band_idx", "band_val")
         .count()
@@ -250,9 +268,35 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        # eager lineage CUT, not just a cache: the candidate table is
+        # referenced three times downstream (both verify sides + the id
+        # set for the shingle rebuild), and each reference would inline
+        # the whole banding subtree — whose 64-constant HOF expressions
+        # make every downstream ANALYSIS pass pay seconds (measured:
+        # 4.5 s of plan building before any action, and the CC loop in
+        # keep_representatives re-analyzing the tree every round). After
+        # the checkpoint the candidates are an RDD leaf: O(pairs) longs
+        # in executor storage, trivial to analyze against. The cache()
+        # underneath it makes the checkpoint itself cheap to rebuild on
+        # repeated invocations (same canonical plan → cache hit), which
+        # a lineage cut alone would forfeit.
+        .cache()
+        .localCheckpoint(eager=True)
     )
-    sets_a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sets_b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_sets = shingle_sets(
+        df.join(cand_ids, [id_col], "left_semi"), text_col, id_col, shingle_n
+    ).cache()
+    sets_a = cand_sets.select(
+        F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sets_b = cand_sets.select(
+        F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
     return (
         candidates.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
@@ -293,8 +337,10 @@ def incremental_minhash_dedup(
     (small) build side; corpus band entries never self-join, so daily
     cost is O(|batch| · corpus-collision rate), not O(N²). Oversized
     buckets are dropped like in `minhash_lsh_pairs` (degenerate
-    boilerplate); the verify join moves shingle arrays only for the
-    thresholded candidate pairs.
+    boilerplate); the verify join rebuilds shingle sets only for ids
+    that appear in a candidate pair (semi-join before the shingle HOF —
+    the corpus is never re-shingled in full) and moves those arrays
+    only for the thresholded candidate pairs.
 
     Corpus and batch id spaces MAY overlap: every candidate carries a
     side marker ('c' = corpus, 'b' = batch) and the verify join keys on
@@ -302,10 +348,10 @@ def incremental_minhash_dedup(
     the shingle set it actually collided with, never its namesake on
     the other side.
     """
-    c_base, c_bands = minhash_bands(
+    c_bands = minhash_bands(
         corpus, text_col, id_col, num_perm, bands, shingle_n
     )
-    b_base, b_bands = minhash_bands(
+    b_bands = minhash_bands(
         batch, text_col, id_col, num_perm, bands, shingle_n
     )
     # cap degenerate buckets by their COMBINED population
@@ -352,19 +398,55 @@ def incremental_minhash_dedup(
             )
         )
         .dropDuplicates(["doc_new", "doc_old", "side"])
+        # eager lineage cut — same rationale as minhash_lsh_pairs: three
+        # downstream references would each inline BOTH sides' banding
+        # subtrees into every later analysis pass (cache underneath for
+        # cheap re-invocation)
+        .cache()
+        .localCheckpoint(eager=True)
     )
-    older = c_base.select(
+    # candidate-restricted shingle rebuild: semi-join each side down to
+    # the ids that actually appear in a candidate pair BEFORE the
+    # shingle HOF, so the corpus — the big side — is never re-shingled
+    # in full for the verify join
+    old_c_ids = (
+        candidates.filter(F.col("side") == "c")
+        .select(F.col("doc_old").alias(id_col))
+        .distinct()
+    )
+    b_ids_needed = (
+        candidates.select(F.col("doc_new").alias(id_col))
+        .unionByName(
+            candidates.filter(F.col("side") == "b").select(
+                F.col("doc_old").alias(id_col)
+            )
+        )
+        .distinct()
+    )
+    c_sets = shingle_sets(
+        corpus.join(old_c_ids, [id_col], "left_semi"),
+        text_col,
+        id_col,
+        shingle_n,
+    )
+    b_sets = shingle_sets(
+        batch.join(b_ids_needed, [id_col], "left_semi"),
+        text_col,
+        id_col,
+        shingle_n,
+    ).cache()
+    older = c_sets.select(
         F.col("doc").alias("doc_old"),
         F.col("sh").alias("sh_old"),
         F.lit("c").alias("side"),
     ).unionByName(
-        b_base.select(
+        b_sets.select(
             F.col("doc").alias("doc_old"),
             F.col("sh").alias("sh_old"),
             F.lit("b").alias("side"),
         )
     )
-    newer = b_base.select(
+    newer = b_sets.select(
         F.col("doc").alias("doc_new"), F.col("sh").alias("sh_new")
     )
     dominated = (
@@ -375,7 +457,7 @@ def incremental_minhash_dedup(
         .distinct()
     )
     return (
-        b_base.select("doc")
+        batch.select(F.col(id_col).alias("doc"))
         .join(dominated, "doc", "left_anti")
         .select(F.col("doc").alias(id_col))
     )
