@@ -332,7 +332,9 @@ def incremental_minhash_dedup(
     (`minhash_bands` — in production the corpus side is a STORED band
     index, appended on every ingest, and this function's corpus branch
     is replaced by a scan of that index; the seeded constants are what
-    make last month's index join-compatible with today's batch). The
+    make last month's index join-compatible with today's batch — that
+    pipeline is implemented in
+    `etl_acordos_spark.streaming.dedup_index`). The
     probe joins key on (band_idx, band_val) with the batch side as the
     (small) build side; corpus band entries never self-join, so daily
     cost is O(|batch| · corpus-collision rate), not O(N²). Oversized
@@ -354,14 +356,67 @@ def incremental_minhash_dedup(
     b_bands = minhash_bands(
         batch, text_col, id_col, num_perm, bands, shingle_n
     )
+    return dedup_batch_against(
+        batch,
+        b_bands,
+        corpus,
+        c_bands,
+        text_col,
+        id_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def dedup_batch_against(
+    batch: DataFrame,
+    b_bands: DataFrame,
+    corpus: DataFrame,
+    c_bands: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+    c_bucket_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Probe core shared by `incremental_minhash_dedup` (which computes
+    the corpus band table on the fly) and the streaming index pipeline
+    (`etl_acordos_spark.streaming.dedup_index`, where *c_bands* is a
+    STORED band index and *corpus* the kept-docs store it indexes).
+    Returns the batch ids that survive keep-first dedup against the
+    corpus and against lower-id batch docs.
+
+    *c_bucket_counts* — optional persisted ``(band_idx, band_val, n)``
+    table holding the corpus side's per-bucket populations. Without it,
+    the combined bucket-size cap recounts every corpus band entry per
+    call — fine when the corpus side is computed fresh anyway, an
+    O(index) shuffle per batch when probing a stored index. With it,
+    the cap costs one aggregate over the BATCH's entries plus a merge
+    against the (buckets-sized, not entries-sized) count table.
+    """
     # cap degenerate buckets by their COMBINED population
-    bucket_ok = (
-        c_bands.select("band_idx", "band_val")
-        .unionByName(b_bands.select("band_idx", "band_val"))
-        .groupBy("band_idx", "band_val")
-        .count()
-        .filter(F.col("count") <= max_bucket_size)
-        .drop("count")
+    if c_bucket_counts is None:
+        combined = (
+            c_bands.select("band_idx", "band_val")
+            .unionByName(b_bands.select("band_idx", "band_val"))
+            .groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    else:
+        combined = (
+            c_bucket_counts.select("band_idx", "band_val", "n")
+            .unionByName(
+                b_bands.groupBy("band_idx", "band_val").agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+            )
+            .groupBy("band_idx", "band_val")
+            .agg(F.sum("n").alias("n"))
+        )
+    bucket_ok = combined.filter(F.col("n") <= max_bucket_size).select(
+        "band_idx", "band_val"
     )
     b_entries = b_bands.join(bucket_ok, ["band_idx", "band_val"])
     c_entries = c_bands.join(bucket_ok, ["band_idx", "band_val"])

@@ -103,6 +103,26 @@ def q_ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest against a STORED MinHash band index:
+    `documents` delivered as 4 ascending-id microbatches; each batch
+    probes the on-disk index, verifies collisions by exact Jaccard
+    against the kept-docs store, and appends its survivors' bands (and
+    bucket-count deltas) back to the index. Rows-only: LSH banding is
+    not SQL-expressible; the settled kept-set's equality with folding
+    `incremental_minhash_dedup` over the batches in order is
+    unit-tested (tests/test_streaming.py)."""
+    from etl_acordos_spark.queries.base import t
+    from etl_acordos_spark.streaming.dedup_index import (
+        streaming_dedup_index_run,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return streaming_dedup_index_run(
+        spark, docs, "text", "doc_id", scratch_dir(), n_batches=4
+    )
+
+
 def q_ext_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental lake merge: 4 microbatches foreachBatch-
     upsert each user's latest event into a parquet snapshot; the settled
@@ -202,4 +222,5 @@ QUERIES: dict[str, QueryDef] = {
     "ext_stream_sessions": QueryDef(q_ext_stream_sessions, _SESSIONS_ORACLE),
     "ext_stream_stateful": QueryDef(q_ext_stream_stateful, _STATEFUL_ORACLE),
     "ext_stream_upsert": QueryDef(q_ext_stream_upsert, _STREAM_UPSERT_ORACLE),
+    "ext_stream_dedup_index": QueryDef(q_ext_stream_dedup_index, None),
 }

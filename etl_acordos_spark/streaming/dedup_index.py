@@ -1,0 +1,217 @@
+"""Streaming MinHash dedup-index maintenance — continuous near-dup
+ingest against a STORED band index.
+
+This realizes the production story `incremental_minhash_dedup`
+documents (operators/dedup.py): at 100 TB/day nobody recomputes the
+corpus's signatures per batch — the corpus IS its on-disk band index.
+Each arriving microbatch:
+
+  1. computes its own seeded MinHash bands (`minhash_bands` — the
+     seeded permutation constants are what keep an index built last
+     month join-compatible with today's batch),
+  2. probes the stored index for band collisions and verifies the
+     candidates by exact Jaccard against the kept-docs store
+     (candidate-restricted shingle rebuild — the store is never
+     re-shingled in full),
+  3. appends its survivors to the kept store and their band entries to
+     the index, and folds their bucket counts into a persisted
+     per-bucket count table.
+
+The count table is what keeps the degenerate-bucket cap O(batch): the
+combined-population guard needs corpus-side bucket sizes, and
+recounting the index's entries every batch would be an O(index)
+shuffle per microbatch. The persisted ``(band_idx, band_val, n)``
+table is buckets-sized (not entries-sized) and is merged + atomically
+swapped per batch, exactly the snapshot-swap idiom of
+`events.incremental_upsert_run`. At lakehouse scale the three stores
+become table-format appends/merges (Delta/Iceberg), with the index
+bucketed by band value so the probe join is co-located.
+
+Determinism contract: documents are delivered as ascending id-range
+microbatches (``repartitionByRange`` + one file per trigger), so the
+settled kept-set equals folding `incremental_minhash_dedup` over the
+batches in order — unit-tested in tests/test_streaming.py, which is
+the correctness story for this non-SQL-expressible operator.
+
+No reference parity: the reference has no streaming and no dedup
+beyond `drop_duplicates` (tasks/silver.py:72); this is SURVEY.md §2.6
+extension surface.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_acordos_spark.operators.dedup import (
+    dedup_batch_against,
+    minhash_bands,
+)
+
+
+def streaming_dedup_index_run(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    base_dir: str,
+    n_batches: int = 4,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Run *docs* through the streaming dedup-index pipeline as
+    *n_batches* ascending-id microbatches; returns the settled kept-doc
+    ids (lazy read over the kept store, which outlives this call —
+    PID-scoped working dirs, same rationale as
+    `events.incremental_upsert_run`)."""
+    run_ns = os.path.join(base_dir, f"stream_dedup_index_{os.getpid()}")
+    src = os.path.join(run_ns, "src")
+    index_dir = os.path.join(run_ns, "band_index")
+    kept_dir = os.path.join(run_ns, "kept")
+    counts_dir = os.path.join(run_ns, "bucket_counts")
+    ckpt = os.path.join(run_ns, "ckpt")
+    shutil.rmtree(run_ns, ignore_errors=True)
+
+    # one-shot sizing, restored on exit (see events.run_stream_to_table)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(4, spark.sparkContext.defaultParallelism)),
+        )
+
+        # deterministic delivery order: contiguous ascending id ranges,
+        # one file per range, one file per trigger — "keep-first" means
+        # lower-id batches win, and within a batch the lower id wins
+        # (dedup_batch_against's keep-first contract). NOT
+        # repartitionByRange: RangePartitioner samples its boundaries
+        # with a random seed, and batch membership changes which
+        # non-transitive near-dup comparisons happen, so a sampled
+        # split is not rerun-stable (observed). percentile_approx
+        # boundaries are deterministic for the same input; the file
+        # stream replays the files in mtime order, pinned explicitly.
+        cuts = (
+            docs.select(
+                F.percentile_approx(
+                    id_col,
+                    [i / n_batches for i in range(1, n_batches)],
+                    10000,
+                ).alias("b")
+            ).head()[0]
+            if n_batches > 1
+            else []
+        )
+        edges = [None, *cuts, None]
+        os.makedirs(src, exist_ok=True)
+        base_mtime = os.stat(run_ns).st_mtime
+        for i in range(n_batches):
+            part = docs.select(id_col, text_col)
+            if edges[i] is not None:
+                part = part.filter(F.col(id_col) > edges[i])
+            if edges[i + 1] is not None:
+                part = part.filter(F.col(id_col) <= edges[i + 1])
+            build = os.path.join(run_ns, f"srcbuild_{i}")
+            part.coalesce(1).write.parquet(build)
+            pf = next(
+                f for f in sorted(os.listdir(build)) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch_{i:04d}.parquet")
+            os.replace(os.path.join(build, pf), dst)
+            shutil.rmtree(build, ignore_errors=True)
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+        doc_schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        band_schema = T.StructType(
+            [
+                T.StructField("doc", doc_schema[id_col].dataType),
+                T.StructField("band_idx", T.IntegerType()),
+                T.StructField("band_val", T.LongType()),
+            ]
+        )
+
+        def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch = batch_df
+            # lineage cut straight after the band computation: the band
+            # expression is a giant HOF tree, and in a PER-BATCH loop
+            # every derived plan (bucket cap, probe joins, self-join)
+            # would re-analyze it 4× per microbatch — leaf it once per
+            # batch instead (one job, bands are 3 longs per doc·band)
+            b_bands = minhash_bands(
+                batch, text_col, id_col, num_perm, bands, shingle_n
+            ).localCheckpoint(eager=True)
+            if os.path.exists(kept_dir):
+                corpus = spark.read.parquet(kept_dir)
+                c_bands = spark.read.parquet(index_dir)
+                counts = spark.read.parquet(counts_dir)
+            else:
+                corpus = spark.createDataFrame([], doc_schema)
+                c_bands = spark.createDataFrame([], band_schema)
+                counts = None
+            survivors = dedup_batch_against(
+                batch,
+                b_bands,
+                corpus,
+                c_bands,
+                text_col,
+                id_col,
+                threshold=threshold,
+                shingle_n=shingle_n,
+                max_bucket_size=max_bucket_size,
+                c_bucket_counts=counts,
+            ).localCheckpoint(eager=True)
+
+            batch.join(survivors, [id_col], "left_semi").write.mode(
+                "append"
+            ).parquet(kept_dir)
+            # no checkpoint: both uses read the b_bands leaf + the tiny
+            # survivor set — a recompute is one cheap semi-join
+            kept_bands = b_bands.join(
+                survivors.select(F.col(id_col).alias("doc")),
+                ["doc"],
+                "left_semi",
+            )
+            kept_bands.write.mode("append").parquet(index_dir)
+
+            # fold survivor bucket deltas into the count table; atomic
+            # directory swap so a concurrent lazy reader never sees a
+            # half-written snapshot
+            deltas = kept_bands.groupBy("band_idx", "band_val").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            merged = (
+                counts.unionByName(deltas)
+                .groupBy("band_idx", "band_val")
+                .agg(F.sum("n").alias("n"))
+                if counts is not None
+                else deltas
+            )
+            tmp = f"{counts_dir}_v{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            old = f"{counts_dir}_old{batch_id}"
+            if os.path.exists(counts_dir):
+                os.rename(counts_dir, old)
+            os.rename(tmp, counts_dir)
+            shutil.rmtree(old, ignore_errors=True)
+
+        (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(kept_dir).select(id_col)

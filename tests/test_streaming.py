@@ -93,3 +93,101 @@ def test_watermark_in_plan(spark, sf_smoke):
         stream_events(spark, sf_smoke)
     )._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+# ------------------------------------------- streaming dedup-index runs
+
+
+def test_stream_dedup_index_equals_sequential_fold(spark, sf_smoke):
+    """The settled kept-set must equal folding incremental_minhash_dedup
+    over the delivered batches in order — the correctness contract for
+    this non-SQL-expressible pipeline (the stored band index + count
+    table must behave exactly like recomputing the kept corpus's bands
+    per batch)."""
+    import os
+    import tempfile
+
+    from etl_acordos_spark.operators.dedup import incremental_minhash_dedup
+    from etl_acordos_spark.queries.base import t
+    from etl_acordos_spark.streaming.dedup_index import (
+        streaming_dedup_index_run,
+    )
+
+    docs = t(spark, sf_smoke, "documents")
+    base = tempfile.mkdtemp(prefix="sdi_fold_")
+    got = sorted(
+        r[0]
+        for r in streaming_dedup_index_run(
+            spark, docs, "text", "doc_id", base, n_batches=3
+        ).collect()
+    )
+
+    # replay the exact delivered batches (the written source files, in
+    # trigger order) through the batch-mode operator
+    src = os.path.join(base, f"stream_dedup_index_{os.getpid()}", "src")
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert len(files) == 3
+    corpus = None
+    want: list[int] = []
+    for f in files:
+        batch = spark.read.parquet(os.path.join(src, f)).select(
+            "doc_id", "text"
+        )
+        surv = incremental_minhash_dedup(
+            corpus if corpus is not None else batch.limit(0),
+            batch,
+            "text",
+            "doc_id",
+        )
+        want.extend(r[0] for r in surv.collect())
+        kept_batch = batch.join(surv, ["doc_id"], "left_semi")
+        corpus = (
+            kept_batch
+            if corpus is None
+            else corpus.unionByName(kept_batch)
+        ).localCheckpoint(eager=True)
+    assert got == sorted(want)
+
+
+def test_stream_dedup_index_drops_cross_batch_dups(spark):
+    """A later batch's near-copy of an already-kept doc must be dropped
+    by the index probe; a same-batch exact copy must be dropped by the
+    batch self-join; rerun must be byte-stable."""
+    import tempfile
+
+    from etl_acordos_spark.streaming.dedup_index import (
+        streaming_dedup_index_run,
+    )
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    base_a = words
+    near_a = words.replace("oscar", "OSCAR")  # 1 of 30 words changed
+    base_b = " ".join(w[::-1] for w in words.split())
+    uniq = {
+        i: " ".join(f"w{i}x{j}" for j in range(30)) for i in (2, 3, 6, 8, 9)
+    }
+    rows = [
+        (1, base_a),
+        (2, uniq[2]),
+        (3, uniq[3]),
+        (4, base_b),
+        (5, base_b),  # exact dup of 4, same batch
+        (6, uniq[6]),
+        (7, near_a),  # near dup of 1, later batch
+        (8, uniq[8]),
+        (9, uniq[9]),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = lambda d: sorted(  # noqa: E731
+        r[0]
+        for r in streaming_dedup_index_run(
+            spark, docs, "text", "doc_id", d, n_batches=3
+        ).collect()
+    )
+    a = kept(tempfile.mkdtemp(prefix="sdi_syn_"))
+    assert a == [1, 2, 3, 4, 6, 8, 9]
+    assert a == kept(tempfile.mkdtemp(prefix="sdi_syn_"))
