@@ -147,15 +147,23 @@ def minhash_bands(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    pin: str = "cache",
 ) -> DataFrame:
     """Shared MinHash signature machinery: returns the band table
     ``(doc, band_idx, band_val)``. The per-doc band-value arrays are
-    materialized (cached): tiny (doc + `bands` longs) and read by
-    several plan branches. The shingle sets themselves are NOT kept —
-    verify joins rebuild them via `shingle_sets` on a
-    candidate-restricted slice, which at 100 TB is the right trade (a
-    semi-joined re-scan beats pinning the full shingle table in
-    executor storage).
+    materialized: tiny (doc + `bands` longs) and read by several plan
+    branches. The shingle sets themselves are NOT kept — verify joins
+    rebuild them via `shingle_sets` on a candidate-restricted slice,
+    which at 100 TB is the right trade (a semi-joined re-scan beats
+    pinning the full shingle table in executor storage).
+
+    *pin* — how the band-value table is materialized: ``"cache"``
+    (default) registers it with the CacheManager, so a repeated
+    invocation of the same plan reuses it; ``"checkpoint"`` uses a lazy
+    localCheckpoint instead, which is garbage-collected with the
+    DataFrame — the right choice for per-microbatch loops
+    (streaming.dedup_index), where cache entries would otherwise
+    accumulate for the lifetime of the application.
 
     hash-shingle (n-gram hashes computed straight from the token array —
     no shingle strings ever materialize) → derive the num_perm
@@ -199,9 +207,12 @@ def minhash_bands(
     # landmine as operators/text.py:passage_dedup). The cached table is
     # (doc, bands longs), and the cheap explode is re-derived by every
     # downstream branch.
-    sig_tab = base.select(
-        "doc", F.expr(band_expr).alias("bandvals")
-    ).cache()
+    sig_tab = base.select("doc", F.expr(band_expr).alias("bandvals"))
+    sig_tab = (
+        sig_tab.cache()
+        if pin == "cache"
+        else sig_tab.localCheckpoint(eager=False)
+    )
     return sig_tab.select(
         "doc", F.posexplode("bandvals").alias("band_idx", "band_val")
     )
@@ -380,6 +391,7 @@ def dedup_batch_against(
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
     c_bucket_counts: DataFrame | None = None,
+    reusable: bool = True,
 ) -> DataFrame:
     """Probe core shared by `incremental_minhash_dedup` (which computes
     the corpus band table on the fly) and the streaming index pipeline
@@ -387,6 +399,12 @@ def dedup_batch_against(
     STORED band index and *corpus* the kept-docs store it indexes).
     Returns the batch ids that survive keep-first dedup against the
     corpus and against lower-id batch docs.
+
+    *reusable* — True (default) registers the candidate/shingle
+    intermediates with the CacheManager so an identical re-invocation
+    reuses them; False pins them with localCheckpoints only (GC'd with
+    the plan) — pass False from per-microbatch loops, where cache
+    entries would accumulate for the application's lifetime.
 
     *c_bucket_counts* — optional persisted ``(band_idx, band_val, n)``
     table holding the corpus side's per-bucket populations. Without it,
@@ -453,13 +471,14 @@ def dedup_batch_against(
             )
         )
         .dropDuplicates(["doc_new", "doc_old", "side"])
-        # eager lineage cut — same rationale as minhash_lsh_pairs: three
-        # downstream references would each inline BOTH sides' banding
-        # subtrees into every later analysis pass (cache underneath for
-        # cheap re-invocation)
-        .cache()
-        .localCheckpoint(eager=True)
     )
+    # eager lineage cut — same rationale as minhash_lsh_pairs: three
+    # downstream references would each inline BOTH sides' banding
+    # subtrees into every later analysis pass (cache underneath for
+    # cheap re-invocation, unless the caller is a per-batch loop)
+    if reusable:
+        candidates = candidates.cache()
+    candidates = candidates.localCheckpoint(eager=True)
     # candidate-restricted shingle rebuild: semi-join each side down to
     # the ids that actually appear in a candidate pair BEFORE the
     # shingle HOF, so the corpus — the big side — is never re-shingled
@@ -489,7 +508,10 @@ def dedup_batch_against(
         text_col,
         id_col,
         shingle_n,
-    ).cache()
+    )
+    b_sets = (
+        b_sets.cache() if reusable else b_sets.localCheckpoint(eager=False)
+    )
     older = c_sets.select(
         F.col("doc").alias("doc_old"),
         F.col("sh").alias("sh_old"),

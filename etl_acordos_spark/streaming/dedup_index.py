@@ -13,25 +13,26 @@ Each arriving microbatch:
      candidates by exact Jaccard against the kept-docs store
      (candidate-restricted shingle rebuild — the store is never
      re-shingled in full),
-  3. appends its survivors to the kept store and their band entries to
-     the index, and folds their bucket counts into a persisted
-     per-bucket count table.
+  3. writes its survivors, their band entries, and their per-bucket
+     count deltas, each into a batch-id-named subdirectory.
 
-The count table is what keeps the degenerate-bucket cap O(batch): the
-combined-population guard needs corpus-side bucket sizes, and
-recounting the index's entries every batch would be an O(index)
-shuffle per microbatch. The persisted ``(band_idx, band_val, n)``
-table is buckets-sized (not entries-sized) and is merged + atomically
-swapped per batch, exactly the snapshot-swap idiom of
-`events.incremental_upsert_run`. At lakehouse scale the three stores
-become table-format appends/merges (Delta/Iceberg), with the index
-bucketed by band value so the probe join is co-located.
+Fault tolerance: foreachBatch is at-least-once, so every store write
+is an idempotent per-batch OVERWRITE — a replayed batch rewrites its
+own subdirectories instead of double-appending, and a crash between
+the three writes leaves nothing a retry can't overwrite. The
+bucket-count deltas exist so the degenerate-bucket cap never recounts
+the index's entries (an O(index) shuffle per microbatch otherwise):
+the probe sums the delta files — buckets-sized, not entries-sized. At
+lakehouse scale the stores become table-format MERGEs keyed on batch
+id (same idempotency, transactional), the index is bucketed by band
+value so the probe join is co-located, and a periodic compaction folds
+old count deltas into one snapshot.
 
 Determinism contract: documents are delivered as ascending id-range
-microbatches (``repartitionByRange`` + one file per trigger), so the
-settled kept-set equals folding `incremental_minhash_dedup` over the
-batches in order — unit-tested in tests/test_streaming.py, which is
-the correctness story for this non-SQL-expressible operator.
+microbatches, so the settled kept-set equals folding
+`incremental_minhash_dedup` over the batches in order — unit-tested in
+tests/test_streaming.py, which is the correctness story for this
+non-SQL-expressible operator.
 
 No reference parity: the reference has no streaming and no dedup
 beyond `drop_duplicates` (tasks/silver.py:72); this is SURVEY.md §2.6
@@ -70,7 +71,7 @@ def streaming_dedup_index_run(
     *n_batches* ascending-id microbatches; returns the settled kept-doc
     ids (lazy read over the kept store, which outlives this call —
     PID-scoped working dirs, same rationale as
-    `events.incremental_upsert_run`)."""
+    `events.incremental_upsert_run`). Ids must be non-null."""
     run_ns = os.path.join(base_dir, f"stream_dedup_index_{os.getpid()}")
     src = os.path.join(run_ns, "src")
     index_dir = os.path.join(run_ns, "band_index")
@@ -78,6 +79,7 @@ def streaming_dedup_index_run(
     counts_dir = os.path.join(run_ns, "bucket_counts")
     ckpt = os.path.join(run_ns, "ckpt")
     shutil.rmtree(run_ns, ignore_errors=True)
+    os.makedirs(run_ns, exist_ok=True)
 
     # one-shot sizing, restored on exit (see events.run_stream_to_table)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -108,10 +110,11 @@ def streaming_dedup_index_run(
             if n_batches > 1
             else []
         )
-        edges = [None, *cuts, None]
+        # percentile over zero rows is NULL → deliver one empty batch
+        edges = [None, *(cuts or []), None]
         os.makedirs(src, exist_ok=True)
         base_mtime = os.stat(run_ns).st_mtime
-        for i in range(n_batches):
+        for i in range(len(edges) - 1):
             part = docs.select(id_col, text_col)
             if edges[i] is not None:
                 part = part.filter(F.col(id_col) > edges[i])
@@ -141,24 +144,54 @@ def streaming_dedup_index_run(
             ]
         )
 
+        def store(df: DataFrame, root: str, batch_id: int) -> None:
+            # idempotent per-batch write: a replayed batch overwrites
+            # its own subdirectory, never double-appends the store
+            df.write.mode("overwrite").parquet(
+                os.path.join(root, f"b{batch_id:05d}")
+            )
+
+        def load(root: str) -> DataFrame | None:
+            if os.path.isdir(root) and any(
+                e.startswith("b") for e in os.listdir(root)
+            ):
+                return spark.read.parquet(os.path.join(root, "b*"))
+            return None
+
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch = batch_df
             # lineage cut straight after the band computation: the band
             # expression is a giant HOF tree, and in a PER-BATCH loop
             # every derived plan (bucket cap, probe joins, self-join)
             # would re-analyze it 4× per microbatch — leaf it once per
-            # batch instead (one job, bands are 3 longs per doc·band)
+            # batch instead (one job, bands are 3 longs per doc·band).
+            # pin="checkpoint"/reusable=False keep the per-batch
+            # intermediates out of the CacheManager: cache entries live
+            # until the application stops, and a continuous ingest
+            # stream would leak them every batch.
             b_bands = minhash_bands(
-                batch, text_col, id_col, num_perm, bands, shingle_n
+                batch,
+                text_col,
+                id_col,
+                num_perm,
+                bands,
+                shingle_n,
+                pin="checkpoint",
             ).localCheckpoint(eager=True)
-            if os.path.exists(kept_dir):
-                corpus = spark.read.parquet(kept_dir)
-                c_bands = spark.read.parquet(index_dir)
-                counts = spark.read.parquet(counts_dir)
-            else:
+            corpus = load(kept_dir)
+            c_bands = load(index_dir)
+            deltas_so_far = load(counts_dir)
+            counts = (
+                deltas_so_far.groupBy("band_idx", "band_val").agg(
+                    F.sum("n").alias("n")
+                )
+                if deltas_so_far is not None
+                else None
+            )
+            if corpus is None:
                 corpus = spark.createDataFrame([], doc_schema)
+            if c_bands is None:
                 c_bands = spark.createDataFrame([], band_schema)
-                counts = None
             survivors = dedup_batch_against(
                 batch,
                 b_bands,
@@ -170,11 +203,14 @@ def streaming_dedup_index_run(
                 shingle_n=shingle_n,
                 max_bucket_size=max_bucket_size,
                 c_bucket_counts=counts,
+                reusable=False,
             ).localCheckpoint(eager=True)
 
-            batch.join(survivors, [id_col], "left_semi").write.mode(
-                "append"
-            ).parquet(kept_dir)
+            store(
+                batch.join(survivors, [id_col], "left_semi"),
+                kept_dir,
+                batch_id,
+            )
             # no checkpoint: both uses read the b_bands leaf + the tiny
             # survivor set — a recompute is one cheap semi-join
             kept_bands = b_bands.join(
@@ -182,28 +218,14 @@ def streaming_dedup_index_run(
                 ["doc"],
                 "left_semi",
             )
-            kept_bands.write.mode("append").parquet(index_dir)
-
-            # fold survivor bucket deltas into the count table; atomic
-            # directory swap so a concurrent lazy reader never sees a
-            # half-written snapshot
-            deltas = kept_bands.groupBy("band_idx", "band_val").agg(
-                F.count(F.lit(1)).alias("n")
+            store(kept_bands, index_dir, batch_id)
+            store(
+                kept_bands.groupBy("band_idx", "band_val").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+                counts_dir,
+                batch_id,
             )
-            merged = (
-                counts.unionByName(deltas)
-                .groupBy("band_idx", "band_val")
-                .agg(F.sum("n").alias("n"))
-                if counts is not None
-                else deltas
-            )
-            tmp = f"{counts_dir}_v{batch_id}"
-            merged.write.mode("overwrite").parquet(tmp)
-            old = f"{counts_dir}_old{batch_id}"
-            if os.path.exists(counts_dir):
-                os.rename(counts_dir, old)
-            os.rename(tmp, counts_dir)
-            shutil.rmtree(old, ignore_errors=True)
 
         (
             stream.writeStream.foreachBatch(process_batch)
@@ -214,4 +236,4 @@ def streaming_dedup_index_run(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.read.parquet(kept_dir).select(id_col)
+    return spark.read.parquet(os.path.join(kept_dir, "b*")).select(id_col)

@@ -86,8 +86,11 @@ QUADRATIC_BY_DESIGN = {
     "ext_quality_filter",  # 1-row quantile-thresholds broadcast join
 }
 
-#: keys that execute eagerly on build (streams, sinks) or need scratch
-#: state — plan text is checked for the lazy batch queries only.
+#: keys whose build executes a full run (streams, sinks) or needs
+#: scratch state — their returned plan is a store read, so plan text is
+#: checked for the batch queries only. (ext_dedup_near/keep/incremental
+#: are NOT here: they eagerly materialize a bounded candidate leaf at
+#: build, but still return a real joinable plan worth checking.)
 SKIP_PLAN_CHECK = {
     "snk_parquet", "snk_partitioned", "snk_dbapi_upsert", "snk_dbapi_append",
     "flow_dag", "flow_retry", "chk_exists", "ddl_infer",
@@ -167,6 +170,34 @@ def test_generators_explode_materialized_arrays(spark, sf_oracle, key):
                 f"{key}: Generate explodes an inline HOF "
                 f"(per-output-row re-evaluation):\n{ln}"
             )
+
+
+def test_minhash_banding_explode_is_materialized(spark, sf_oracle):
+    """Direct pin on the banding subtree: the registry-level Generate
+    scan above no longer sees it for the dedup keys (the checkpointed
+    candidate leaf hides the upstream plan), so assert here that the
+    posexplode consumes the materialized band-value attribute — never
+    the inline HOF signature expression (bands× per-row re-evaluation
+    otherwise), and that the band arrays are pinned before the explode.
+    """
+    from etl_acordos_spark.operators.dedup import minhash_bands
+    from etl_acordos_spark.queries.base import t
+
+    bandtab = minhash_bands(
+        t(spark, sf_oracle, "documents"), "text", "doc_id"
+    )
+    plan = plan_of(bandtab)
+    sections = [s for s in plan.split("\n\n") if ") Generate" in s]
+    assert sections, "banding plan lost its Generate:\n" + plan
+    for section in sections:
+        for ln in section.splitlines():
+            if ln.startswith("Arguments"):
+                assert "transform(" not in ln and "aggregate(" not in ln, (
+                    "banding Generate explodes an inline HOF:\n" + ln
+                )
+    assert "InMemoryTableScan" in plan, (
+        "band arrays are not materialized before the explode:\n" + plan
+    )
 
 
 @pytest.mark.parametrize(
