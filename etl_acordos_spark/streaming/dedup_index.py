@@ -237,3 +237,42 @@ def streaming_dedup_index_run(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(os.path.join(kept_dir, "b*")).select(id_col)
+
+
+def compact_count_deltas(spark: SparkSession, run_ns: str) -> int:
+    """Periodic maintenance: fold the bucket-count delta subdirectories
+    into one pre-summed snapshot delta, so the per-batch probe sums a
+    bounded number of files instead of one delta per batch ever
+    ingested. The snapshot is staged outside the store, the folded
+    deltas removed, then the snapshot moved in under the highest folded
+    batch-id name (so later deltas sort after it). A crash between
+    removal and move transiently under-counts some buckets — which only
+    LOOSENS the degenerate-bucket cap until the maintenance retry
+    completes; run it between batches, not concurrently with one. A
+    transactional table format (Delta/Iceberg MERGE) is the production
+    form of this fold. Returns the number of delta directories folded.
+    """
+    counts_dir = os.path.join(run_ns, "bucket_counts")
+    if not os.path.isdir(counts_dir):
+        return 0
+    parts = sorted(
+        e for e in os.listdir(counts_dir) if e.startswith("b")
+    )
+    if len(parts) <= 1:
+        return 0
+    snap = (
+        spark.read.parquet(os.path.join(counts_dir, "b*"))
+        .groupBy("band_idx", "band_val")
+        .agg(F.sum("n").alias("n"))
+    )
+    staging = os.path.join(run_ns, "bucket_counts_compact_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    snap.write.mode("overwrite").parquet(staging)
+    # remove the folded deltas FIRST, then move the snapshot in under
+    # the highest folded name: a crash after partial removal loses no
+    # counts (the snapshot still holds them in staging, and a re-run of
+    # this function is a no-op until the move lands — callers retry)
+    for e in parts:
+        shutil.rmtree(os.path.join(counts_dir, e), ignore_errors=True)
+    os.replace(staging, os.path.join(counts_dir, parts[-1]))
+    return len(parts)

@@ -191,3 +191,43 @@ def test_stream_dedup_index_drops_cross_batch_dups(spark):
     a = kept(tempfile.mkdtemp(prefix="sdi_syn_"))
     assert a == [1, 2, 3, 4, 6, 8, 9]
     assert a == kept(tempfile.mkdtemp(prefix="sdi_syn_"))
+
+
+def test_stream_dedup_index_count_compaction(spark):
+    """compact_count_deltas folds the per-batch count deltas into one
+    snapshot without changing any bucket's total."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.streaming.dedup_index import (
+        compact_count_deltas,
+        streaming_dedup_index_run,
+    )
+
+    rows = [(i, " ".join(f"t{i}w{j}" for j in range(25))) for i in range(9)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = tempfile.mkdtemp(prefix="sdi_cmp_")
+    streaming_dedup_index_run(
+        spark, docs, "text", "doc_id", base, n_batches=3
+    ).collect()
+    run_ns = os.path.join(base, f"stream_dedup_index_{os.getpid()}")
+    counts_glob = os.path.join(run_ns, "bucket_counts", "b*")
+
+    def totals():
+        return {
+            (r["band_idx"], r["band_val"]): r["total"]
+            for r in spark.read.parquet(counts_glob)
+            .groupBy("band_idx", "band_val")
+            .agg(F.sum("n").alias("total"))
+            .collect()
+        }
+
+    before = totals()
+    assert compact_count_deltas(spark, run_ns) == 3
+    dirs = os.listdir(os.path.join(run_ns, "bucket_counts"))
+    assert len([d for d in dirs if d.startswith("b")]) == 1
+    assert totals() == before
+    # idempotent: nothing left to fold
+    assert compact_count_deltas(spark, run_ns) == 0
