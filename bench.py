@@ -34,11 +34,12 @@ BASELINE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r01.json")
 # Write-bound layout maintenance jobs (snk_* sinks, ext_zorder,
 # ext_compaction) are likewise excluded — they measure the local disk,
 # not the engine; their semantics are oracle-/footer-stats-verified in
-# the test suite. ext_stream_dedup_index is excluded for the same
-# reason: per-microbatch it commits three parquet stores plus the
-# stream checkpoint, so its wall time is store-maintenance, not query
-# execution; its semantics are pinned by the sequential-fold
-# equivalence test in tests/test_streaming.py.
+# the test suite. ext_stream_dedup_index and ext_stream_ann_index are
+# excluded for the same reason: per-microbatch they commit parquet
+# stores plus the stream checkpoint, so their wall time is
+# store-maintenance, not query execution; their semantics are pinned
+# by the sequential-fold / batch-ivf equality tests in
+# tests/test_streaming.py.
 HEADLINE = [
     "flagship",
     "ext_join_star",

@@ -123,6 +123,36 @@ def q_ext_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance: `embeddings` ingested as 4
+    ascending-id microbatches into a (ingest_batch, cell)-partitioned
+    vector store (first batch freezes the coarse quantizer), then a
+    partition-pruned probe answers top-10 around vec_id 0's embedding.
+    Rows-only: ANN is not SQL-expressible; equality with the batch-mode
+    `ivf_topk` (same quantizer/probe contract) is unit-tested."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.queries.base import t
+    from etl_acordos_spark.streaming.ann_index import (
+        ann_index_topk,
+        streaming_ann_index_run,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    run_ns = streaming_ann_index_run(
+        spark, emb, "vec_id", "embedding", scratch_dir(), n_batches=4
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_index_topk(
+        spark,
+        run_ns,
+        [float(x) for x in qvec],
+        "vec_id",
+        k=10,
+        exclude_id=0,
+    )
+
+
 def q_ext_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental lake merge: 4 microbatches foreachBatch-
     upsert each user's latest event into a parquet snapshot; the settled
@@ -223,4 +253,5 @@ QUERIES: dict[str, QueryDef] = {
     "ext_stream_stateful": QueryDef(q_ext_stream_stateful, _STATEFUL_ORACLE),
     "ext_stream_upsert": QueryDef(q_ext_stream_upsert, _STREAM_UPSERT_ORACLE),
     "ext_stream_dedup_index": QueryDef(q_ext_stream_dedup_index, None),
+    "ext_stream_ann_index": QueryDef(q_ext_stream_ann_index, None),
 }

@@ -1,0 +1,209 @@
+"""Streaming IVF index maintenance — continuous embedding ingest into
+a cell-partitioned vector store with a partition-pruned probe.
+
+The batch-mode `operators.simsearch.ivf_topk` demonstrates the IVF
+search shape and notes "the cell id is a natural partition/bucket key
+for the stored table" — this module is that stored table. Each
+arriving microbatch of embeddings:
+
+  1. loads the coarse centroids (trained ONCE, from the first batch —
+     the standard IVF contract: the quantizer is frozen so cell
+     assignments stay comparable across the index's lifetime; retrain
+     = rebuild),
+  2. assigns every vector to its nearest centroid with one
+     Arrow-batched numpy matmul (the pandas-UDF fast path),
+  3. writes the batch into the store PARTITIONED BY (ingest_batch,
+     cell) with dynamic partition overwrite — a replayed batch
+     (foreachBatch is at-least-once) overwrites exactly its own
+     ``ingest_batch=N`` partitions, never double-appending.
+
+A query then reads the store with a ``cell IN (probe cells)`` filter:
+Catalyst turns the partition column filter into directory pruning, so
+the scan touches ~n_probe/n_lists of the corpus ON DISK — the entire
+point of an IVF layout at 100 TB, where the probe set is a handful of
+partitions out of thousands. The exact cosine re-rank runs only on the
+pruned slice.
+
+Correctness story (rows-only key — ANN is not SQL-expressible): recall
+against `exact_topk` plus the partition-pruning plan shape are pinned
+in tests/test_streaming.py.
+
+No reference parity: the reference has neither vectors nor streaming;
+SURVEY.md §2.6 extension surface.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_acordos_spark.operators.simsearch import (
+    _safe_norms,
+    as_double,
+    cosine,
+)
+from etl_acordos_spark.streaming.batching import write_id_range_batches
+
+
+def _assign_cell_udf(centroids: np.ndarray):
+    """Nearest-centroid assignment; one (n × dim) @ (dim × k) matmul
+    per Arrow batch, centroids shipped in the closure (k·dim floats)."""
+    Cn = centroids / _safe_norms(centroids)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / _safe_norms(mat)
+        return pd.Series(np.argmax(mat @ Cn.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def streaming_ann_index_run(
+    spark: SparkSession,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    base_dir: str,
+    n_batches: int = 4,
+    n_lists: int = 16,
+) -> str:
+    """Ingest *vectors* as *n_batches* ascending-id microbatches into a
+    cell-partitioned IVF store under a PID-scoped namespace; returns
+    the run namespace path (probe with `ann_index_topk`)."""
+    run_ns = os.path.join(base_dir, f"stream_ann_index_{os.getpid()}")
+    src = os.path.join(run_ns, "src")
+    cells_dir = os.path.join(run_ns, "cells")
+    centroids_dir = os.path.join(run_ns, "centroids")
+    ckpt = os.path.join(run_ns, "ckpt")
+    shutil.rmtree(run_ns, ignore_errors=True)
+    os.makedirs(run_ns, exist_ok=True)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_overwrite = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(4, spark.sparkContext.defaultParallelism)),
+        )
+        # dynamic mode scopes mode("overwrite") to the partitions a
+        # write actually touches — the idempotent-replay contract
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        write_id_range_batches(
+            vectors, id_col, [id_col, vec_col], run_ns, src, n_batches
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if not os.path.exists(centroids_dir):
+                # freeze the coarse quantizer on first contact: first
+                # n_lists vectors by id — the random-quantizer baseline
+                # of ivf_topk; k-means centroids slot in identically
+                rows = (
+                    batch_df.select(F.col(id_col), as_double(vec_col))
+                    .orderBy(id_col)
+                    .limit(n_lists)
+                    .collect()
+                )
+                if not rows:
+                    return  # empty batch cannot train — wait for data
+                spark.createDataFrame(
+                    [(int(i), [float(x) for x in v]) for i, (_, v) in enumerate(rows)],
+                    "cell int, centroid array<double>",
+                ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
+            C = np.stack(
+                [
+                    np.asarray(r["centroid"], dtype=np.float64)
+                    for r in spark.read.parquet(centroids_dir)
+                    .orderBy("cell")
+                    .collect()
+                ]
+            )
+            (
+                batch_df.select(
+                    F.col(id_col),
+                    as_double(vec_col).alias(vec_col),
+                    _assign_cell_udf(C)(as_double(vec_col)).alias("cell"),
+                )
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch", "cell")
+                .parquet(cells_dir)
+            )
+
+        (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_overwrite
+        )
+    return run_ns
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    run_ns: str,
+    query_vec: list[float],
+    id_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe the store built by `streaming_ann_index_run`: pick the
+    *n_probe* cells nearest *query_vec* driver-side (centroids are
+    k·dim — tiny), then scan ONLY those cells — the ``cell IN (...)``
+    filter on the partition column prunes every other directory before
+    a byte is read — and exact-cosine re-rank the slice."""
+    C = np.stack(
+        [
+            np.asarray(r["centroid"], dtype=np.float64)
+            for r in spark.read.parquet(os.path.join(run_ns, "centroids"))
+            .orderBy("cell")
+            .collect()
+        ]
+    )
+    Cn = C / _safe_norms(C)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_norm = float(np.linalg.norm(q))
+    if q_norm == 0.0:
+        raise ValueError("ann_index_topk: zero-norm query — cosine undefined")
+    probe = [int(c) for c in np.argsort(-(Cn @ (q / q_norm)))[:n_probe]]
+
+    vec_col = next(
+        f.name
+        for f in spark.read.parquet(os.path.join(run_ns, "cells")).schema
+        if f.name not in (id_col, "cell", "ingest_batch")
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    scan = spark.read.parquet(os.path.join(run_ns, "cells")).filter(
+        F.col("cell").isin(probe)
+    )
+    if exclude_id is not None:
+        scan = scan.filter(F.col(id_col) != exclude_id)
+    return (
+        scan.withColumn("q", qcol)
+        .withColumn("cosine", F.round(cosine(vec_col, "q"), 6))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cosine")
+    )

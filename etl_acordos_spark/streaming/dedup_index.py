@@ -52,6 +52,7 @@ from etl_acordos_spark.operators.dedup import (
     dedup_batch_against,
     minhash_bands,
 )
+from etl_acordos_spark.streaming.batching import write_id_range_batches
 
 
 def streaming_dedup_index_run(
@@ -92,43 +93,12 @@ def streaming_dedup_index_run(
         # deterministic delivery order: contiguous ascending id ranges,
         # one file per range, one file per trigger — "keep-first" means
         # lower-id batches win, and within a batch the lower id wins
-        # (dedup_batch_against's keep-first contract). NOT
-        # repartitionByRange: RangePartitioner samples its boundaries
-        # with a random seed, and batch membership changes which
-        # non-transitive near-dup comparisons happen, so a sampled
-        # split is not rerun-stable (observed). percentile_approx
-        # boundaries are deterministic for the same input; the file
-        # stream replays the files in mtime order, pinned explicitly.
-        cuts = (
-            docs.select(
-                F.percentile_approx(
-                    id_col,
-                    [i / n_batches for i in range(1, n_batches)],
-                    10000,
-                ).alias("b")
-            ).head()[0]
-            if n_batches > 1
-            else []
+        # (dedup_batch_against's keep-first contract); a sampled
+        # repartitionByRange split would change which non-transitive
+        # near-dup comparisons happen between reruns (see batching.py)
+        write_id_range_batches(
+            docs, id_col, [id_col, text_col], run_ns, src, n_batches
         )
-        # percentile over zero rows is NULL → deliver one empty batch
-        edges = [None, *(cuts or []), None]
-        os.makedirs(src, exist_ok=True)
-        base_mtime = os.stat(run_ns).st_mtime
-        for i in range(len(edges) - 1):
-            part = docs.select(id_col, text_col)
-            if edges[i] is not None:
-                part = part.filter(F.col(id_col) > edges[i])
-            if edges[i + 1] is not None:
-                part = part.filter(F.col(id_col) <= edges[i + 1])
-            build = os.path.join(run_ns, f"srcbuild_{i}")
-            part.coalesce(1).write.parquet(build)
-            pf = next(
-                f for f in sorted(os.listdir(build)) if f.endswith(".parquet")
-            )
-            dst = os.path.join(src, f"batch_{i:04d}.parquet")
-            os.replace(os.path.join(build, pf), dst)
-            shutil.rmtree(build, ignore_errors=True)
-            os.utime(dst, (base_mtime + i, base_mtime + i))
         doc_schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(doc_schema)

@@ -96,7 +96,7 @@ SKIP_PLAN_CHECK = {
     "flow_dag", "flow_retry", "chk_exists", "ddl_infer",
     "ext_stream_windows", "ext_stream_sessions", "ext_stream_stateful",
     "ext_stream_dedup", "ext_stream_join", "ext_stream_upsert",
-    "ext_stream_dedup_index",
+    "ext_stream_dedup_index", "ext_stream_ann_index",
 }
 
 

@@ -231,3 +231,101 @@ def test_stream_dedup_index_count_compaction(spark):
     assert totals() == before
     # idempotent: nothing left to fold
     assert compact_count_deltas(spark, run_ns) == 0
+
+
+def test_stream_ann_index_matches_batch_ivf(spark, sf_smoke):
+    """The streamed cell-partitioned store must answer the probe with
+    EXACTLY the batch-mode ivf_topk result (same frozen quantizer, same
+    assignment, same probe + re-rank contract), and the probe scan must
+    prune on the cell partition column."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.simsearch import ivf_topk
+    from etl_acordos_spark.queries.base import t
+    from etl_acordos_spark.queries.streaming import q_ext_stream_ann_index
+
+    got = q_ext_stream_ann_index(spark, sf_smoke)
+    rows = [(r[0], r[1]) for r in got.collect()]
+    emb = t(spark, sf_smoke, "embeddings")
+    want = [
+        (r[0], r[1]) for r in ivf_topk(emb, query_id=0, k=10).collect()
+    ]
+    assert rows == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], (
+        "probe scan does not prune on the cell partition:\n" + plan
+    )
+    # rerun-stable (fresh ingest, same result)
+    again = [
+        (r[0], r[1]) for r in q_ext_stream_ann_index(spark, sf_smoke).collect()
+    ]
+    assert again == rows
+
+
+def test_stream_ann_index_replay_is_idempotent(spark):
+    """Re-delivering a batch (the at-least-once contract) must leave the
+    store unchanged: dynamic partition overwrite rewrites exactly the
+    batch's own ingest_batch partitions."""
+    import os
+    import tempfile
+
+    from etl_acordos_spark.streaming.ann_index import streaming_ann_index_run
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    base = tempfile.mkdtemp(prefix="sai_rep_")
+    run_ns = streaming_ann_index_run(
+        spark, vecs, "vec_id", "embedding", base, n_batches=2, n_lists=4
+    )
+    cells = os.path.join(run_ns, "cells")
+    before = sorted(
+        (r["vec_id"], r["ingest_batch"], r["cell"])
+        for r in spark.read.parquet(cells).collect()
+    )
+    assert len(before) == 40
+    # replay batch 1's file through the same writer path
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from etl_acordos_spark.streaming.ann_index import _assign_cell_udf
+
+        C = np.stack(
+            [
+                np.asarray(r["centroid"])
+                for r in spark.read.parquet(
+                    os.path.join(run_ns, "centroids")
+                )
+                .orderBy("cell")
+                .collect()
+            ]
+        )
+        batch1 = spark.read.parquet(
+            os.path.join(run_ns, "src", "batch_0001.parquet")
+        )
+        (
+            batch1.select(
+                "vec_id",
+                F.col("embedding"),
+                _assign_cell_udf(C)(F.col("embedding")).alias("cell"),
+            )
+            .withColumn("ingest_batch", F.lit(1))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch", "cell")
+            .parquet(cells)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = sorted(
+        (r["vec_id"], r["ingest_batch"], r["cell"])
+        for r in spark.read.parquet(cells).collect()
+    )
+    assert after == before
