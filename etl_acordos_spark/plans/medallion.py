@@ -22,7 +22,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_acordos_spark.functions.cleaning import (
-    NOT_INFORMED,
     fill_default,
     left_n,
     normalize_column_names,

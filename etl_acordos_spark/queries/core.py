@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_acordos_spark.functions.cleaning import (
-    NOT_INFORMED,
     cast_str,
     concat_sep,
     fill_default,
