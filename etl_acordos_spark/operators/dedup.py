@@ -472,13 +472,16 @@ def dedup_batch_against(
         )
         .dropDuplicates(["doc_new", "doc_old", "side"])
     )
-    # eager lineage cut — same rationale as minhash_lsh_pairs: three
+    # lineage cut — same rationale as minhash_lsh_pairs: three
     # downstream references would each inline BOTH sides' banding
-    # subtrees into every later analysis pass (cache underneath for
-    # cheap re-invocation, unless the caller is a per-batch loop)
+    # subtrees into every later analysis pass. Reusable callers get
+    # cache + eager checkpoint (cheap re-invocation); per-batch loops
+    # get a LAZY checkpoint — same leaf plan, materialized once by the
+    # first consumer, without spending a dedicated job per batch.
     if reusable:
-        candidates = candidates.cache()
-    candidates = candidates.localCheckpoint(eager=True)
+        candidates = candidates.cache().localCheckpoint(eager=True)
+    else:
+        candidates = candidates.localCheckpoint(eager=False)
     # candidate-restricted shingle rebuild: semi-join each side down to
     # the ids that actually appear in a candidate pair BEFORE the
     # shingle HOF, so the corpus — the big side — is never re-shingled

@@ -147,7 +147,7 @@ def streaming_dedup_index_run(
                 bands,
                 shingle_n,
                 pin="checkpoint",
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             corpus = load(kept_dir)
             c_bands = load(index_dir)
             deltas_so_far = load(counts_dir)
@@ -174,7 +174,7 @@ def streaming_dedup_index_run(
                 max_bucket_size=max_bucket_size,
                 c_bucket_counts=counts,
                 reusable=False,
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
 
             store(
                 batch.join(survivors, [id_col], "left_semi"),
