@@ -108,6 +108,10 @@ def streaming_ann_index_run(
             .parquet(src)
         )
 
+        # the quantizer is immutable once frozen, so later batches reuse
+        # the driver-side copy instead of re-reading + collecting it
+        quantizer: dict[str, np.ndarray] = {}
+
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
             if not os.path.exists(centroids_dir):
                 # freeze the coarse quantizer on first contact: first
@@ -125,14 +129,16 @@ def streaming_ann_index_run(
                     [(int(i), [float(x) for x in v]) for i, (_, v) in enumerate(rows)],
                     "cell int, centroid array<double>",
                 ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
-            C = np.stack(
-                [
-                    np.asarray(r["centroid"], dtype=np.float64)
-                    for r in spark.read.parquet(centroids_dir)
-                    .orderBy("cell")
-                    .collect()
-                ]
-            )
+            if "C" not in quantizer:
+                quantizer["C"] = np.stack(
+                    [
+                        np.asarray(r["centroid"], dtype=np.float64)
+                        for r in spark.read.parquet(centroids_dir)
+                        .orderBy("cell")
+                        .collect()
+                    ]
+                )
+            C = quantizer["C"]
             (
                 batch_df.select(
                     F.col(id_col),
