@@ -836,3 +836,42 @@ def test_ppl_buckets_terciles_per_language(spark, sf_oracle):
             lang,
             sizes,
         )
+
+
+def test_dedup_batch_against_counts_path_equals_recount(spark):
+    """Supplying a persisted bucket-count table must produce the same
+    survivors as the recount path — the seam the streaming index relies
+    on for its O(buckets) cap."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.dedup import (
+        dedup_batch_against,
+        minhash_bands,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(20))) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    dup_text = corpus.collect()[0]["text"]
+    batch = spark.createDataFrame(
+        [(100, dup_text)]
+        + [(100 + i, " ".join(f"b{i}w{j}" for j in range(20))) for i in range(1, 6)],
+        ["doc_id", "text"],
+    )
+    c_bands = minhash_bands(corpus, "text", "doc_id")
+    b_bands = minhash_bands(batch, "text", "doc_id")
+    counts = c_bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    args = (batch, b_bands, corpus, c_bands, "text", "doc_id")
+    via_recount = sorted(
+        r[0] for r in dedup_batch_against(*args).collect()
+    )
+    via_counts = sorted(
+        r[0]
+        for r in dedup_batch_against(*args, c_bucket_counts=counts).collect()
+    )
+    assert via_recount == via_counts
+    assert 100 not in via_counts  # the cross-side exact dup is dropped
+    assert len(via_counts) == 5

@@ -329,3 +329,20 @@ def test_stream_ann_index_replay_is_idempotent(spark):
         for r in spark.read.parquet(cells).collect()
     )
     assert after == before
+
+
+def test_write_id_range_batches_empty_input(spark):
+    """Zero input rows degrade to one empty batch file (percentile over
+    zero rows is NULL), not a crash."""
+    import os
+    import tempfile
+
+    from etl_acordos_spark.streaming.batching import write_id_range_batches
+
+    run_ns = tempfile.mkdtemp(prefix="batch_empty_")
+    src = os.path.join(run_ns, "src")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_id_range_batches(empty, "doc_id", ["doc_id", "text"], run_ns, src, 3)
+    files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(src).count() == 0
