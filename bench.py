@@ -64,6 +64,7 @@ HEADLINE = [
     "ext_setops",
     "ext_agg_stats",
     "ext_approx",
+    "ext_hll_sketch",
     "ext_cube",
     "ext_udf_scalar",
     "ext_udaf_grouped",

@@ -353,6 +353,36 @@ def q_ext_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL): build ONE
+    sketch per (year, month) slice of orders — the pre-aggregated
+    sketch table a 100 TB warehouse stores next to its rollups — then
+    answer per-year and grand-total distinct-customer counts purely by
+    MERGING sketches (`hll_union_agg` under a rollup), never
+    re-scanning the fact table. That merge property is what
+    `approx_count_distinct` (a per-query sketch, ext_approx) cannot
+    give you: stored sketches make every future distinct query over any
+    slice combination O(sketches), not O(facts). Rows-only: sketch
+    estimates are engine-specific by design; merge-consistency (merged
+    agrees with the direct whole-table estimate to within HLL error —
+    union promotes sparse-mode sketches, so exact equality does not
+    hold) and the error bound vs exact are unit-tested."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("ano"),
+        F.month("o_orderdate").alias("mes"),
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    return (
+        monthly.rollup("ano")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_clientes"
+            )
+        )
+        .orderBy(F.col("ano").asc_nulls_last())
+    )
+
+
 # ---------------------------------------------------------------- windows
 
 
@@ -892,6 +922,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_agg_stats": QueryDef(q_ext_agg_stats, _ORACLES["ext_agg_stats"]),
     "ext_approx": QueryDef(q_ext_approx, None),
+    "ext_hll_sketch": QueryDef(q_ext_hll_sketch, None),
     "ext_topk": QueryDef(q_ext_topk, _ORACLES["ext_topk"]),
     "ext_window_running": QueryDef(
         q_ext_window_running, _ORACLES["ext_window_running"]

@@ -875,3 +875,35 @@ def test_dedup_batch_against_counts_path_equals_recount(spark):
     assert via_recount == via_counts
     assert 100 not in via_counts  # the cross-side exact dup is dropped
     assert len(via_counts) == 5
+
+
+def test_hll_sketch_merge_consistency_and_error(spark, sf_oracle):
+    """The rollup total row (merged monthly sketches) must agree with
+    the direct whole-table sketch estimate to within HLL error (union
+    promotes sparse-mode sketches, so exact equality does not hold) —
+    the mergeability contract the stored-sketch pattern rests on — and
+    every estimate must sit within HLL error of the exact count."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.queries.base import t
+    from etl_acordos_spark.queries.relational import q_ext_hll_sketch
+
+    rows = {
+        r["ano"]: r["approx_clientes"]
+        for r in q_ext_hll_sketch(spark, sf_oracle).collect()
+    }
+    orders = t(spark, sf_oracle, "orders")
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")
+    ).head()["e"]
+    assert abs(rows[None] - direct) / direct < 0.02
+    exact = {
+        r["ano"]: r["n"]
+        for r in orders.groupBy(F.year("o_orderdate").alias("ano"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact[None] = orders.select("o_custkey").distinct().count()
+    for ano, approx in rows.items():
+        err = abs(approx - exact[ano]) / exact[ano]
+        assert err < 0.05, f"ano={ano}: {approx} vs exact {exact[ano]}"
