@@ -95,6 +95,7 @@ HEADLINE = [
     "ext_fingerprint",
     "ext_pii_redact",
     "ext_tfidf",
+    "ext_bm25",
     "ext_repetition",
     "ext_doc_chunk",
     "ext_stratified_sample",

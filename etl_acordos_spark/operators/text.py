@@ -954,3 +954,81 @@ def ppl_buckets(
             .alias("bucket"),
         )
     )
+
+
+# ------------------------------------------------------------------ BM25
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a FIXED small query —
+    the query-based corpus curation primitive (rank a crawl against
+    "what does good data for my domain look like" probe queries).
+
+    Scale shape: per-term tf is a map-only `filter` HOF over the token
+    array — for a fixed query there is no reason to build the full
+    (doc, term) posting-list explode that general TF-IDF needs; the
+    corpus statistics (N, avgdl, per-term document frequency) are ONE
+    tiny aggregate row broadcast back over the scan (the same 1-row
+    pattern as tfidf/lm_score), so the whole plan is scan → map → 1-row
+    broadcast join → TakeOrdered(k). Nothing wider than (id, a few
+    ints) ever shuffles.
+
+    No reference parity — the reference has no text retrieval
+    (SURVEY.md §2.6 extension surface).
+    """
+    tok = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tk")
+    )
+
+    def tf_of(term: str):
+        # single-arg lambda only: a second parameter would be bound to
+        # the ELEMENT INDEX by the HOF protocol, not a closure default
+        return F.size(F.filter(F.col("tk"), lambda x: x == F.lit(term)))
+
+    base = tok.select(
+        id_col,
+        F.size("tk").alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    parts = []
+    for i in range(len(query_terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf{i}")
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        parts.append(idf * tf * F.lit(k1 + 1.0) / norm)
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return (
+        scored.select(
+            F.col(id_col),
+            F.round(score, 4).alias("score"),
+            F.round(score, 6).alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )

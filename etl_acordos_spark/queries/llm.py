@@ -365,6 +365,22 @@ def q_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by Okapi BM25 (k1=1.2, b=0.75) against the
+    fixed probe query {hash, vector, stream} — query-based corpus
+    curation. Map-only per-term tf HOFs + one broadcast stats row; ties
+    at 6 decimals break by doc_id, mirrored in the oracle."""
+    from etl_acordos_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        ["hash", "vector", "stream"],
+        k=15,
+    )
+
+
 def q_ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over `documents.text` — emails, phone numbers, IPv4
     redacted by chained JVM `regexp_replace` (map-only, no Python, no
@@ -480,6 +496,30 @@ _ORACLES: dict[str, str | None] = {
         "  SELECT doc_id, term, score, row_number() OVER ("
         "    PARTITION BY doc_id ORDER BY round(score, 6) DESC, term) AS rn"
         "  FROM scored) WHERE rn = 1"
+    ),
+    "ext_bm25": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        "  FROM documents),"
+        " base AS (SELECT doc_id, len(tk) AS dl,"
+        "   len(list_filter(tk, x -> x = 'hash')) AS tf0,"
+        "   len(list_filter(tk, x -> x = 'vector')) AS tf1,"
+        "   len(list_filter(tk, x -> x = 'stream')) AS tf2"
+        "  FROM tok),"
+        " stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,"
+        "   count(*) FILTER (WHERE tf0 > 0) AS df0,"
+        "   count(*) FILTER (WHERE tf1 > 0) AS df1,"
+        "   count(*) FILTER (WHERE tf2 > 0) AS df2"
+        "  FROM base),"
+        " scored AS (SELECT doc_id,"
+        "   ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)"
+        "    * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        "  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)"
+        "    * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        "  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)"
+        "    * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        "   AS score FROM base CROSS JOIN stats)"
+        " SELECT doc_id, round(score, 4) AS score FROM scored"
+        " ORDER BY round(score, 6) DESC, doc_id LIMIT 15"
     ),
     "ext_pii_redact": (
         "WITH dirty AS (SELECT doc_id, text"
@@ -817,6 +857,7 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_stratified_sample, _ORACLES["ext_stratified_sample"]
     ),
     "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
+    "ext_bm25": QueryDef(q_ext_bm25, _ORACLES["ext_bm25"]),
     "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),
     "ext_boilerplate": QueryDef(q_ext_boilerplate, _ORACLES["ext_boilerplate"]),
     "ext_decontaminate": QueryDef(

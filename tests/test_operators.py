@@ -907,3 +907,24 @@ def test_hll_sketch_merge_consistency_and_error(spark, sf_oracle):
     for ano, approx in rows.items():
         err = abs(approx - exact[ano]) / exact[ano]
         assert err < 0.05, f"ano={ano}: {approx} vs exact {exact[ano]}"
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """A document saturated with the query terms must outrank everything
+    else; documents containing none of the terms must score exactly 0."""
+    from etl_acordos_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "hash vector stream hash vector stream hash vector"),
+        (2, "hash alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (4, "vector alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_topk(
+        docs, "text", "doc_id", ["hash", "vector", "stream"], k=4
+    ).collect()
+    assert got[0]["doc_id"] == 1
+    scores = {r["doc_id"]: r["score"] for r in got}
+    assert scores[3] == 0.0
+    assert scores[2] > 0.0 and scores[4] > 0.0

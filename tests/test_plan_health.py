@@ -75,6 +75,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_simsearch_ann",  # exact re-rank joins the 1-row query vector
     "ext_simsearch_ivf",
     "ext_tfidf",  # 1-row corpus-size broadcast join
+    "ext_bm25",  # 1-row corpus-stats broadcast join
     "ext_boilerplate",  # same 1-row corpus-size broadcast join
     "ext_mixture_sample",  # 1-row token-budget broadcast join
     "ext_corpus_pipeline",  # ends in the same 1-row budget join
