@@ -135,6 +135,35 @@ def _sign_lsh_udf(tables: int, bits: int, dim: int):
     return sigs
 
 
+def assign_cell_udf(centroids: np.ndarray):
+    """Nearest-centroid cell assignment: one (n × dim) @ (dim × k)
+    matmul per Arrow batch, centroids shipped in the closure (k·dim
+    floats). Shared by batch `ivf_topk` and the streaming IVF store
+    (streaming/ann_index.py) — their unit-tested result equality
+    depends on this being the ONE assignment implementation."""
+    Cn = centroids / _safe_norms(centroids)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / _safe_norms(mat)
+        return pd.Series(np.argmax(mat @ Cn.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def probe_cells(
+    centroids: np.ndarray, query: np.ndarray, n_probe: int
+) -> list[int]:
+    """The *n_probe* cells nearest the query by cosine — the shared
+    driver-side probe-selection of batch and streaming IVF."""
+    Cn = centroids / _safe_norms(centroids)
+    q_norm = float(np.linalg.norm(query))
+    if q_norm == 0.0:
+        raise ValueError("probe_cells: zero-norm query — cosine undefined")
+    return [int(c) for c in np.argsort(-(Cn @ (query / q_norm)))[:n_probe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,
@@ -164,31 +193,23 @@ def ivf_topk(
         .collect()
     ]
     C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])
-    Cn = C / _safe_norms(C)
-
-    @F.pandas_udf("int")
-    def assign_cell(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / _safe_norms(mat)
-        return pd.Series(np.argmax(mat @ Cn.T, axis=1).astype(np.int32))
 
     assigned = df.select(
         F.col(id_col).alias("id"),
         as_double(vec_col).alias("v"),
-        assign_cell(as_double(vec_col)).alias("cell"),
+        assign_cell_udf(C)(as_double(vec_col)).alias("cell"),
     )
 
     qrow = df.filter(F.col(id_col) == query_id).select(as_double(vec_col)).head()
     if qrow is None:
         raise ValueError(f"ivf_topk: query id {query_id!r} not found in {id_col!r}")
     q = np.asarray(qrow[0], dtype=np.float64)
-    q_norm = float(np.linalg.norm(q))
-    if q_norm == 0.0:
+    try:
+        probe = probe_cells(C, q, n_probe)
+    except ValueError:
         raise ValueError(
             f"ivf_topk: query vector {query_id!r} has zero norm — cosine undefined"
-        )
-    qn = q / q_norm
-    probe = np.argsort(-(Cn @ qn))[:n_probe].tolist()
+        ) from None
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
 
     return (

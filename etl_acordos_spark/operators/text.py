@@ -984,6 +984,8 @@ def bm25_topk(
     No reference parity — the reference has no text retrieval
     (SURVEY.md §2.6 extension surface).
     """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     tok = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("tk")
     )

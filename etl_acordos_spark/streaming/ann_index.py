@@ -38,31 +38,28 @@ import os
 import shutil
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_acordos_spark.operators.simsearch import (
-    _safe_norms,
     as_double,
+    assign_cell_udf,
     cosine,
+    probe_cells,
 )
 from etl_acordos_spark.streaming.batching import write_id_range_batches
 
 
-def _assign_cell_udf(centroids: np.ndarray):
-    """Nearest-centroid assignment; one (n × dim) @ (dim × k) matmul
-    per Arrow batch, centroids shipped in the closure (k·dim floats)."""
-    Cn = centroids / _safe_norms(centroids)
-
-    @F.pandas_udf("int")
-    def assign(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / _safe_norms(mat)
-        return pd.Series(np.argmax(mat @ Cn.T, axis=1).astype(np.int32))
-
-    return assign
+def _load_centroids(spark: SparkSession, centroids_dir: str) -> np.ndarray:
+    return np.stack(
+        [
+            np.asarray(r["centroid"], dtype=np.float64)
+            for r in spark.read.parquet(centroids_dir)
+            .orderBy("cell")
+            .collect()
+        ]
+    )
 
 
 def streaming_ann_index_run(
@@ -125,25 +122,28 @@ def streaming_ann_index_run(
                 )
                 if not rows:
                     return  # empty batch cannot train — wait for data
+                if len(rows) < n_lists:
+                    # an under-trained quantizer would silently break
+                    # the unit-tested equality with batch ivf_topk
+                    # (whose quantizer sees the whole table) — fail
+                    # loudly instead
+                    raise ValueError(
+                        f"streaming_ann_index_run: first batch has only "
+                        f"{len(rows)} vectors < n_lists={n_lists}; "
+                        f"lower n_lists or n_batches"
+                    )
                 spark.createDataFrame(
                     [(int(i), [float(x) for x in v]) for i, (_, v) in enumerate(rows)],
                     "cell int, centroid array<double>",
                 ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
             if "C" not in quantizer:
-                quantizer["C"] = np.stack(
-                    [
-                        np.asarray(r["centroid"], dtype=np.float64)
-                        for r in spark.read.parquet(centroids_dir)
-                        .orderBy("cell")
-                        .collect()
-                    ]
-                )
+                quantizer["C"] = _load_centroids(spark, centroids_dir)
             C = quantizer["C"]
             (
                 batch_df.select(
                     F.col(id_col),
                     as_double(vec_col).alias(vec_col),
-                    _assign_cell_udf(C)(as_double(vec_col)).alias("cell"),
+                    assign_cell_udf(C)(as_double(vec_col)).alias("cell"),
                 )
                 .withColumn("ingest_batch", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -180,20 +180,9 @@ def ann_index_topk(
     k·dim — tiny), then scan ONLY those cells — the ``cell IN (...)``
     filter on the partition column prunes every other directory before
     a byte is read — and exact-cosine re-rank the slice."""
-    C = np.stack(
-        [
-            np.asarray(r["centroid"], dtype=np.float64)
-            for r in spark.read.parquet(os.path.join(run_ns, "centroids"))
-            .orderBy("cell")
-            .collect()
-        ]
-    )
-    Cn = C / _safe_norms(C)
+    C = _load_centroids(spark, os.path.join(run_ns, "centroids"))
     q = np.asarray(query_vec, dtype=np.float64)
-    q_norm = float(np.linalg.norm(q))
-    if q_norm == 0.0:
-        raise ValueError("ann_index_topk: zero-norm query — cosine undefined")
-    probe = [int(c) for c in np.argsort(-(Cn @ (q / q_norm)))[:n_probe]]
+    probe = probe_cells(C, q, n_probe)
 
     vec_col = next(
         f.name

@@ -209,40 +209,71 @@ def streaming_dedup_index_run(
     return spark.read.parquet(os.path.join(kept_dir, "b*")).select(id_col)
 
 
+def _finish_pending_compaction(counts_dir: str) -> None:
+    """Complete (or recover) a staged compaction: remove the folded
+    delta directories listed in the pending snapshot's manifest, then
+    rename the snapshot to its final glob-visible delta name. Safe to
+    re-run from any crash point — every step is idempotent."""
+    import json
+
+    pending = os.path.join(counts_dir, "snap_pending")
+    with open(os.path.join(pending, "_folded.json")) as f:
+        manifest = json.load(f)
+    for d in manifest["dirs"]:
+        shutil.rmtree(os.path.join(counts_dir, d), ignore_errors=True)
+    os.replace(pending, os.path.join(counts_dir, manifest["dest"]))
+
+
 def compact_count_deltas(spark: SparkSession, run_ns: str) -> int:
     """Periodic maintenance: fold the bucket-count delta subdirectories
-    into one pre-summed snapshot delta, so the per-batch probe sums a
-    bounded number of files instead of one delta per batch ever
-    ingested. The snapshot is staged outside the store, the folded
-    deltas removed, then the snapshot moved in under the highest folded
-    batch-id name (so later deltas sort after it). A crash between
-    removal and move transiently under-counts some buckets — which only
-    LOOSENS the degenerate-bucket cap until the maintenance retry
-    completes; run it between batches, not concurrently with one. A
+    into one pre-summed snapshot, so the per-batch probe sums a bounded
+    number of files instead of one delta per batch ever ingested.
+
+    The NEWEST delta is never folded: under the at-least-once contract
+    the most recent batch is the one that can replay, and its
+    subdirectory must stay individually overwritable — folding it into
+    a snapshot would let the replay's per-batch overwrite clobber every
+    earlier batch's counts.
+
+    Crash safety (single-atomic-op protocol, since a multi-directory
+    swap cannot be atomic on a plain filesystem): (1) the folded
+    snapshot plus a ``_folded.json`` manifest is written outside the
+    store and atomically renamed in under a glob-EXCLUDED name
+    (``snap_pending`` — probes never read it); (2) the folded delta
+    dirs are removed; (3) the snapshot is renamed to the highest folded
+    batch-id name (later deltas sort after it). A crash after (1) is
+    recovered from the manifest by the next call; a crash during (2)
+    transiently under-counts — which only LOOSENS the conservative
+    degenerate-bucket cap — until that recovery completes. A
     transactional table format (Delta/Iceberg MERGE) is the production
     form of this fold. Returns the number of delta directories folded.
     """
+    import json
+
     counts_dir = os.path.join(run_ns, "bucket_counts")
     if not os.path.isdir(counts_dir):
         return 0
+    pending = os.path.join(counts_dir, "snap_pending")
+    if os.path.isdir(pending):
+        _finish_pending_compaction(counts_dir)
     parts = sorted(
         e for e in os.listdir(counts_dir) if e.startswith("b")
     )
-    if len(parts) <= 1:
+    foldable = parts[:-1]
+    if len(foldable) <= 1:
         return 0
     snap = (
-        spark.read.parquet(os.path.join(counts_dir, "b*"))
+        spark.read.parquet(
+            *[os.path.join(counts_dir, d) for d in foldable]
+        )
         .groupBy("band_idx", "band_val")
         .agg(F.sum("n").alias("n"))
     )
     staging = os.path.join(run_ns, "bucket_counts_compact_staging")
     shutil.rmtree(staging, ignore_errors=True)
     snap.write.mode("overwrite").parquet(staging)
-    # remove the folded deltas FIRST, then move the snapshot in under
-    # the highest folded name: a crash after partial removal loses no
-    # counts (the snapshot still holds them in staging, and a re-run of
-    # this function is a no-op until the move lands — callers retry)
-    for e in parts:
-        shutil.rmtree(os.path.join(counts_dir, e), ignore_errors=True)
-    os.replace(staging, os.path.join(counts_dir, parts[-1]))
-    return len(parts)
+    with open(os.path.join(staging, "_folded.json"), "w") as f:
+        json.dump({"dirs": foldable, "dest": foldable[-1]}, f)
+    os.replace(staging, pending)
+    _finish_pending_compaction(counts_dir)
+    return len(foldable)

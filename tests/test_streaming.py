@@ -193,27 +193,27 @@ def test_stream_dedup_index_drops_cross_batch_dups(spark):
     assert a == kept(tempfile.mkdtemp(prefix="sdi_syn_"))
 
 
-def test_stream_dedup_index_count_compaction(spark):
-    """compact_count_deltas folds the per-batch count deltas into one
-    snapshot without changing any bucket's total."""
+def test_stream_dedup_index_count_compaction(spark, monkeypatch):
+    """compact_count_deltas folds all but the newest delta (the one a
+    replayed batch may overwrite) into one snapshot without changing
+    any bucket's total, and recovers losslessly from a crash between
+    the staged-pending rename and the final move."""
     import os
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from etl_acordos_spark.streaming.dedup_index import (
-        compact_count_deltas,
-        streaming_dedup_index_run,
-    )
+    from etl_acordos_spark.streaming import dedup_index as M
 
     rows = [(i, " ".join(f"t{i}w{j}" for j in range(25))) for i in range(9)]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     base = tempfile.mkdtemp(prefix="sdi_cmp_")
-    streaming_dedup_index_run(
-        spark, docs, "text", "doc_id", base, n_batches=3
+    M.streaming_dedup_index_run(
+        spark, docs, "text", "doc_id", base, n_batches=4
     ).collect()
     run_ns = os.path.join(base, f"stream_dedup_index_{os.getpid()}")
-    counts_glob = os.path.join(run_ns, "bucket_counts", "b*")
+    counts_dir = os.path.join(run_ns, "bucket_counts")
+    counts_glob = os.path.join(counts_dir, "b*")
 
     def totals():
         return {
@@ -225,12 +225,32 @@ def test_stream_dedup_index_count_compaction(spark):
         }
 
     before = totals()
-    assert compact_count_deltas(spark, run_ns) == 3
-    dirs = os.listdir(os.path.join(run_ns, "bucket_counts"))
-    assert len([d for d in dirs if d.startswith("b")]) == 1
+    # crash simulation: the staged snapshot lands (first os.replace =
+    # staging -> snap_pending) but the process dies before recovery
+    # completes its final move
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crashing_replace(src, dst):
+        real_replace(src, dst)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after staging rename")
+
+    monkeypatch.setattr(M.os, "replace", crashing_replace)
+    try:
+        M.compact_count_deltas(spark, run_ns)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(M.os, "replace", real_replace)
+    assert os.path.isdir(os.path.join(counts_dir, "snap_pending"))
+    # retry recovers the pending snapshot, then has nothing new to fold
+    M.compact_count_deltas(spark, run_ns)
+    assert not os.path.isdir(os.path.join(counts_dir, "snap_pending"))
+    dirs = [d for d in os.listdir(counts_dir) if d.startswith("b")]
+    assert len(dirs) == 2  # snapshot + the newest (replayable) delta
     assert totals() == before
-    # idempotent: nothing left to fold
-    assert compact_count_deltas(spark, run_ns) == 0
+    assert M.compact_count_deltas(spark, run_ns) == 0
 
 
 def test_stream_ann_index_matches_batch_ivf(spark, sf_smoke):
@@ -296,7 +316,7 @@ def test_stream_ann_index_replay_is_idempotent(spark):
 
         from pyspark.sql import functions as F
 
-        from etl_acordos_spark.streaming.ann_index import _assign_cell_udf
+        from etl_acordos_spark.operators.simsearch import assign_cell_udf
 
         C = np.stack(
             [
@@ -315,7 +335,7 @@ def test_stream_ann_index_replay_is_idempotent(spark):
             batch1.select(
                 "vec_id",
                 F.col("embedding"),
-                _assign_cell_udf(C)(F.col("embedding")).alias("cell"),
+                assign_cell_udf(C)(F.col("embedding")).alias("cell"),
             )
             .withColumn("ingest_batch", F.lit(1))
             .write.mode("overwrite")
