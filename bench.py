@@ -96,6 +96,7 @@ HEADLINE = [
     "ext_pii_redact",
     "ext_tfidf",
     "ext_bm25",
+    "ext_span_dedup",
     "ext_repetition",
     "ext_doc_chunk",
     "ext_stratified_sample",

@@ -1034,3 +1034,69 @@ def bm25_topk(
         .limit(k)
         .select(id_col, "score")
     )
+
+
+# ------------------------------------------------- span duplication
+
+
+def span_dup_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 20,
+    keep_below: float = 0.5,
+) -> DataFrame:
+    """Cross-document span-duplication profile: hash every OVERLAPPING
+    *window*-token span of every document and count, per document, how
+    many of its spans occur more than once in the whole corpus
+    (including within-document repeats). The substring-level
+    duplication signal behind "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022) — passage dedup sees
+    only aligned chunks, this sees duplication at ANY offset.
+
+    Output: (id, n_spans, n_dup_spans, dup_ratio, keep) where keep =
+    dup_ratio < *keep_below* — the gate a curation pipeline applies.
+
+    Scale shape: spans are emitted as 64-bit hashes straight from the
+    token array (one xxhash64 over the window's tokens per position —
+    no span strings materialize); the span-hash arrays are cached
+    before the explode (the explode-over-HOF landmine); everything that
+    shuffles is (id, hash) pairs and hash counts. Documents shorter
+    than the window contribute their whole text as one span.
+    """
+    tok = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
+    )
+    args = ", ".join(f"element_at(tok, i + {j})" for j in range(window))
+    span_expr = (
+        f"CASE WHEN size(tok) >= {window} THEN"
+        f" transform(sequence(1, size(tok) - {window - 1}),"
+        f"  i -> xxhash64({args}))"
+        f" ELSE array(xxhash64(array_join(tok, ' '))) END"
+    )
+    sp = tok.select(
+        F.col(id_col), F.expr(span_expr).alias("spans")
+    ).cache()
+    ex = sp.select(id_col, F.explode("spans").alias("dig"))
+    counts = ex.groupBy("dig").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        ex.join(counts, "dig")
+        .groupBy(id_col)
+        .agg(F.count_if(F.col("c") > 1).alias("n_dup_spans"))
+    )
+    return (
+        sp.select(id_col, F.size("spans").cast("bigint").alias("n_spans"))
+        .join(per_doc, id_col)
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 4
+            ).alias("dup_ratio"),
+            (
+                F.col("n_dup_spans").cast("double") / F.col("n_spans")
+                < F.lit(keep_below)
+            ).alias("keep"),
+        )
+    )

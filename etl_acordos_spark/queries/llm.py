@@ -381,6 +381,19 @@ def q_ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span-duplication profile (Lee et al. 2022 signal):
+    per doc, how many of its overlapping 20-token spans occur more than
+    once anywhere in the corpus, plus the keep gate (dup_ratio < 0.5).
+    Spark hashes spans (xxhash64, no strings); the oracle compares span
+    STRINGS — counts agree up to 2^-64 collisions."""
+    from etl_acordos_spark.operators.text import span_dup_profile
+
+    return span_dup_profile(
+        t(spark, sf_dir, "documents"), "text", "doc_id", window=20
+    )
+
+
 def q_ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over `documents.text` — emails, phone numbers, IPv4
     redacted by chained JVM `regexp_replace` (map-only, no Python, no
@@ -520,6 +533,26 @@ _ORACLES: dict[str, str | None] = {
         "   AS score FROM base CROSS JOIN stats)"
         " SELECT doc_id, round(score, 4) AS score FROM scored"
         " ORDER BY round(score, 6) DESC, doc_id LIMIT 15"
+    ),
+    "ext_span_dedup": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        "  FROM documents),"
+        " sp AS (SELECT doc_id,"
+        "   CASE WHEN len(tk) >= 20 THEN"
+        "    list_transform(range(1, len(tk) - 18),"
+        "     i -> array_to_string(tk[i:i+19], ' '))"
+        "   ELSE [array_to_string(tk, ' ')] END AS spans"
+        "  FROM tok),"
+        " ex AS (SELECT doc_id, unnest(spans) AS s FROM sp),"
+        " c AS (SELECT s, count(*) AS c FROM ex GROUP BY s),"
+        " dups AS (SELECT doc_id,"
+        "   CAST(count(*) FILTER (WHERE c.c > 1) AS BIGINT) AS n_dup_spans"
+        "  FROM ex JOIN c USING (s) GROUP BY doc_id)"
+        " SELECT sp.doc_id, CAST(len(spans) AS BIGINT) AS n_spans,"
+        "  n_dup_spans,"
+        "  round(CAST(n_dup_spans AS DOUBLE) / len(spans), 4) AS dup_ratio,"
+        "  CAST(n_dup_spans AS DOUBLE) / len(spans) < 0.5 AS keep"
+        " FROM sp JOIN dups USING (doc_id)"
     ),
     "ext_pii_redact": (
         "WITH dirty AS (SELECT doc_id, text"
@@ -858,6 +891,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
     "ext_bm25": QueryDef(q_ext_bm25, _ORACLES["ext_bm25"]),
+    "ext_span_dedup": QueryDef(q_ext_span_dedup, _ORACLES["ext_span_dedup"]),
     "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),
     "ext_boilerplate": QueryDef(q_ext_boilerplate, _ORACLES["ext_boilerplate"]),
     "ext_decontaminate": QueryDef(

@@ -928,3 +928,32 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     scores = {r["doc_id"]: r["score"] for r in got}
     assert scores[3] == 0.0
     assert scores[2] > 0.0 and scores[4] > 0.0
+
+
+def test_span_dup_profile_planted_duplicates(spark):
+    """A 20-token span shared by two docs (at DIFFERENT offsets) must be
+    counted on both sides; unique docs must profile 0 duplicated spans;
+    short docs collapse to one whole-text span."""
+    from etl_acordos_spark.operators.text import span_dup_profile
+
+    shared = " ".join(f"s{j}" for j in range(20))
+    rows = [
+        (1, shared + " " + " ".join(f"a{j}" for j in range(10))),
+        (2, " ".join(f"b{j}" for j in range(5)) + " " + shared),
+        (3, " ".join(f"c{j}" for j in range(30))),
+        (4, "tiny doc"),
+        (5, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["keep"])
+        for r in span_dup_profile(docs, "text", "doc_id", window=20).collect()
+    }
+    # doc1: 30 tokens -> 11 spans, exactly one (the leading shared one)
+    # duplicated; doc2: 25 tokens -> 6 spans, the trailing one shared
+    assert got[1] == (11, 1, True)
+    assert got[2] == (6, 1, True)
+    assert got[3] == (11, 0, True)
+    # short docs: whole text is one span; 4 and 5 duplicate each other
+    assert got[4] == (1, 1, False)
+    assert got[5] == (1, 1, False)
