@@ -75,21 +75,27 @@ def word_shingles(tok_col: str = "tok", n: int = 3) -> Column:
     )
 
 
-def hashed_word_shingles(tok_col: str = "tok", n: int = 3) -> Column:
-    """Distinct word n-gram shingles, emitted directly as 64-bit hashes
+def hashed_word_shingles(
+    tok_col: str = "tok", n: int = 3, distinct: bool = True
+) -> Column:
+    """Word n-gram shingles, emitted directly as 64-bit hashes
     (`xxhash64` over the n token tuple) — never materializing the
     concatenated shingle strings. Same set semantics as
     `word_shingles` up to hash collisions (~2^-64 per pair), but the
     downstream pipeline allocates no strings and shuffles long arrays
     instead of string arrays. Documents shorter than *n* words
-    contribute their whole text as one shingle."""
+    contribute their whole text as one shingle. ``distinct=False``
+    keeps every positional occurrence (one hash per window position) —
+    the span-duplication profile's contract
+    (operators/text.py:span_dup_profile)."""
     args = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
-    return F.expr(
-        f"array_distinct(CASE WHEN size({tok_col}) >= {n} THEN"
+    inner = (
+        f"CASE WHEN size({tok_col}) >= {n} THEN"
         f" transform(sequence(1, size({tok_col}) - {n - 1}),"
         f"  i -> xxhash64({args}))"
-        f" ELSE array(xxhash64(array_join({tok_col}, ' '))) END)"
+        f" ELSE array(xxhash64(array_join({tok_col}, ' '))) END"
     )
+    return F.expr(f"array_distinct({inner})" if distinct else inner)
 
 
 def shingle_sets(

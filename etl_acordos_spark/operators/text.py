@@ -1062,20 +1062,19 @@ def span_dup_profile(
     no span strings materialize); the span-hash arrays are cached
     before the explode (the explode-over-HOF landmine); everything that
     shuffles is (id, hash) pairs and hash counts. Documents shorter
-    than the window contribute their whole text as one span.
+    than the window contribute their whole text as one span; NULL-text
+    documents are DROPPED (SQL semantics — a NULL span matches nothing
+    in a group-by/join, so an engine computing this relationally never
+    sees those docs; same convention as `char_entropy`).
     """
-    tok = df.select(
+    from etl_acordos_spark.operators.dedup import hashed_word_shingles
+
+    tok = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
     )
-    args = ", ".join(f"element_at(tok, i + {j})" for j in range(window))
-    span_expr = (
-        f"CASE WHEN size(tok) >= {window} THEN"
-        f" transform(sequence(1, size(tok) - {window - 1}),"
-        f"  i -> xxhash64({args}))"
-        f" ELSE array(xxhash64(array_join(tok, ' '))) END"
-    )
     sp = tok.select(
-        F.col(id_col), F.expr(span_expr).alias("spans")
+        F.col(id_col),
+        hashed_word_shingles("tok", window, distinct=False).alias("spans"),
     ).cache()
     ex = sp.select(id_col, F.explode("spans").alias("dig"))
     counts = ex.groupBy("dig").agg(F.count(F.lit(1)).alias("c"))

@@ -957,3 +957,17 @@ def test_span_dup_profile_planted_duplicates(spark):
     # short docs: whole text is one span; 4 and 5 duplicate each other
     assert got[4] == (1, 1, False)
     assert got[5] == (1, 1, False)
+
+
+def test_span_dup_profile_drops_null_text(spark):
+    """NULL-text docs are dropped (SQL semantics), never classified as
+    mutual duplicates via the hash-of-NULL seed value."""
+    from etl_acordos_spark.operators.text import span_dup_profile
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    got = span_dup_profile(docs, "text", "doc_id", window=20).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["n_dup_spans"] == 0
