@@ -67,12 +67,26 @@ def streaming_dedup_index_run(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
+    probe_last_batches: int | None = None,
 ) -> DataFrame:
     """Run *docs* through the streaming dedup-index pipeline as
     *n_batches* ascending-id microbatches; returns the settled kept-doc
     ids (lazy read over the kept store, which outlives this call —
     PID-scoped working dirs, same rationale as
-    `events.incremental_upsert_run`). Ids must be non-null."""
+    `events.incremental_upsert_run`). Ids must be non-null.
+
+    *probe_last_batches* — optional freshness horizon: probe only the
+    newest N batches' index entries instead of the whole history (the
+    news/feed-dedup contract, where yesterday's near-copy is a dup but
+    last quarter's is legitimate re-reporting). The slice applies to
+    all three stores consistently (index, kept docs, count deltas — the
+    per-batch subdirectory layout IS the horizon structure: expiry is
+    "stop reading old directories", exactly how a date-partitioned
+    production index expires whole partitions). Not compatible with
+    `compact_count_deltas`, which folds history across batch
+    boundaries; production aligns compaction to the horizon instead.
+    Default None = dedup against all history (the fold-equivalence
+    contract)."""
     run_ns = os.path.join(base_dir, f"stream_dedup_index_{os.getpid()}")
     src = os.path.join(run_ns, "src")
     index_dir = os.path.join(run_ns, "band_index")
@@ -122,11 +136,18 @@ def streaming_dedup_index_run(
             )
 
         def load(root: str) -> DataFrame | None:
-            if os.path.isdir(root) and any(
-                e.startswith("b") for e in os.listdir(root)
-            ):
-                return spark.read.parquet(os.path.join(root, "b*"))
-            return None
+            if not os.path.isdir(root):
+                return None
+            parts = sorted(
+                e for e in os.listdir(root) if e.startswith("b")
+            )
+            if probe_last_batches is not None:
+                parts = parts[-probe_last_batches:]
+            if not parts:
+                return None
+            return spark.read.parquet(
+                *[os.path.join(root, p) for p in parts]
+            )
 
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch = batch_df

@@ -366,3 +366,46 @@ def test_write_id_range_batches_empty_input(spark):
     files = [f for f in os.listdir(src) if f.endswith(".parquet")]
     assert len(files) == 1
     assert spark.read.parquet(src).count() == 0
+
+
+def test_stream_dedup_index_freshness_horizon(spark):
+    """probe_last_batches=1: a later batch's copy of a doc OUTSIDE the
+    horizon is re-admitted; a copy of a doc inside it is still dropped."""
+    import tempfile
+
+    from etl_acordos_spark.streaming.dedup_index import (
+        streaming_dedup_index_run,
+    )
+
+    text_a = " ".join(f"a{j}" for j in range(25))
+    text_b = " ".join(f"b{j}" for j in range(25))
+    uniq = {i: " ".join(f"u{i}x{j}" for j in range(25)) for i in (2, 3, 6, 9)}
+    rows = [
+        (1, text_a),
+        (2, uniq[2]),
+        (3, uniq[3]),
+        (4, text_b),
+        (5, uniq[2]),  # copy of doc 2 (previous batch, inside any horizon)
+        (6, uniq[6]),
+        (7, text_a),  # copy of doc 1 — two batches back, outside horizon 1
+        (8, text_b),  # copy of doc 4 — one batch back, inside horizon 1
+        (9, uniq[9]),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run(**kw):
+        return sorted(
+            r[0]
+            for r in streaming_dedup_index_run(
+                spark,
+                docs,
+                "text",
+                "doc_id",
+                tempfile.mkdtemp(prefix="sdi_ttl_"),
+                n_batches=3,
+                **kw,
+            ).collect()
+        )
+
+    assert run() == [1, 2, 3, 4, 6, 9]  # full history: 5, 7, 8 all dups
+    assert run(probe_last_batches=1) == [1, 2, 3, 4, 6, 7, 9]
