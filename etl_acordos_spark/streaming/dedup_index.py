@@ -87,6 +87,12 @@ def streaming_dedup_index_run(
     boundaries; production aligns compaction to the horizon instead.
     Default None = dedup against all history (the fold-equivalence
     contract)."""
+    if probe_last_batches is not None and probe_last_batches < 1:
+        # parts[-0:] would silently mean "all history", the opposite of
+        # the caller's intent
+        raise ValueError(
+            "streaming_dedup_index_run: probe_last_batches must be >= 1"
+        )
     run_ns = os.path.join(base_dir, f"stream_dedup_index_{os.getpid()}")
     src = os.path.join(run_ns, "src")
     index_dir = os.path.join(run_ns, "band_index")
