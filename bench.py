@@ -199,11 +199,14 @@ def main() -> None:
                     "baseline_bench": os.path.basename(base_path),
                     "ratios_vs_baseline": ratios,
                 }
+                # sidecar goes to the file ONLY: the driver merges
+                # stdout+stderr and parses the LAST JSON line, so even a
+                # stderr echo here would displace the headline payload
+                # (r4 evidence: BENCH_r04.json parsed the ratio table)
                 with open(
                     os.path.join(_REPO_ROOT, "BENCH_ratios_local.json"), "w"
                 ) as f:
                     json.dump(sidecar, f, indent=1, sort_keys=True)
-                print(json.dumps(sidecar), file=sys.stderr)
         except (OSError, ValueError, ZeroDivisionError):
             pass
     spark.stop()

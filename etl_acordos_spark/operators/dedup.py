@@ -183,6 +183,11 @@ def minhash_bands(
     and today's incoming batch) produce join-compatible band values —
     the property incremental dedup relies on.
     """
+    if pin not in ("cache", "checkpoint"):
+        # a typo must not silently select the checkpoint path
+        raise ValueError(
+            f"minhash_bands: pin must be 'cache' or 'checkpoint', got {pin!r}"
+        )
     rows_per_band = num_perm // bands
     base = shingle_sets(ensure_parallelism(df), text_col, id_col, shingle_n)
     # fixed per-permutation multipliers/offsets (seeded ⇒ deterministic

@@ -986,7 +986,10 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
-    tok = df.select(
+    # NULL text must be dropped, not tokenized (same convention as
+    # span_dup_profile): under non-ANSI mode size(NULL) = -1, which
+    # would poison avgdl and score NULL docs with garbage tf=-1
+    tok = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("tk")
     )
 

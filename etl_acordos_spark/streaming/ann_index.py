@@ -62,6 +62,52 @@ def _load_centroids(spark: SparkSession, centroids_dir: str) -> np.ndarray:
     )
 
 
+def _train_quantizer(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    centroids_dir: str,
+) -> bool:
+    """Freeze the coarse quantizer from the first batch: first n_lists
+    vectors by id — the random-quantizer baseline of ivf_topk; k-means
+    centroids slot in identically. Returns False when the batch is
+    empty (cannot train — wait for data).
+
+    Crash safety: freezing keys on the directory's existence, so the
+    store is staged and atomically renamed into place — a crash
+    mid-write must not leave a partial directory that a retry would
+    treat as a trained quantizer (exists() would short-circuit and
+    `_load_centroids` would fail on the empty stack); same protocol as
+    `dedup_index.compact_count_deltas`."""
+    rows = (
+        batch_df.select(F.col(id_col), as_double(vec_col))
+        .orderBy(id_col)
+        .limit(n_lists)
+        .collect()
+    )
+    if not rows:
+        return False
+    if len(rows) < n_lists:
+        # an under-trained quantizer would silently break the
+        # unit-tested equality with batch ivf_topk (whose quantizer
+        # sees the whole table) — fail loudly instead
+        raise ValueError(
+            f"streaming_ann_index_run: first batch has only "
+            f"{len(rows)} vectors < n_lists={n_lists}; "
+            f"lower n_lists or n_batches"
+        )
+    staging = centroids_dir + "_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, (_, v) in enumerate(rows)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    os.replace(staging, centroids_dir)
+    return True
+
+
 def streaming_ann_index_run(
     spark: SparkSession,
     vectors: DataFrame,
@@ -111,31 +157,10 @@ def streaming_ann_index_run(
 
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
             if not os.path.exists(centroids_dir):
-                # freeze the coarse quantizer on first contact: first
-                # n_lists vectors by id — the random-quantizer baseline
-                # of ivf_topk; k-means centroids slot in identically
-                rows = (
-                    batch_df.select(F.col(id_col), as_double(vec_col))
-                    .orderBy(id_col)
-                    .limit(n_lists)
-                    .collect()
-                )
-                if not rows:
+                if not _train_quantizer(
+                    spark, batch_df, id_col, vec_col, n_lists, centroids_dir
+                ):
                     return  # empty batch cannot train — wait for data
-                if len(rows) < n_lists:
-                    # an under-trained quantizer would silently break
-                    # the unit-tested equality with batch ivf_topk
-                    # (whose quantizer sees the whole table) — fail
-                    # loudly instead
-                    raise ValueError(
-                        f"streaming_ann_index_run: first batch has only "
-                        f"{len(rows)} vectors < n_lists={n_lists}; "
-                        f"lower n_lists or n_batches"
-                    )
-                spark.createDataFrame(
-                    [(int(i), [float(x) for x in v]) for i, (_, v) in enumerate(rows)],
-                    "cell int, centroid array<double>",
-                ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
             if "C" not in quantizer:
                 quantizer["C"] = _load_centroids(spark, centroids_dir)
             C = quantizer["C"]

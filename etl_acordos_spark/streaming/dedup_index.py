@@ -19,7 +19,11 @@ Each arriving microbatch:
 Fault tolerance: foreachBatch is at-least-once, so every store write
 is an idempotent per-batch OVERWRITE — a replayed batch rewrites its
 own subdirectories instead of double-appending, and a crash between
-the three writes leaves nothing a retry can't overwrite. The
+the three writes leaves nothing a retry can't overwrite. The probe
+side of the same contract: a batch only ever READS subdirectories
+with batch index strictly below its own (`_load_store`), so a replay
+never collides with its prior attempt's output (which would Jaccard-
+match every kept doc against itself and drop the whole batch). The
 bucket-count deltas exist so the degenerate-bucket cap never recounts
 the index's entries (an O(index) shuffle per microbatch otherwise):
 the probe sums the delta files — buckets-sized, not entries-sized. At
@@ -55,6 +59,155 @@ from etl_acordos_spark.operators.dedup import (
 from etl_acordos_spark.streaming.batching import write_id_range_batches
 
 
+def _band_schema(doc_schema: T.StructType, id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("doc", doc_schema[id_col].dataType),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("band_val", T.LongType()),
+        ]
+    )
+
+
+def _store_batch(df: DataFrame, root: str, batch_id: int) -> None:
+    # idempotent per-batch write: a replayed batch overwrites its own
+    # subdirectory, never double-appends the store
+    df.write.mode("overwrite").parquet(os.path.join(root, f"b{batch_id:05d}"))
+
+
+def _load_store(
+    spark: SparkSession,
+    root: str,
+    batch_id: int,
+    probe_last_batches: int | None,
+) -> DataFrame | None:
+    """Read a store's per-batch subdirectories as they stood BEFORE
+    *batch_id* first ran — only subdirectories with batch index <
+    batch_id. A replayed batch (at-least-once delivery) must never see
+    its own prior-attempt output: including ``b{batch_id}`` would match
+    every doc the prior attempt kept against its identical self
+    (Jaccard 1.0), drop the whole batch as duplicates, and the per-batch
+    overwrite would then replace the stores with that near-empty
+    survivor set — silent data loss on crash-replay. The ``< batch_id``
+    cut composes with `compact_count_deltas` because a snapshot keeps
+    the highest FOLDED batch's name and the newest delta is never
+    folded."""
+    if not os.path.isdir(root):
+        return None
+    parts = sorted(
+        e
+        for e in os.listdir(root)
+        if e.startswith("b") and int(e[1:]) < batch_id
+    )
+    if probe_last_batches is not None:
+        for p in parts:
+            if os.path.exists(os.path.join(root, p, "_folded.json")):
+                # a compacted snapshot folds many batches into one
+                # directory slot, so slicing the newest N directories
+                # would silently cover a different time range than
+                # "the newest N batches" — refuse instead of probing
+                # the wrong horizon (production aligns compaction to
+                # the horizon; see compact_count_deltas docstring)
+                raise ValueError(
+                    "streaming dedup index: probe_last_batches is "
+                    f"incompatible with the compacted snapshot {p!r} — "
+                    "expire old batch directories instead of folding "
+                    "them when a freshness horizon is in use"
+                )
+        parts = parts[-probe_last_batches:]
+    if not parts:
+        return None
+    return spark.read.parquet(*[os.path.join(root, p) for p in parts])
+
+
+def _dedup_index_process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    text_col: str,
+    id_col: str,
+    doc_schema: T.StructType,
+    kept_dir: str,
+    index_dir: str,
+    counts_dir: str,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    shingle_n: int,
+    max_bucket_size: int,
+    probe_last_batches: int | None,
+) -> None:
+    """One microbatch of the dedup-index maintenance loop — module-level
+    (not a closure) so the replay-idempotency test drives the EXACT
+    production code path when it re-delivers a batch."""
+    # lineage cut straight after the band computation: the band
+    # expression is a giant HOF tree, and in a PER-BATCH loop every
+    # derived plan (bucket cap, probe joins, self-join) would re-analyze
+    # it 4× per microbatch — leaf it once per batch instead (one job,
+    # bands are 3 longs per doc·band). pin="checkpoint"/reusable=False
+    # keep the per-batch intermediates out of the CacheManager: cache
+    # entries live until the application stops, and a continuous ingest
+    # stream would leak them every batch.
+    b_bands = minhash_bands(
+        batch_df,
+        text_col,
+        id_col,
+        num_perm,
+        bands,
+        shingle_n,
+        pin="checkpoint",
+    ).localCheckpoint(eager=False)
+    corpus = _load_store(spark, kept_dir, batch_id, probe_last_batches)
+    c_bands = _load_store(spark, index_dir, batch_id, probe_last_batches)
+    deltas_so_far = _load_store(
+        spark, counts_dir, batch_id, probe_last_batches
+    )
+    counts = (
+        deltas_so_far.groupBy("band_idx", "band_val").agg(
+            F.sum("n").alias("n")
+        )
+        if deltas_so_far is not None
+        else None
+    )
+    if corpus is None:
+        corpus = spark.createDataFrame([], doc_schema)
+    if c_bands is None:
+        c_bands = spark.createDataFrame([], _band_schema(doc_schema, id_col))
+    survivors = dedup_batch_against(
+        batch_df,
+        b_bands,
+        corpus,
+        c_bands,
+        text_col,
+        id_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+        c_bucket_counts=counts,
+        reusable=False,
+    ).localCheckpoint(eager=False)
+
+    _store_batch(
+        batch_df.join(survivors, [id_col], "left_semi"), kept_dir, batch_id
+    )
+    # no checkpoint: both uses read the b_bands leaf + the tiny survivor
+    # set — a recompute is one cheap semi-join
+    kept_bands = b_bands.join(
+        survivors.select(F.col(id_col).alias("doc")),
+        ["doc"],
+        "left_semi",
+    )
+    _store_batch(kept_bands, index_dir, batch_id)
+    _store_batch(
+        kept_bands.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        counts_dir,
+        batch_id,
+    )
+
+
 def streaming_dedup_index_run(
     spark: SparkSession,
     docs: DataFrame,
@@ -84,7 +237,8 @@ def streaming_dedup_index_run(
     "stop reading old directories", exactly how a date-partitioned
     production index expires whole partitions). Not compatible with
     `compact_count_deltas`, which folds history across batch
-    boundaries; production aligns compaction to the horizon instead.
+    boundaries — enforced at probe time (`_load_store` raises on a
+    compacted snapshot); production aligns compaction to the horizon.
     Default None = dedup against all history (the fold-equivalence
     contract)."""
     if probe_last_batches is not None and probe_last_batches < 1:
@@ -126,102 +280,23 @@ def streaming_dedup_index_run(
             .parquet(src)
         )
 
-        band_schema = T.StructType(
-            [
-                T.StructField("doc", doc_schema[id_col].dataType),
-                T.StructField("band_idx", T.IntegerType()),
-                T.StructField("band_val", T.LongType()),
-            ]
-        )
-
-        def store(df: DataFrame, root: str, batch_id: int) -> None:
-            # idempotent per-batch write: a replayed batch overwrites
-            # its own subdirectory, never double-appends the store
-            df.write.mode("overwrite").parquet(
-                os.path.join(root, f"b{batch_id:05d}")
-            )
-
-        def load(root: str) -> DataFrame | None:
-            if not os.path.isdir(root):
-                return None
-            parts = sorted(
-                e for e in os.listdir(root) if e.startswith("b")
-            )
-            if probe_last_batches is not None:
-                parts = parts[-probe_last_batches:]
-            if not parts:
-                return None
-            return spark.read.parquet(
-                *[os.path.join(root, p) for p in parts]
-            )
-
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-            batch = batch_df
-            # lineage cut straight after the band computation: the band
-            # expression is a giant HOF tree, and in a PER-BATCH loop
-            # every derived plan (bucket cap, probe joins, self-join)
-            # would re-analyze it 4× per microbatch — leaf it once per
-            # batch instead (one job, bands are 3 longs per doc·band).
-            # pin="checkpoint"/reusable=False keep the per-batch
-            # intermediates out of the CacheManager: cache entries live
-            # until the application stops, and a continuous ingest
-            # stream would leak them every batch.
-            b_bands = minhash_bands(
-                batch,
-                text_col,
-                id_col,
-                num_perm,
-                bands,
-                shingle_n,
-                pin="checkpoint",
-            ).localCheckpoint(eager=False)
-            corpus = load(kept_dir)
-            c_bands = load(index_dir)
-            deltas_so_far = load(counts_dir)
-            counts = (
-                deltas_so_far.groupBy("band_idx", "band_val").agg(
-                    F.sum("n").alias("n")
-                )
-                if deltas_so_far is not None
-                else None
-            )
-            if corpus is None:
-                corpus = spark.createDataFrame([], doc_schema)
-            if c_bands is None:
-                c_bands = spark.createDataFrame([], band_schema)
-            survivors = dedup_batch_against(
-                batch,
-                b_bands,
-                corpus,
-                c_bands,
-                text_col,
-                id_col,
+            _dedup_index_process_batch(
+                spark,
+                batch_df,
+                batch_id,
+                text_col=text_col,
+                id_col=id_col,
+                doc_schema=doc_schema,
+                kept_dir=kept_dir,
+                index_dir=index_dir,
+                counts_dir=counts_dir,
+                num_perm=num_perm,
+                bands=bands,
                 threshold=threshold,
                 shingle_n=shingle_n,
                 max_bucket_size=max_bucket_size,
-                c_bucket_counts=counts,
-                reusable=False,
-            ).localCheckpoint(eager=False)
-
-            store(
-                batch.join(survivors, [id_col], "left_semi"),
-                kept_dir,
-                batch_id,
-            )
-            # no checkpoint: both uses read the b_bands leaf + the tiny
-            # survivor set — a recompute is one cheap semi-join
-            kept_bands = b_bands.join(
-                survivors.select(F.col(id_col).alias("doc")),
-                ["doc"],
-                "left_semi",
-            )
-            store(kept_bands, index_dir, batch_id)
-            store(
-                kept_bands.groupBy("band_idx", "band_val").agg(
-                    F.count(F.lit(1)).alias("n")
-                ),
-                counts_dir,
-                batch_id,
+                probe_last_batches=probe_last_batches,
             )
 
         (

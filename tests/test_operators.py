@@ -703,6 +703,37 @@ def test_incremental_minhash_dedup_keep_first_semantics(spark):
     assert kept == [102, 104]
 
 
+def test_incremental_minhash_dedup_overlapping_id_spaces(spark):
+    """Corpus and batch id spaces MAY collide: the side marker must
+    route each verify comparison to the shingle set the band collision
+    actually came from, never the id's namesake on the other side.
+    Here id 5 exists on BOTH sides with unrelated texts: batch doc 6
+    (near-copy of CORPUS doc 5) must drop, batch doc 5 (unique text)
+    and batch doc 7 (unique) must survive."""
+    from etl_acordos_spark.operators.dedup import incremental_minhash_dedup
+
+    text_x = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    text_y = "uno dos tres cuatro cinco seis siete ocho nueve " * 4
+    corpus = spark.createDataFrame(
+        [(5, text_x)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (5, text_y),  # id collides with corpus 5, text unrelated -> kept
+            (6, text_x),  # near-copy of CORPUS doc 5 -> dropped
+            (7, "totally fresh unique words nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            corpus, batch, "text", "doc_id", threshold=0.9
+        ).collect()
+    )
+    assert kept == [5, 7]
+
+
 def test_incremental_minhash_dedup_never_drops_corpus_or_uniques(
     spark, sf_oracle
 ):
@@ -930,6 +961,37 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert scores[2] > 0.0 and scores[4] > 0.0
 
 
+def test_bm25_ignores_null_text(spark):
+    """NULL-text docs must be excluded entirely — under non-ANSI mode
+    size(split(NULL)) is -1, which would corrupt avgdl and emit
+    garbage-scored rows for the NULL docs."""
+    from etl_acordos_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "hash vector stream hash vector stream hash vector"),
+        (2, "hash alpha beta gamma delta epsilon zeta eta theta"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clean = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(
+            docs.filter("text is not null"),
+            "text",
+            "doc_id",
+            ["hash", "vector"],
+            k=5,
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(
+            docs, "text", "doc_id", ["hash", "vector"], k=5
+        ).collect()
+    ]
+    assert got == clean  # NULL doc neither scored nor in avgdl
+
+
 def test_span_dup_profile_planted_duplicates(spark):
     """A 20-token span shared by two docs (at DIFFERENT offsets) must be
     counted on both sides; unique docs must profile 0 duplicated spans;
@@ -971,3 +1033,14 @@ def test_span_dup_profile_drops_null_text(spark):
     got = span_dup_profile(docs, "text", "doc_id", window=20).collect()
     assert [r["doc_id"] for r in got] == [1]
     assert got[0]["n_dup_spans"] == 0
+
+
+def test_minhash_bands_rejects_unknown_pin(spark):
+    """A pin typo must raise, not silently select the checkpoint path."""
+    import pytest
+
+    from etl_acordos_spark.operators.dedup import minhash_bands
+
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pin"):
+        minhash_bands(docs, "text", "doc_id", pin="chache")

@@ -409,3 +409,147 @@ def test_stream_dedup_index_freshness_horizon(spark):
 
     assert run() == [1, 2, 3, 4, 6, 9]  # full history: 5, 7, 8 all dups
     assert run(probe_last_batches=1) == [1, 2, 3, 4, 6, 7, 9]
+
+
+def test_stream_dedup_index_replay_is_idempotent(spark):
+    """Re-delivering a batch (the at-least-once contract) must leave the
+    kept/index/count stores unchanged: the replay probes only stores
+    with batch index below its own, so previously-kept docs never
+    Jaccard-match their identical selves and get dropped."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.streaming.dedup_index import (
+        _dedup_index_process_batch,
+        streaming_dedup_index_run,
+    )
+
+    rows = [
+        (i, " ".join(f"r{i}w{j}" for j in range(25))) for i in range(9)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = tempfile.mkdtemp(prefix="sdi_rep_")
+    before = sorted(
+        r[0]
+        for r in streaming_dedup_index_run(
+            spark, docs, "text", "doc_id", base, n_batches=3
+        ).collect()
+    )
+    assert before == list(range(9))  # all unique, all kept
+
+    run_ns = os.path.join(base, f"stream_dedup_index_{os.getpid()}")
+    kept_glob = os.path.join(run_ns, "kept", "b*")
+    counts_glob = os.path.join(run_ns, "bucket_counts", "b*")
+    counts_before = {
+        (r["band_idx"], r["band_val"]): r["total"]
+        for r in spark.read.parquet(counts_glob)
+        .groupBy("band_idx", "band_val")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+
+    # replay batch 1's delivered file through the exact production path
+    batch1 = spark.read.parquet(
+        os.path.join(run_ns, "src", "batch_0001.parquet")
+    )
+    doc_schema = batch1.schema
+    _dedup_index_process_batch(
+        spark,
+        batch1,
+        1,
+        text_col="text",
+        id_col="doc_id",
+        doc_schema=doc_schema,
+        kept_dir=os.path.join(run_ns, "kept"),
+        index_dir=os.path.join(run_ns, "band_index"),
+        counts_dir=os.path.join(run_ns, "bucket_counts"),
+        num_perm=64,
+        bands=16,
+        threshold=0.5,
+        shingle_n=3,
+        max_bucket_size=1000,
+        probe_last_batches=None,
+    )
+    after = sorted(
+        r[0] for r in spark.read.parquet(kept_glob).select("doc_id").collect()
+    )
+    assert after == before
+    counts_after = {
+        (r["band_idx"], r["band_val"]): r["total"]
+        for r in spark.read.parquet(counts_glob)
+        .groupBy("band_idx", "band_val")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    assert counts_after == counts_before
+
+
+def test_stream_dedup_horizon_rejects_compacted_snapshot(spark):
+    """A freshness horizon over a compacted count store would silently
+    cover the wrong time range — the probe must refuse instead."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from etl_acordos_spark.streaming.dedup_index import (
+        _load_store,
+        compact_count_deltas,
+        streaming_dedup_index_run,
+    )
+
+    rows = [
+        (i, " ".join(f"g{i}w{j}" for j in range(25))) for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = tempfile.mkdtemp(prefix="sdi_grd_")
+    streaming_dedup_index_run(
+        spark, docs, "text", "doc_id", base, n_batches=4
+    ).collect()
+    run_ns = os.path.join(base, f"stream_dedup_index_{os.getpid()}")
+    assert compact_count_deltas(spark, run_ns) == 3
+    counts_dir = os.path.join(run_ns, "bucket_counts")
+    # un-horizoned probe still reads the folded snapshot fine
+    assert _load_store(spark, counts_dir, 99, None).count() > 0
+    with pytest.raises(ValueError, match="compacted snapshot"):
+        _load_store(spark, counts_dir, 99, 2)
+
+
+def test_stream_ann_quantizer_freeze_is_crash_safe(spark, monkeypatch):
+    """A crash between the staged centroid write and the atomic rename
+    must leave NO centroids directory (exists() is the freeze key), so
+    the retry retrains instead of loading a partial store."""
+    import os
+    import tempfile
+
+    from etl_acordos_spark.streaming import ann_index as M
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    centroids_dir = os.path.join(
+        tempfile.mkdtemp(prefix="sai_qcs_"), "centroids"
+    )
+
+    real_replace = os.replace
+
+    def crashing_replace(src, dst):
+        raise RuntimeError("simulated crash before rename")
+
+    monkeypatch.setattr(M.os, "replace", crashing_replace)
+    try:
+        M._train_quantizer(
+            spark, vecs, "vec_id", "embedding", 4, centroids_dir
+        )
+    except RuntimeError:
+        pass
+    assert not os.path.exists(centroids_dir)  # freeze key still unset
+    monkeypatch.setattr(M.os, "replace", real_replace)
+    assert M._train_quantizer(
+        spark, vecs, "vec_id", "embedding", 4, centroids_dir
+    )
+    C = M._load_centroids(spark, centroids_dir)
+    assert C.shape == (4, 3)
