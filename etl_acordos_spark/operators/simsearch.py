@@ -164,6 +164,57 @@ def probe_cells(
     return [int(c) for c in np.argsort(-(Cn @ (query / q_norm)))[:n_probe]]
 
 
+def train_coarse_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    train_factor: int = 4,
+    n_iter: int = 4,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF, trained DRIVER-SIDE
+    on a deterministic sample: the first ``train_factor * n_lists``
+    vectors by id. This is the production shape (Faiss trains the
+    coarse quantizer on a corpus sample, never the full set); the
+    id-PREFIX sample specifically keeps the batch build (`ivf_topk`)
+    and the streaming store (streaming/ann_index.py) bit-identical —
+    the first ingest microbatch contains exactly the lowest ids, so
+    both sides see the same training rows (their unit-tested result
+    equality depends on it).
+
+    Deterministic end-to-end: init = the first *n_lists* sample rows,
+    fixed *n_iter* Lloyd rounds on L2-normalized vectors (cosine
+    assignment, the same metric `assign_cell_udf` applies), empty cells
+    keep their previous centroid, 9-dp rounding so last-ulp noise never
+    leaks into assignments. k-means balances cell populations far
+    better than the old "first n_lists raw vectors" baseline — at scale
+    an imbalanced coarse quantizer concentrates the probe scan in a few
+    giant cells and the n_probe/n_lists cost model breaks down."""
+    train_n = train_factor * n_lists
+    rows = (
+        df.select(as_double(vec_col))
+        .orderBy(id_col)
+        .limit(train_n)
+        .collect()
+    )
+    if len(rows) < n_lists:
+        raise ValueError(
+            f"train_coarse_centroids: only {len(rows)} vectors available "
+            f"< n_lists={n_lists}"
+        )
+    S = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    Sn = S / _safe_norms(S)
+    C = Sn[:n_lists].copy()
+    for _ in range(n_iter):
+        Cn = C / _safe_norms(C)
+        a = np.argmax(Sn @ Cn.T, axis=1)
+        for c in range(n_lists):
+            members = Sn[a == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return np.round(C, 9)
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,
@@ -172,27 +223,26 @@ def ivf_topk(
     k: int = 10,
     n_lists: int = 16,
     n_probe: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) search: partition the
     corpus into *n_lists* cells around coarse centroids, then scan only
     the *n_probe* cells nearest the query.
 
-    Centroid choice here is deterministic sampling (the first n_lists
-    vectors by id) — the classic "random coarse quantizer" baseline; a
-    production build swaps in k-means centroids, the plumbing is
-    identical. Cell assignment is one Arrow-batched numpy matmul per
-    partition (vectors × centroidsᵀ). At 100 TB the payoff is that the
-    scan for a query touches n_probe/n_lists of the corpus, and the cell
-    id is a natural partition/bucket key for the stored table.
+    The coarse quantizer is k-means over a deterministic id-prefix
+    sample (`train_coarse_centroids`); pass *centroids* to probe with
+    an externally trained/stored quantizer instead (the streaming
+    store's probe path). Cell assignment is one Arrow-batched numpy
+    matmul per partition (vectors × centroidsᵀ). At 100 TB the payoff
+    is that the scan for a query touches n_probe/n_lists of the corpus,
+    and the cell id is a natural partition/bucket key for the stored
+    table.
     """
-    centroids = [
-        (r[0], list(r[1]))
-        for r in df.select(F.col(id_col), as_double(vec_col))
-        .orderBy(id_col)
-        .limit(n_lists)
-        .collect()
-    ]
-    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])
+    C = (
+        centroids
+        if centroids is not None
+        else train_coarse_centroids(df, id_col, vec_col, n_lists)
+    )
 
     assigned = df.select(
         F.col(id_col).alias("id"),

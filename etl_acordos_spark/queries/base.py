@@ -115,13 +115,18 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
 
 
-def driver_green_keys() -> set[str]:
+def driver_green_keys(oracle_keys: set[str] | None = None) -> set[str]:
     """Keys that already have a verified row in ANY committed
     ``CORRECTNESS_r*.json`` at the repo root — either a full
     count+schema+hash match, or the rows-only check for keys that
     declare no oracle. Keys whose only rows are errors (e.g. a
     canonicalizer crash) or empty rows-only results (the driver expects
     rows > 0) stay un-green so they re-enter the window.
+
+    *oracle_keys* — the keys that CURRENTLY declare an oracle. When
+    given, a historical rows-only row no longer counts as green for
+    them: a key promoted from rows-only to a full SQL oracle re-enters
+    the verification window until it earns a hash row.
     """
     import glob
     import json
@@ -143,6 +148,7 @@ def driver_green_keys() -> set[str]:
             rows_only = (
                 row.get("err") == "no_oracle"
                 and (row.get("spark_rows") or 0) > 0
+                and not (oracle_keys is not None and key in oracle_keys)
             )
             if full or rows_only:
                 green.add(key)
@@ -164,9 +170,15 @@ def rotate_unchecked_first(
     jump the unchecked queue entirely (previously-ERR repairs / the
     flagship) while unchecked, then rotate back like everything else.
     With this, cumulative hard-signal coverage grows by up to 50 keys
-    per round with no manual reordering.
+    per round with no manual reordering. A key promoted from rows-only
+    to a full oracle counts as unchecked again (its historical rows-only
+    green is superseded — see `driver_green_keys`).
     """
-    green = driver_green_keys()
+    oracle_keys = {
+        name for name, qd in all_queries().items() if qd.oracle is not None
+    }
+    oracle_keys.add("flagship")
+    green = driver_green_keys(oracle_keys)
     front = [k for k in hoist if k in keys and k not in green]
     unchecked = [k for k in keys if k not in green and k not in front]
     checked = [k for k in keys if k in green and k not in front]

@@ -119,12 +119,18 @@ def q_ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ext_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dedup: MinHash-LSH pairs → connected components →
-    one kept doc per cluster (O(n) output — what a 100 TB pipeline
-    actually materializes). Rows-only: component labeling is iterative,
-    not ANSI-SQL-expressible."""
+    """End-to-end near-dedup: pair graph → connected components → one
+    kept doc per cluster (O(n) output — what a 100 TB pipeline actually
+    materializes). The registered query feeds `keep_representatives`
+    the EXACT token-set Jaccard pairs (same truth as ext_dedup_jaccard)
+    so the keep-set hash-matches a DuckDB recursive-CTE oracle — LSH
+    pairs at threshold 0.5 have probabilistic recall on borderline
+    pairs, which an exact oracle cannot reproduce. The LSH-pair keep
+    path (the 100 TB shape: banded candidates, never all-pairs) is the
+    same operator composition, exercised with minhash_lsh_pairs input
+    in tests/test_properties.py and via ext_dedup_near."""
     docs = t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.9)
     return keep_representatives(docs, pairs.select("doc_a", "doc_b"), "doc_id")
 
 
@@ -481,6 +487,28 @@ _ORACLES: dict[str, str | None] = {
         " FROM documents GROUP BY sha256(text)"
     ),
     "ext_dedup_jaccard": _JACCARD_PAIRS,
+    # keep-set = component minima of the exact-pair graph: reachability
+    # closure via a recursive CTE (UNION dedups, so it terminates), then
+    # a doc survives iff it is the min of its component (docs in no pair
+    # are their own component)
+    "ext_dedup_keep": (
+        "WITH RECURSIVE s AS (SELECT doc_id,"
+        "   list_distinct(string_split(text, ' ')) AS st FROM documents),"
+        " pairs AS (SELECT doc_a, doc_b FROM ("
+        "   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)"
+        "      / len(list_distinct(a.st || b.st)) AS j"
+        "   FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE j >= 0.9),"
+        " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        "   UNION SELECT doc_b, doc_a FROM pairs),"
+        " reach(node, r) AS (SELECT u, v FROM edges"
+        "   UNION SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node),"
+        " comp AS (SELECT node, least(node, min(r)) AS root"
+        "   FROM reach GROUP BY node)"
+        " SELECT d.doc_id FROM documents d LEFT JOIN comp c"
+        "   ON d.doc_id = c.node"
+        " WHERE c.node IS NULL OR c.root = d.doc_id"
+    ),
     "ext_dedup_ngram": (
         "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok"
         "  FROM documents),"
@@ -860,7 +888,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_dedup_near": QueryDef(q_ext_dedup_near, None),
     "ext_dedup_simhash": QueryDef(q_ext_dedup_simhash, None),
-    "ext_dedup_keep": QueryDef(q_ext_dedup_keep, None),
+    "ext_dedup_keep": QueryDef(q_ext_dedup_keep, _ORACLES["ext_dedup_keep"]),
     "ext_dedup_embed": QueryDef(q_ext_dedup_embed, _ORACLES["ext_dedup_embed"]),
     "ext_simsearch": QueryDef(q_ext_simsearch, _ORACLES["ext_simsearch"]),
     "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, None),

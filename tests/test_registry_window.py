@@ -73,6 +73,49 @@ def test_err_only_and_zero_row_rows_never_green(tmp_path, monkeypatch) -> None:
     assert green == {"rows_key", "full_key"}
 
 
+def test_oracle_promotion_reenters_window(tmp_path, monkeypatch) -> None:
+    """A key whose check was upgraded from rows-only to a full SQL
+    oracle must count as unchecked again: its historical no_oracle row
+    is superseded, so it re-enters the driver window for a hash row
+    (round-5 precedent: ext_dedup_keep)."""
+    import json
+
+    import etl_acordos_spark.queries.base as base
+
+    rows = {
+        "promoted": {"hash_match": None, "spark_rows": 7, "err": "no_oracle"},
+        "still_rows_only": {
+            "hash_match": None,
+            "spark_rows": 7,
+            "err": "no_oracle",
+        },
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(base, "_repo_root", lambda: str(tmp_path))
+    green = base.driver_green_keys({"promoted"})
+    assert green == {"still_rows_only"}
+
+
+def test_dedup_keep_promotion_is_front_of_window() -> None:
+    """ext_dedup_keep gained a recursive-CTE oracle in round 5; until a
+    hash row lands in a committed CORRECTNESS file it must sit in the
+    driver's 50-key window."""
+    import json
+    import os
+
+    keys = list(contract.queries())
+    hash_green = False
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        row = json.load(open(p)).get("ext_dedup_keep") or {}
+        if row.get("hash_match") is True:
+            hash_green = True
+    if not hash_green:
+        assert keys.index("ext_dedup_keep") < DRIVER_CAP
+
+
 def test_every_query_key_has_callable_and_oracle_slot() -> None:
     qs = contract.queries()
     oracles = contract.oracle_sql()
