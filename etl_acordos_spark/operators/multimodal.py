@@ -5,12 +5,12 @@ metadata, batch feature extraction via Arrow-batched `mapInPandas`
 The Spark-side plumbing is REAL and tested: binary columns, metadata
 structs, partition-preserving mapInPandas with an explicit output
 schema, batch-shaped pandas processing. PNG payloads DECODE FOR REAL —
-`decode_image` / `extract_image_features` run the stdlib codec in
-`functions/png.py` (zlib scanlines, all five filters) with no external
-libraries. Other media formats remain a deterministic STUB
-(`decode_stub` derives fake-but-stable "features" from the bytes;
-`decode_real` documents where a production codec — PIL / ffmpeg /
-torchcodec — plugs in and raises NotImplementedError).
+`decode_image` is the ONE decode implementation (stdlib codec in
+`functions/png.py`: zlib scanlines, all five filters, no external
+libraries), shared by `extract_features`, `extract_image_features`,
+and the resize path. Non-PNG media formats stay behind `decode_real`,
+the documented production hook (PIL / ffmpeg / torchcodec) that raises
+NotImplementedError here.
 
 At 100 TB: payloads never leave their scan partition (mapInPandas is a
 map-only stage), Arrow moves whole batches across the Python boundary,
@@ -28,72 +28,77 @@ from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
     "doc_id bigint, mime string, n_bytes int, content_md5 string,"
-    " fake_width int, fake_height int, fake_mean_luma double"
+    " width int, height int, mean_luma double"
 )
 
 
-def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Model a media table: opaque binary payload + typed metadata struct
-    (mime, declared size). Here the payload is the UTF-8 document body —
-    standing in for image/audio bytes with identical plumbing."""
-    payload = F.encode(F.col(text_col), "UTF-8")
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        payload.alias("payload"),
+def attach_binary_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Model a media table: opaque binary payload + typed metadata
+    struct (mime, byte size). The payload is a REAL per-doc gradient
+    PNG (`attach_image_payload` — the one payload synthesizer), so
+    every downstream decode exercises the real codec; the metadata
+    struct is the plumbing this operator demonstrates (typed columns
+    alongside opaque bytes)."""
+    media = attach_image_payload(df, id_col)
+    return media.select(
+        "doc_id",
+        "payload",
         F.struct(
-            F.lit("application/x-fake-image").alias("mime"),
-            F.octet_length(F.col(text_col)).alias("n_bytes"),
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
         ).alias("meta"),
     )
 
 
 def decode_real(payload: bytes) -> dict:
-    """Production decode hook — plug PIL / ffmpeg / torchcodec here.
+    """Production decode hook for NON-PNG media — plug PIL / ffmpeg /
+    torchcodec here. PNG decodes for real via `decode_image`.
 
-    STUB: media codecs are not available in this environment.
+    STUB: other media codecs are not available in this environment.
     """
     raise NotImplementedError(
-        "media decoding requires an image/audio codec library; "
-        "use decode_stub for plumbing tests"
+        "non-PNG media decoding requires an image/audio codec library; "
+        "PNG payloads decode for real via decode_image"
     )
 
 
-def _decode_stub_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic fake decode: stable pseudo-features from the bytes.
-
-    Mirrors a real decoder's SHAPE (dims + a float statistic per item)
-    so downstream schema/partitioning logic is exercised for real.
-    """
-    import hashlib
-
-    out = {
-        "doc_id": pdf["doc_id"],
-        "mime": [m["mime"] for m in pdf["meta"]],
-        "n_bytes": [len(p) for p in pdf["payload"]],
-        "content_md5": [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]],
-    }
-    digests = [
-        int.from_bytes(hashlib.md5(bytes(p)).digest()[:8], "big")
-        for p in pdf["payload"]
-    ]
-    out["fake_width"] = [16 + d % 1024 for d in digests]
-    out["fake_height"] = [16 + (d >> 10) % 1024 for d in digests]
-    out["fake_mean_luma"] = [round((d % 255001) / 1000.0, 3) for d in digests]
-    return pd.DataFrame(out)
-
-
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payloads.
+    """Arrow-batched feature extraction over the binary payloads:
+    content identity (md5, byte size) plus REAL decoded image features —
+    `decode_image` (the one decode implementation, stdlib PNG codec) is
+    what runs inside the batches; mean_luma = pixel sum / pixel count.
 
     mapInPandas keeps partitioning intact (no shuffle); each Python
     worker sees whole Arrow batches. *batch_hint* documents where
     `spark.sql.execution.arrow.maxRecordsPerBatch` bounds peak memory
     when payloads are large (set it session-wide for real media).
     """
+    import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _decode_stub_batch(pdf)
+            raw = [bytes(p) for p in pdf["payload"]]
+            feats = [decode_image(p) for p in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in raw],
+                    "content_md5": [
+                        hashlib.md5(p).hexdigest() for p in raw
+                    ],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "mean_luma": [
+                        round(
+                            f["sum_px"]
+                            / (f["width"] * f["height"] * f["channels"]),
+                            6,
+                        )
+                        for f in feats
+                    ],
+                }
+            )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 

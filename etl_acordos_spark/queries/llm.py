@@ -429,9 +429,10 @@ def q_ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing + Arrow-batched feature extraction
-    (decode step is a deterministic stub — no codecs in this image)."""
-    media = attach_binary_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
+    """Binary-payload plumbing + Arrow-batched feature extraction: the
+    metadata-struct / content-identity demo, decoding through the SAME
+    stdlib PNG codec as ext_mm_decode (one decode implementation)."""
+    media = attach_binary_payload(t(spark, sf_dir, "documents"), "doc_id")
     return extract_features(media)
 
 

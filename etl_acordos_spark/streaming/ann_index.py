@@ -6,10 +6,10 @@ search shape and notes "the cell id is a natural partition/bucket key
 for the stored table" — this module is that stored table. Each
 arriving microbatch of embeddings:
 
-  1. loads the coarse centroids (trained ONCE, from the first batch —
-     the standard IVF contract: the quantizer is frozen so cell
-     assignments stay comparable across the index's lifetime; retrain
-     = rebuild),
+  1. loads the coarse centroids (k-means over the first batch's
+     id-prefix sample, trained ONCE — the standard IVF contract: the
+     quantizer is frozen so cell assignments stay comparable across
+     the index's lifetime; retrain = rebuild),
   2. assigns every vector to its nearest centroid with one
      Arrow-batched numpy matmul (the pandas-UDF fast path),
   3. writes the batch into the store PARTITIONED BY (ingest_batch,
@@ -47,6 +47,7 @@ from etl_acordos_spark.operators.simsearch import (
     assign_cell_udf,
     cosine,
     probe_cells,
+    train_coarse_centroids,
 )
 from etl_acordos_spark.streaming.batching import write_id_range_batches
 
@@ -69,10 +70,14 @@ def _train_quantizer(
     vec_col: str,
     n_lists: int,
     centroids_dir: str,
+    train_factor: int = 4,
 ) -> bool:
-    """Freeze the coarse quantizer from the first batch: first n_lists
-    vectors by id — the random-quantizer baseline of ivf_topk; k-means
-    centroids slot in identically. Returns False when the batch is
+    """Freeze the coarse quantizer from the first batch: spherical
+    k-means over the first ``train_factor * n_lists`` vectors by id
+    (`train_coarse_centroids` — the SAME training the batch-mode
+    `ivf_topk` runs; delivery is ascending-id microbatches, so the
+    first batch contains exactly the id-prefix sample and both sides
+    produce bit-identical centroids). Returns False when the batch is
     empty (cannot train — wait for data).
 
     Crash safety: freezing keys on the directory's existence, so the
@@ -81,27 +86,27 @@ def _train_quantizer(
     treat as a trained quantizer (exists() would short-circuit and
     `_load_centroids` would fail on the empty stack); same protocol as
     `dedup_index.compact_count_deltas`."""
-    rows = (
-        batch_df.select(F.col(id_col), as_double(vec_col))
-        .orderBy(id_col)
-        .limit(n_lists)
-        .collect()
-    )
-    if not rows:
+    train_n = train_factor * n_lists
+    n_avail = batch_df.count()
+    if n_avail == 0:
         return False
-    if len(rows) < n_lists:
+    if n_avail < train_n:
         # an under-trained quantizer would silently break the
-        # unit-tested equality with batch ivf_topk (whose quantizer
-        # sees the whole table) — fail loudly instead
+        # unit-tested equality with batch ivf_topk (whose id-prefix
+        # training sample spans the whole table) — fail loudly instead
         raise ValueError(
             f"streaming_ann_index_run: first batch has only "
-            f"{len(rows)} vectors < n_lists={n_lists}; "
-            f"lower n_lists or n_batches"
+            f"{n_avail} vectors < training sample {train_n} "
+            f"(train_factor={train_factor} × n_lists={n_lists}); "
+            f"lower n_lists/train_factor or n_batches"
         )
+    C = train_coarse_centroids(
+        batch_df, id_col, vec_col, n_lists, train_factor
+    )
     staging = centroids_dir + "_staging"
     shutil.rmtree(staging, ignore_errors=True)
     spark.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, (_, v) in enumerate(rows)],
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(staging)
     os.replace(staging, centroids_dir)

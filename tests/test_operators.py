@@ -80,13 +80,19 @@ def test_exact_dedup_keeps_min_id(spark):
 
 def test_multimodal_features_deterministic(spark, sf_smoke):
     docs = t(spark, sf_smoke, "documents").limit(50)
-    media = attach_binary_payload(docs, "text", "doc_id")
+    media = attach_binary_payload(docs, "doc_id")
     a = sorted(map(tuple, extract_features(media).collect()))
     b = sorted(map(tuple, extract_features(media).collect()))
     assert a == b
     row = a[0]
     assert len(row) == 7  # doc_id, mime, n_bytes, md5, w, h, luma
-    assert row[1] == "application/x-fake-image"
+    assert row[1] == "image/png"
+    # real decode: the gradient payload's closed form (doc 0: 8x8,
+    # pixel(y,x) = (x+y) % 256, all < 256 so no wrap)
+    doc0 = next(r for r in a if r[0] == 0)
+    assert (doc0[4], doc0[5]) == (8, 8)
+    want_luma = round(sum((x + y) % 256 for y in range(8) for x in range(8)) / 64, 6)
+    assert doc0[6] == want_luma
 
 
 # ------------------------- semantic edges of the cleaning functions

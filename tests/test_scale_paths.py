@@ -55,7 +55,7 @@ def test_partitioned_layer_write_prunes(spark, sf_smoke):
 
 def test_resize_plumbing(spark, sf_smoke):
     media = attach_binary_payload(
-        t(spark, sf_smoke, "documents"), "text", "doc_id"
+        t(spark, sf_smoke, "documents"), "doc_id"
     )
     out = resize_images(media, target_width=64).limit(50).collect()
     assert all(r["out_width"] == 64 for r in out)
@@ -67,7 +67,7 @@ def test_resize_plumbing(spark, sf_smoke):
 
 def test_frame_sampling_fanout(spark, sf_smoke):
     media = attach_binary_payload(
-        t(spark, sf_smoke, "documents"), "text", "doc_id"
+        t(spark, sf_smoke, "documents"), "doc_id"
     )
     frames = sample_frames(media, every_n_bytes=64)
     per_doc = frames.groupBy("doc_id").count()
@@ -302,3 +302,72 @@ def test_compaction_is_lossless_and_reduces_files(spark, sf_oracle):
     a = {tuple(r) for r in spark.read.parquet(frag).collect()}
     b = {tuple(r) for r in spark.read.parquet(comp).collect()}
     assert a == b
+
+
+def _embeddings_20x(spark):
+    """Deterministic 20x-the-oracle-corpus embedding table (10k vectors):
+    sf0.1's 2000 embeddings tiled 5x with an (id, copy, pos)-keyed jitter
+    so copies are near but not identical — all JVM-side, rerun-stable."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    copies = spark.range(5).select(F.col("id").alias("copy"))
+    return (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("copy") * 2000 + F.col("vec_id")).alias("vec_id"),
+            F.expr(
+                "transform(cast(embedding as array<double>),"
+                " (x, p) -> x + 0.001 * double("
+                "   pmod(vec_id * 31 + copy * 7 + p, 17) - 8))"
+            ).alias("embedding"),
+        )
+    )
+
+
+def test_ann_recall_floors_at_20x_scale(spark):
+    """Recall@10 floors for the three ANN scale paths at 20x the oracle
+    corpus (10k vectors) — pins that a scale-up doesn't silently degrade
+    the approximate indexes (VERDICT r4 item 6). Floors carry margin
+    under the measured values so testdata regeneration doesn't flake
+    them; a real structural regression (broken quantizer, dead probe)
+    lands far below."""
+    from etl_acordos_spark.operators.simsearch import (
+        ann_topk_lsh,
+        exact_topk,
+        ivf_topk,
+        pq_topk,
+    )
+
+    vecs = _embeddings_20x(spark).cache()
+    try:
+        qvec = (
+            vecs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        )
+        exact = {
+            r["vec_id"]
+            for r in exact_topk(
+                vecs, list(qvec), k=10, exclude_id=0
+            ).collect()
+        }
+        assert len(exact) == 10
+        ivf = {
+            r["vec_id"]
+            for r in ivf_topk(
+                vecs, query_id=0, k=10, n_lists=32, n_probe=8
+            ).collect()
+        }
+        lsh = {
+            r["vec_id"] for r in ann_topk_lsh(vecs, query_id=0, k=10).collect()
+        }
+        # the jittered corpus puts 5 near-copies of the query at the
+        # top with nearly identical ADC scores, so PQ needs the bigger
+        # shortlist a bigger corpus warrants (160 of 10k = 1.6%)
+        pq = {
+            r["vec_id"]
+            for r in pq_topk(vecs, query_id=0, k=10, refine=16).collect()
+        }
+        # measured on this corpus: ivf 10/10, lsh 4/10, pq 10/10
+        assert len(exact & ivf) >= 7, f"ivf recall {len(exact & ivf)}/10"
+        assert len(exact & lsh) >= 3, f"lsh recall {len(exact & lsh)}/10"
+        assert len(exact & pq) >= 7, f"pq recall {len(exact & pq)}/10"
+    finally:
+        vecs.unpersist()

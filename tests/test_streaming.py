@@ -527,7 +527,7 @@ def test_stream_ann_quantizer_freeze_is_crash_safe(spark, monkeypatch):
     from etl_acordos_spark.streaming import ann_index as M
 
     vecs = spark.createDataFrame(
-        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(12)],
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
         "vec_id long, embedding array<double>",
     )
     centroids_dir = os.path.join(
