@@ -497,8 +497,8 @@ _ORACLES: dict[str, str | None] = {
         "   list_distinct(string_split(text, ' ')) AS st FROM documents),"
         " pairs AS (SELECT doc_a, doc_b FROM ("
         "   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
-        "    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)"
-        "      / len(list_distinct(a.st || b.st)) AS j"
+        "    round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)"
+        "      / len(list_distinct(a.st || b.st)), 4) AS j"
         "   FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE j >= 0.9),"
         " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
         "   UNION SELECT doc_b, doc_a FROM pairs),"
@@ -541,7 +541,7 @@ _ORACLES: dict[str, str | None] = {
     ),
     "ext_bm25": (
         "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk"
-        "  FROM documents),"
+        "  FROM documents WHERE text IS NOT NULL),"
         " base AS (SELECT doc_id, len(tk) AS dl,"
         "   len(list_filter(tk, x -> x = 'hash')) AS tf0,"
         "   len(list_filter(tk, x -> x = 'vector')) AS tf1,"

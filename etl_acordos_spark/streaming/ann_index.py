@@ -87,7 +87,10 @@ def _train_quantizer(
     `_load_centroids` would fail on the empty stack); same protocol as
     `dedup_index.compact_count_deltas`."""
     train_n = train_factor * n_lists
-    n_avail = batch_df.count()
+    # bounded probe, not a full-batch count(): limit(train_n) stops the
+    # scan as soon as the sample is satisfied, and its length is exactly
+    # min(n_avail, train_n) — all this branch needs to know
+    n_avail = len(batch_df.select(id_col).limit(train_n).collect())
     if n_avail == 0:
         return False
     if n_avail < train_n:

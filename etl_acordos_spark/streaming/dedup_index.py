@@ -100,21 +100,24 @@ def _load_store(
         if e.startswith("b") and int(e[1:]) < batch_id
     )
     if probe_last_batches is not None:
-        for p in parts:
+        sliced = parts[-probe_last_batches:]
+        for p in sliced:
             if os.path.exists(os.path.join(root, p, "_folded.json")):
                 # a compacted snapshot folds many batches into one
-                # directory slot, so slicing the newest N directories
-                # would silently cover a different time range than
-                # "the newest N batches" — refuse instead of probing
-                # the wrong horizon (production aligns compaction to
-                # the horizon; see compact_count_deltas docstring)
+                # directory slot, so a slice CONTAINING one covers a
+                # different time range than "the newest N batches" —
+                # refuse instead of probing the wrong horizon. A
+                # snapshot strictly OLDER than the slice is harmless:
+                # the newest N directories are then genuine per-batch
+                # deltas and the horizon is exact (production aligns
+                # compaction to the horizon; see compact_count_deltas)
                 raise ValueError(
-                    "streaming dedup index: probe_last_batches is "
-                    f"incompatible with the compacted snapshot {p!r} — "
-                    "expire old batch directories instead of folding "
-                    "them when a freshness horizon is in use"
+                    "streaming dedup index: probe_last_batches horizon "
+                    f"overlaps the compacted snapshot {p!r} — expire "
+                    "old batch directories instead of folding them "
+                    "when a freshness horizon is in use"
                 )
-        parts = parts[-probe_last_batches:]
+        parts = sliced
     if not parts:
         return None
     return spark.read.parquet(*[os.path.join(root, p) for p in parts])

@@ -515,6 +515,10 @@ def test_stream_dedup_horizon_rejects_compacted_snapshot(spark):
     assert _load_store(spark, counts_dir, 99, None).count() > 0
     with pytest.raises(ValueError, match="compacted snapshot"):
         _load_store(spark, counts_dir, 99, 2)
+    # ...but a snapshot strictly OLDER than the horizon slice is
+    # harmless: the newest-1 directory is a genuine per-batch delta, so
+    # the horizon is exact and the probe must NOT refuse
+    assert _load_store(spark, counts_dir, 99, 1).count() > 0
 
 
 def test_stream_ann_quantizer_freeze_is_crash_safe(spark, monkeypatch):
