@@ -29,8 +29,10 @@ BASELINE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r01.json")
 # Heavy/representative subset of the §2 registry: star join, hash agg,
 # window functions, time windows, JSON, set ops, the LLM-pipeline family
 # (dedup, similarity search, text analysis). The exact all-pairs oracle
-# baselines (ext_dedup_jaccard / ext_dedup_embed) are verification-scale
-# by design and excluded; their LSH scale paths are benched instead.
+# baselines (ext_dedup_jaccard / ext_dedup_embed / ext_dedup_ngram) and
+# the keys built on the exact-pair graph for oracle-ability
+# (ext_dedup_keep / ext_dup_cluster_stats) are verification-scale by
+# design and excluded; their LSH scale paths are benched instead.
 # Write-bound layout maintenance jobs (snk_* sinks, ext_zorder,
 # ext_compaction) are likewise excluded — they measure the local disk,
 # not the engine; their semantics are oracle-/footer-stats-verified in
@@ -83,6 +85,8 @@ HEADLINE = [
     "ext_simsearch",
     "ext_simsearch_ann",
     "ext_simsearch_pq",
+    "ext_hybrid_rrf",
+    "ext_quantize_embed",
     "ext_kmeans",
     "ext_semdedup",
     "ext_domain_cap",

@@ -647,19 +647,19 @@ def simhash_pairs(
 # ------------------------------------------------- cluster representatives
 
 
-def keep_representatives(
+def component_labels(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str,
     max_iter: int = 10,
 ) -> DataFrame:
-    """Reduce a near-duplicate PAIR set to a KEEP set: connected
-    components over the pair graph via min-label propagation with
-    POINTER JUMPING; the kept document of each cluster is its smallest
-    id.
+    """Connected-component labels over a near-duplicate PAIR graph via
+    min-label propagation with POINTER JUMPING — returns (a, label)
+    with ``label`` = the component's smallest id (a singleton labels
+    itself). The shared core of `keep_representatives` (keep set) and
+    `dup_cluster_stats` (cluster-size profile).
 
-    This is the operator a real dedup pipeline ends with — emitting all
-    pairs is O(cluster²) output, the keep set is O(n). Each round is a
+    Each round is a
     neighbor-min hop (one join + one aggregate on (id, label) longs)
     followed by a path-halving jump (``label := label(label)``, a
     self-join of the label table) — the jump is what turns O(diameter)
@@ -738,9 +738,49 @@ def keep_representatives(
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return labels
+
+
+def keep_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Reduce a near-duplicate PAIR set to a KEEP set: the kept
+    document of each connected component is its smallest id. This is
+    the operator a real dedup pipeline ends with — emitting all pairs
+    is O(cluster²) output, the keep set is O(n)."""
+    labels = component_labels(docs, pairs, id_col, max_iter)
+    return labels.filter(F.col("a") == F.col("label")).select(
+        F.col("a").alias(id_col)
+    )
+
+
+def dup_cluster_stats(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Near-duplicate cluster-size profile: (cluster_size, n_clusters,
+    n_docs) over the components of the pair graph, singletons (docs in
+    no pair) excluded — the corpus-health report a dedup pass emits
+    (how much mass sits in giant clusters decides whether one kept
+    representative suffices or the whole cluster is spam to drop).
+
+    Same scale shape as the label propagation it reuses, plus two
+    id-keyed aggregates — nothing but (label, count) longs shuffle."""
+    labels = component_labels(docs, pairs, id_col, max_iter)
+    sizes = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+    )
     return (
-        labels.filter(F.col("a") == F.col("label"))
-        .select(F.col("a").alias(id_col))
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
     )
 
 

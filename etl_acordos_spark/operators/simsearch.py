@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def as_double(col: str) -> Column:
@@ -434,4 +435,122 @@ def ann_topk_lsh(
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
         .limit(k)
         .select(F.col("id").alias("vec_id"), "cosine")
+    )
+
+
+# ------------------------------------------------- storage quantization
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage layout a
+    large vector corpus actually persists (4× smaller than float32;
+    scoring reads int8 codes plus one scale per vector, the same
+    scalar-quantization shape Faiss's SQ8 index uses).
+
+    ``scale = max|x| / 127``; ``q_i = floor(x_i / scale + 0.5)``
+    (round-half-up, NOT round(): engines disagree on half-to-even vs
+    half-away ties, floor(+0.5) is bit-identical everywhere). A zero
+    vector gets scale 0 and all-zero codes (the 1.0 divisor guard never
+    changes a nonzero vector's codes).
+
+    Returns (id, scale, q_l1, rmse): the dequantization scale, the L1
+    mass of the codes, and the reconstruction RMSE — the acceptance
+    check a quantized store runs before swapping the float index out.
+
+    Scale shape: map-only — every expression is a Catalyst HOF fold
+    over the vector (scan → project, no shuffle, no UDF, no driver
+    state), so it distributes linearly at any corpus size.
+    """
+    base = (
+        df.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn(
+            "scale",
+            F.expr(
+                "aggregate(transform(v, x -> abs(x)),"
+                " cast(0 as double), (acc, x) -> greatest(acc, x)) / 127.0"
+            ),
+        )
+        .withColumn(
+            "sc",
+            F.when(F.col("scale") == 0.0, F.lit(1.0)).otherwise(
+                F.col("scale")
+            ),
+        )
+        .withColumn(
+            "q", F.expr("transform(v, x -> cast(floor(x / sc + 0.5d) as int))")
+        )
+    )
+    sq_err = F.expr(
+        "aggregate(zip_with(v, q, (x, qi) -> (x - qi * sc) * (x - qi * sc)),"
+        " cast(0 as double), (acc, e) -> acc + e)"
+    )
+    return base.select(
+        F.col(id_col),
+        F.round("scale", 6).alias("scale"),
+        F.expr(
+            "aggregate(q, cast(0 as bigint), (acc, qi) -> acc + abs(qi))"
+        ).alias("q_l1"),
+        F.round(F.sqrt(sq_err / F.size("v")), 6).alias("rmse"),
+    )
+
+
+# ------------------------------------------------- hybrid retrieval
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    k: int = 15,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two bounded top-k lists — hybrid
+    retrieval, the standard way a curation stack merges a lexical
+    (BM25) and a semantic (embedding cosine) probe of the same corpus:
+    ``rrf(d) = Σ_lists 1 / (k_rrf + rank_list(d))`` with k_rrf = 60
+    per Cormack et al. (SIGIR 2009).
+
+    Ranks are assigned by (score desc, id asc) — fully deterministic,
+    so the fused list is engine-reproducible. Absent docs contribute 0.
+    Output ranks are DOUBLE (not int) so the NULL of a one-list doc
+    survives pandas materialization identically everywhere.
+
+    Scale shape: both inputs are ALREADY top-k reductions (TakeOrdered
+    output, ≤ k rows each), so the single-partition rank windows and
+    the outer join run on driver-bounded data BY CONSTRUCTION — the
+    distributed work happened producing the lists. Do not feed unbounded
+    frames: rank a corpus-sized frame with a partitioned window first.
+    """
+    wa = Window.orderBy(F.col(score_a).desc(), F.col(id_col).asc())
+    wb = Window.orderBy(F.col(score_b).desc(), F.col(id_col).asc())
+    ra = a.select(
+        F.col(id_col), F.row_number().over(wa).alias("lex_rank")
+    )
+    rb = b.select(
+        F.col(id_col), F.row_number().over(wb).alias("vec_rank")
+    )
+    fused = ra.join(rb, id_col, "full_outer").select(
+        F.col(id_col),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+        F.col("lex_rank").cast("double").alias("lex_rank"),
+        F.col("vec_rank").cast("double").alias("vec_rank"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "rrf_score", "lex_rank", "vec_rank")
     )

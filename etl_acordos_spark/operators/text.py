@@ -967,6 +967,7 @@ def bm25_topk(
     k: int = 15,
     k1: float = 1.2,
     b: float = 0.75,
+    keep_order_key: bool = False,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document to a FIXED small query —
     the query-based corpus curation primitive (rank a crawl against
@@ -1035,7 +1036,10 @@ def bm25_topk(
         )
         .orderBy(F.col("_ord").desc(), F.col(id_col).asc())
         .limit(k)
-        .select(id_col, "score")
+        # keep_order_key exposes the 6-dp sort key so downstream rank
+        # consumers (rrf_fuse) rank on the SAME precision the top-k cut
+        # used — re-ranking the 4-dp display score could reorder ties
+        .select(id_col, "score", *(["_ord"] if keep_order_key else []))
     )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from etl_acordos_spark.functions.hashing import sql_hash32, sql_unit_hash
 from etl_acordos_spark.operators.dedup import (
+    dup_cluster_stats,
     exact_dedup,
     jaccard_pairs,
     keep_representatives,
@@ -36,6 +37,8 @@ from etl_acordos_spark.operators.simsearch import (
     exact_topk,
     ivf_topk,
     pq_topk,
+    quantize_int8,
+    rrf_fuse,
 )
 from etl_acordos_spark.operators.relational import stratified_sample
 from etl_acordos_spark.operators.text import (
@@ -134,6 +137,17 @@ def q_ext_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_representatives(docs, pairs.select("doc_a", "doc_b"), "doc_id")
 
 
+def q_ext_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph (same exact-pair
+    truth as ext_dedup_keep, threshold 0.9): how many clusters of each
+    size exist and how many docs they absorb — the corpus-health report
+    a dedup pass emits. Singletons (docs in no pair) excluded; the
+    oracle reads sizes off the same recursive-CTE components."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.9)
+    return dup_cluster_stats(docs, pairs.select("doc_a", "doc_b"), "doc_id")
+
+
 # -------------------------------------------------------- similarity search
 
 
@@ -143,6 +157,36 @@ def q_ext_simsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return exact_topk(emb, list(qvec), k=10, exclude_id=0)
+
+
+def q_ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (probe query {hash, vector,
+    stream}) fused with embedding-cosine top-50 around vec_id=0 by
+    reciprocal rank (k_rrf=60) — doc_id and vec_id share the id space,
+    so the two lists probe the same corpus lexically and semantically.
+    Both rank orders are 6-dp-rounded score desc + id asc, mirrored in
+    the oracle's row_number windows."""
+    from etl_acordos_spark.operators.text import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    lex = bm25_topk(
+        docs, "text", "doc_id", ["hash", "vector", "stream"],
+        k=50, keep_order_key=True,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    vec = exact_topk(emb, list(qvec), k=50, exclude_id=0).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse(
+        lex, vec, "doc_id", score_a="_ord", score_b="cosine", k=15
+    )
+
+
+def q_ext_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale, code L1 mass, reconstruction RMSE — map-only HOF folds."""
+    return quantize_int8(t(spark, sf_dir, "embeddings"))
 
 
 def q_ext_simsearch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,33 +526,69 @@ _COSINE = (
     " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
 )
 
+#: shared recursive-CTE prefix: exact-pair dup graph (round(j,4) >= 0.9,
+#: the Spark jaccard_pairs convention) → reachability closure → per-node
+#: component root. `ext_dedup_keep` selects component minima off it;
+#: `ext_dup_cluster_stats` reads the component sizes.
+_DUP_GRAPH_CTES = (
+    "WITH RECURSIVE s AS (SELECT doc_id,"
+    "   list_distinct(string_split(text, ' ')) AS st FROM documents),"
+    " pairs AS (SELECT doc_a, doc_b FROM ("
+    "   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    "    round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)"
+    "      / len(list_distinct(a.st || b.st)), 4) AS j"
+    "   FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE j >= 0.9),"
+    " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+    "   UNION SELECT doc_b, doc_a FROM pairs),"
+    " reach(node, r) AS (SELECT u, v FROM edges"
+    "   UNION SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node),"
+    " comp AS (SELECT node, least(node, min(r)) AS root"
+    "   FROM reach GROUP BY node)"
+)
+
 _ORACLES: dict[str, str | None] = {
     "ext_dedup_exact": (
         "SELECT min(doc_id) AS doc_id, sha256(text) AS content_sha256"
         " FROM documents GROUP BY sha256(text)"
     ),
     "ext_dedup_jaccard": _JACCARD_PAIRS,
-    # keep-set = component minima of the exact-pair graph: reachability
-    # closure via a recursive CTE (UNION dedups, so it terminates), then
-    # a doc survives iff it is the min of its component (docs in no pair
-    # are their own component)
+    # keep-set = component minima of the exact-pair graph (UNION dedups
+    # the reachability closure, so it terminates); a doc survives iff it
+    # is the min of its component (docs in no pair keep themselves)
     "ext_dedup_keep": (
-        "WITH RECURSIVE s AS (SELECT doc_id,"
-        "   list_distinct(string_split(text, ' ')) AS st FROM documents),"
-        " pairs AS (SELECT doc_a, doc_b FROM ("
-        "   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
-        "    round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)"
-        "      / len(list_distinct(a.st || b.st)), 4) AS j"
-        "   FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE j >= 0.9),"
-        " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
-        "   UNION SELECT doc_b, doc_a FROM pairs),"
-        " reach(node, r) AS (SELECT u, v FROM edges"
-        "   UNION SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node),"
-        " comp AS (SELECT node, least(node, min(r)) AS root"
-        "   FROM reach GROUP BY node)"
-        " SELECT d.doc_id FROM documents d LEFT JOIN comp c"
+        _DUP_GRAPH_CTES
+        + " SELECT d.doc_id FROM documents d LEFT JOIN comp c"
         "   ON d.doc_id = c.node"
         " WHERE c.node IS NULL OR c.root = d.doc_id"
+    ),
+    # every comp node sits in a >= 2 component by construction (it has
+    # an edge), so sizes off comp ARE the singleton-free histogram
+    "ext_dup_cluster_stats": (
+        _DUP_GRAPH_CTES
+        + ", sizes AS (SELECT root, count(*) AS cluster_size"
+        "   FROM comp GROUP BY root)"
+        " SELECT cluster_size, count(*) AS n_clusters,"
+        "  cluster_size * count(*) AS n_docs"
+        " FROM sizes GROUP BY cluster_size"
+    ),
+    "ext_quantize_embed": (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x"
+        "   FROM embeddings),"
+        " s AS (SELECT vec_id, x,"
+        "   list_max(list_transform(x, e -> abs(e))) / 127.0 AS scale"
+        "  FROM v),"
+        " g AS (SELECT vec_id, x, scale,"
+        "   CASE WHEN scale = 0 THEN 1.0 ELSE scale END AS sc FROM s),"
+        " q AS (SELECT vec_id, x, scale, sc,"
+        "   list_transform(x, e -> CAST(floor(e / sc + 0.5) AS INTEGER))"
+        "    AS qq FROM g)"
+        " SELECT vec_id, round(scale, 6) AS scale,"
+        "  CAST(list_sum(list_transform(qq, e -> abs(e))) AS BIGINT)"
+        "   AS q_l1,"
+        "  round(sqrt(list_sum(list_transform(generate_series(1, len(x)),"
+        "    i -> (x[i] - qq[i] * sc) * (x[i] - qq[i] * sc))) / len(x)), 6)"
+        "   AS rmse"
+        " FROM q"
     ),
     "ext_dedup_ngram": (
         "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok"
@@ -615,6 +695,53 @@ _ORACLES: dict[str, str | None] = {
         "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))),"
         "   6) AS cosine"
         " FROM e, q ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+    ),
+    # BM25 side replays the ext_bm25 scored CTE (ranked at 6 dp, the
+    # precision bm25_topk's _ord key carries); vector side replays the
+    # ext_simsearch cosine; both ranked by (score desc, id asc) over the
+    # top-50 cut, fused as sum of 1/(60 + rank)
+    "ext_hybrid_rrf": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        "  FROM documents WHERE text IS NOT NULL),"
+        " base AS (SELECT doc_id, len(tk) AS dl,"
+        "   len(list_filter(tk, x -> x = 'hash')) AS tf0,"
+        "   len(list_filter(tk, x -> x = 'vector')) AS tf1,"
+        "   len(list_filter(tk, x -> x = 'stream')) AS tf2"
+        "  FROM tok),"
+        " stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,"
+        "   count(*) FILTER (WHERE tf0 > 0) AS df0,"
+        "   count(*) FILTER (WHERE tf1 > 0) AS df1,"
+        "   count(*) FILTER (WHERE tf2 > 0) AS df2"
+        "  FROM base),"
+        " scored AS (SELECT doc_id,"
+        "   ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)"
+        "    * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        "  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)"
+        "    * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        "  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)"
+        "    * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        "   AS score FROM base CROSS JOIN stats),"
+        " lex AS (SELECT doc_id, row_number() OVER ("
+        "    ORDER BY round(score, 6) DESC, doc_id) AS lex_rank"
+        "   FROM scored QUALIFY lex_rank <= 50),"
+        " qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
+        "   WHERE vec_id = 0),"
+        " cos AS (SELECT vec_id AS doc_id,"
+        "   round(list_dot_product(e.v, qv.v) /"
+        "    (sqrt(list_dot_product(e.v, e.v))"
+        "     * sqrt(list_dot_product(qv.v, qv.v))), 6) AS c"
+        "  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        "    WHERE vec_id <> 0) e CROSS JOIN qv),"
+        " vecr AS (SELECT doc_id, row_number() OVER ("
+        "    ORDER BY c DESC, doc_id) AS vec_rank"
+        "   FROM cos QUALIFY vec_rank <= 50)"
+        " SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,"
+        "  round(coalesce(1.0 / (60 + l.lex_rank), 0)"
+        "   + coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf_score,"
+        "  CAST(l.lex_rank AS DOUBLE) AS lex_rank,"
+        "  CAST(v.vec_rank AS DOUBLE) AS vec_rank"
+        " FROM lex l FULL JOIN vecr v ON l.doc_id = v.doc_id"
+        " ORDER BY rrf_score DESC, doc_id LIMIT 15"
     ),
     "ext_simsearch_ann": None,  # approximate by design
     "ext_kmeans": None,  # iterative — nearest-centroid invariant unit-tested
@@ -890,8 +1017,15 @@ QUERIES: dict[str, QueryDef] = {
     "ext_dedup_near": QueryDef(q_ext_dedup_near, None),
     "ext_dedup_simhash": QueryDef(q_ext_dedup_simhash, None),
     "ext_dedup_keep": QueryDef(q_ext_dedup_keep, _ORACLES["ext_dedup_keep"]),
+    "ext_dup_cluster_stats": QueryDef(
+        q_ext_dup_cluster_stats, _ORACLES["ext_dup_cluster_stats"]
+    ),
     "ext_dedup_embed": QueryDef(q_ext_dedup_embed, _ORACLES["ext_dedup_embed"]),
     "ext_simsearch": QueryDef(q_ext_simsearch, _ORACLES["ext_simsearch"]),
+    "ext_hybrid_rrf": QueryDef(q_ext_hybrid_rrf, _ORACLES["ext_hybrid_rrf"]),
+    "ext_quantize_embed": QueryDef(
+        q_ext_quantize_embed, _ORACLES["ext_quantize_embed"]
+    ),
     "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, None),
     "ext_simsearch_ivf": QueryDef(q_ext_simsearch_ivf, None),
     "ext_simsearch_pq": QueryDef(q_ext_simsearch_pq, None),

@@ -1050,3 +1050,77 @@ def test_minhash_bands_rejects_unknown_pin(spark):
     docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="pin"):
         minhash_bands(docs, "text", "doc_id", pin="chache")
+
+
+def test_quantize_int8_bounds_and_exact_cases(spark):
+    """Codes stay in [-127, 127], reconstruction RMSE can never exceed
+    half a quantization step, exactly-representable vectors round-trip
+    losslessly, and a zero vector gets scale 0 with zero codes."""
+    from etl_acordos_spark.operators.simsearch import quantize_int8
+
+    rows = [
+        (1, [127.0, -127.0, 0.0]),  # lossless: scale 1, codes ±127/0
+        (2, [0.0, 0.0, 0.0]),  # zero vector: scale 0, all-zero codes
+        (3, [0.3, -1.7, 2.55]),
+        (4, [1e-4, -3e-4, 2e-4]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert got[1]["scale"] == 1.0
+    assert got[1]["q_l1"] == 254 and got[1]["rmse"] == 0.0
+    assert got[2]["scale"] == 0.0
+    assert got[2]["q_l1"] == 0 and got[2]["rmse"] == 0.0
+    for vid, r in got.items():
+        dim = 3
+        assert r["q_l1"] <= 127 * dim
+        assert r["rmse"] <= r["scale"] / 2 + 1e-9, vid
+
+
+def test_rrf_fuse_known_fusion(spark):
+    """Hand-checked fusion: a doc in both lists outscores every
+    single-list doc; ranks surface as nullable doubles."""
+    import math
+
+    from etl_acordos_spark.operators.simsearch import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], ["doc_id", "s"]
+    )
+    b = spark.createDataFrame([(2, 9.0), (4, 8.0)], ["doc_id", "s"])
+    got = rrf_fuse(a, b, "doc_id", "s", "s", k=10).collect()
+    assert [r["doc_id"] for r in got] == [2, 1, 4, 3]
+    by_id = {r["doc_id"]: r for r in got}
+    assert math.isclose(
+        by_id[2]["rrf_score"], 1 / 62 + 1 / 61, abs_tol=1e-6
+    )
+    assert math.isclose(by_id[1]["rrf_score"], 1 / 61, abs_tol=1e-6)
+    assert by_id[4]["lex_rank"] is None and by_id[4]["vec_rank"] == 2.0
+    assert by_id[3]["lex_rank"] == 3.0 and by_id[3]["vec_rank"] is None
+
+
+def test_dup_cluster_stats_histogram(spark):
+    """Planted clusters of size 3 and 2 plus two singletons: the
+    histogram reports exactly those two cluster sizes, and singleton
+    docs (no pair) never appear."""
+    from etl_acordos_spark.operators.dedup import (
+        dup_cluster_stats,
+        jaccard_pairs,
+    )
+
+    tri = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    duo = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, tri), (2, tri), (3, tri),
+        (4, duo), (5, duo),
+        (6, "lonely words that match nothing else in the corpus here"),
+        (7, "another entirely distinct singleton document text body"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.9)
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in dup_cluster_stats(
+            docs, pairs.select("doc_a", "doc_b"), "doc_id"
+        ).collect()
+    }
+    assert got == {3: (1, 3), 2: (1, 2)}

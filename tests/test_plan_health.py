@@ -76,6 +76,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_simsearch_ivf",
     "ext_tfidf",  # 1-row corpus-size broadcast join
     "ext_bm25",  # 1-row corpus-stats broadcast join
+    "ext_hybrid_rrf",  # BM25 side carries the same 1-row stats join
     "ext_boilerplate",  # same 1-row corpus-size broadcast join
     "ext_mixture_sample",  # 1-row token-budget broadcast join
     "ext_corpus_pipeline",  # ends in the same 1-row budget join
