@@ -59,6 +59,8 @@ HEADLINE = [
     "ext_correlated_subquery",
     "ext_rollup",
     "ext_event_windows",
+    "ext_funnel",
+    "ext_retention",
     "ext_sliding_windows",
     "ext_time_rollup",
     "ext_window_range_frame",
@@ -122,6 +124,8 @@ HEADLINE = [
     "ext_mm_decode",
     "ext_mm_audio",
     "ext_ppl_buckets",
+    "ext_shuffle_shard",
+    "ext_bpe_train",
 ]
 
 
@@ -182,8 +186,8 @@ def main() -> None:
     sys.stdout.flush()
 
     # Per-query ratio vs a prior round's bench file (run-to-run variance
-    # audit — VERDICT r2 item 5) goes to a SIDECAR file + stderr only,
-    # never stdout.
+    # audit — VERDICT r2 item 5) goes to a SIDECAR file ONLY — never
+    # stdout OR stderr (see the capture-collision note below).
     base_path = os.path.join(_REPO_ROOT, BASELINE_BENCH)
     if os.path.exists(base_path):
         try:

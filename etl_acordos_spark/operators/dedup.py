@@ -738,6 +738,10 @@ def component_labels(
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the loop has fully materialized `labels` (checkpoint leaf), so
+        # the cached edges plan is dead weight — drop it rather than
+        # leak one CacheManager entry per keep-set/cluster-stats call
+        edges.unpersist()
     return labels
 
 

@@ -24,8 +24,15 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from etl_acordos_spark.functions.hashing import (
+    KNUTH_C,
+    M32,
+    XX_PRIME,
+    hash32,
+)
 
 
 def zorder_value(col_a: str, col_b: str, bits: int = 16) -> Column:
@@ -116,6 +123,64 @@ def compact_parquet(
         .parquet(dst_path)
     )
     return dst_path
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    shard_mult: int = KNUTH_C,
+    order_mult: int = XX_PRIME,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export:
+    assign each row a ``shard`` (hash bucket) and a ``pos`` (rank inside
+    its shard by a SECOND, uncorrelated hash) — the standard way to get
+    a reproducible corpus-wide shuffle at 100 TB without a total sort.
+
+    A training run wants every epoch to stream the corpus in an order
+    that is (1) statistically shuffled, (2) bit-reproducible across
+    reruns and cluster layouts, and (3) writable as N independent shard
+    files. A global ``ORDER BY random()`` is none of those; this is all
+    three: shard = ``hash_a(id) mod n_shards``, pos = rank of
+    ``hash_b(id)`` within the shard. The plan is one hash-partition
+    exchange on ``shard`` plus an in-partition sort — each shard is
+    produced by exactly one task, which then writes one file
+    (``partitionBy("shard")`` at export time); no stage ever holds a
+    global ordering. Two hash families (Knuth / xxhash32-prime
+    multipliers) keep bucket choice and within-bucket order
+    uncorrelated — with one family, within-shard order would be id
+    order re-scaled, not a shuffle.
+
+    Ids must be non-negative (functions/hashing.py sign convention).
+    Ties are impossible (the multiplicative hash is injective per
+    family on int64 ids), but ``id_col`` is kept as the final sort key
+    anyway so the contract survives a future non-injective hash swap.
+
+    The bucket is the hash's TOP bits — ``floor(h * n / 2^32)``, the
+    Fibonacci-hashing range map — never ``h mod n``: a multiplicative
+    hash's low bits are weak (``KNUTH_C mod 8 = 1``, so ``h mod 8`` of
+    a sequential id column degenerates to ``id mod 8`` — round-robin,
+    not a shuffle). The map is exact in DOUBLE arithmetic (h*n < 2^53
+    for any sane shard count and 2^32 is a power of two), so the
+    oracle's replay is bit-identical.
+    """
+    if n_shards < 1:
+        raise ValueError(f"shuffle_shard: n_shards must be >= 1, got {n_shards}")
+    h_shard = F.floor(
+        hash32(F.col(id_col), shard_mult).cast("double")
+        * n_shards
+        / F.lit(float(M32))
+    ).cast("int")
+    h_order = hash32(F.col(id_col), order_mult)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_ord").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("shard", h_shard)
+        .withColumn("_ord", h_order)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("_ord")
+    )
 
 
 def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:

@@ -296,3 +296,103 @@ def stratified_sample(
     for value, pct in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel conversion over an event stream: how many users
+    completed step 1, then step 2 STRICTLY after their step-1 time, and
+    so on — the product-analytics query every event warehouse runs.
+
+    Returns one row per step: (step_idx, step, n_users, pct_of_prev).
+
+    Built as a conditional min-chain: step i's completion time per user
+    is ``min(ts) WHERE type = steps[i] AND ts > t_{i-1}``. Each step is
+    a filtered scan (the type predicate pushes down to the parquet
+    scan) aggregated and joined on ``user_col`` — all step frames hash-
+    partition on the same key, so AQE plans co-partitioned joins, and
+    every per-user frame is one row per user (the min), never the
+    user's event list. No ``collect_list`` of events per user: a
+    fold-over-sorted-events formulation is one shuffle cheaper but
+    materializes unbounded per-user arrays — one bot user with 10M
+    events kills the executor; the min-chain's per-step state is O(1)
+    per user at any skew.
+    """
+    if not steps:
+        raise ValueError("funnel_steps: steps must be non-empty")
+    per_user: list[DataFrame] = []
+    prev = None
+    for i, step in enumerate(steps):
+        sliced = events.filter(F.col(type_col) == step)
+        if prev is not None:
+            sliced = sliced.join(prev, user_col).filter(
+                F.col(ts_col) > F.col("_t_prev")
+            )
+        cur = sliced.groupBy(user_col).agg(F.min(ts_col).alias("_t_prev"))
+        per_user.append(cur)
+        prev = cur
+    counts = None
+    for i, (step, frame) in enumerate(zip(steps, per_user)):
+        row = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col("n_users").cast("bigint"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("step_idx")
+    return counts.withColumn(
+        "pct_of_prev",
+        F.round(
+            F.col("n_users").cast("double") / F.lag("n_users").over(w), 4
+        ),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    FIRST event; for each (cohort, week offset), how many of that
+    cohort's users were active — the triangle matrix behind every
+    retention dashboard.
+
+    Returns (cohort_week date, week_offset int, n_users bigint).
+
+    One aggregate for first-seen (per-user single row), one join back
+    on ``user_col`` (co-keyed with the aggregate's partitioning), a
+    distinct on (user, cohort, offset) and the final count — ids and
+    week numbers only in every shuffle. Both engines truncate weeks to
+    ISO Mondays, so offsets are exact multiples of 7 days and the
+    division is integer-exact.
+    """
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    active = (
+        events.join(first, user_col)
+        .select(
+            user_col,
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col(ts_col)).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )

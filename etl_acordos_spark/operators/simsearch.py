@@ -172,6 +172,7 @@ def train_coarse_centroids(
     n_lists: int = 16,
     train_factor: int = 4,
     n_iter: int = 4,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer for IVF, trained DRIVER-SIDE
     on a deterministic sample: the first ``train_factor * n_lists``
@@ -190,20 +191,28 @@ def train_coarse_centroids(
     leaks into assignments. k-means balances cell populations far
     better than the old "first n_lists raw vectors" baseline — at scale
     an imbalanced coarse quantizer concentrates the probe scan in a few
-    giant cells and the n_probe/n_lists cost model breaks down."""
+    giant cells and the n_probe/n_lists cost model breaks down.
+
+    Callers that already hold the id-prefix sample (the streaming
+    store's first-batch probe) pass it via *sample* to skip the second
+    collect of the same rows."""
     train_n = train_factor * n_lists
-    rows = (
-        df.select(as_double(vec_col))
-        .orderBy(id_col)
-        .limit(train_n)
-        .collect()
-    )
-    if len(rows) < n_lists:
+    if sample is None:
+        rows = (
+            df.select(as_double(vec_col))
+            .orderBy(id_col)
+            .limit(train_n)
+            .collect()
+        )
+        sample = np.stack(
+            [np.asarray(r[0], dtype=np.float64) for r in rows]
+        ) if rows else np.empty((0, 0))
+    S = np.asarray(sample, dtype=np.float64)[:train_n]
+    if len(S) < n_lists:
         raise ValueError(
-            f"train_coarse_centroids: only {len(rows)} vectors available "
+            f"train_coarse_centroids: only {len(S)} vectors available "
             f"< n_lists={n_lists}"
         )
-    S = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     Sn = S / _safe_norms(S)
     C = Sn[:n_lists].copy()
     for _ in range(n_iter):

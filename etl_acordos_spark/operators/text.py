@@ -1106,3 +1106,113 @@ def span_dup_profile(
             ).alias("keep"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_merges: int = 10,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Learn byte-pair-encoding merge rules over the corpus — the
+    tokenizer-training job of an LLM data pipeline (Sennrich et al.
+    2016 shape: word-frequency-weighted adjacent-symbol pair counts,
+    greedy best-pair merge per round, ``</w>`` end-of-word marker).
+
+    Returns (merge_idx, left, right, merged, pair_freq) — one row per
+    learned rule, in learning order.
+
+    Distribution shape: the corpus collapses to a DISTINCT-WORD table
+    (word, freq) first — one shuffle on the word — so every later
+    round runs over vocabulary rows, not corpus rows (at 100 TB the
+    vocabulary is millions of rows while the corpus is trillions of
+    tokens; this collapse is what makes distributed BPE feasible).
+    Each round is: HOF pair-explode → one (pair, freq) hash aggregate →
+    driver argmax of ONE row (freq desc, then lexicographic — fully
+    deterministic) → map-only HOF merge fold over the symbol arrays.
+    The per-round fold wraps arrays in new HOF lambdas, so the word
+    table is localCheckpoint-ed every round — iterative lineage MUST be
+    cut by hand or the analyzer cost doubles per round.
+
+    Not ANSI-SQL-expressible (per-round argmax feeds the next round's
+    rewrite) — correctness is pinned by a pure-Python reference BPE in
+    tests/test_operators.py.
+    """
+    if n_merges < 1:
+        raise ValueError(f"bpe_train: n_merges must be >= 1, got {n_merges}")
+    words = (
+        df.select(
+            F.explode(F.split(F.col(text_col), " +")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.expr("regexp_extract_all(word, '.', 0)"),
+                F.array(F.lit("</w>")),
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for it in range(n_merges):
+        pair_counts = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(
+                F.col("pair_freq").desc(), F.col("l").asc(), F.col("r").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not pair_counts or pair_counts[0]["pair_freq"] < min_freq:
+            break
+        left, right = pair_counts[0]["l"], pair_counts[0]["r"]
+        freq = int(pair_counts[0]["pair_freq"])
+        merged = left + right
+        merges.append((it + 1, left, right, merged, freq))
+
+        # closure FACTORY, not default-arg capture: pyspark counts a
+        # lambda's parameters to build the JVM lambda, so extra
+        # defaulted params break the HOF signature check
+        def make_fold(_l: str, _r: str, _m: str):
+            def fold(acc: Column, x: Column) -> Column:
+                return F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(_l))
+                    & (x == F.lit(_r)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(_m)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return fold
+
+        fold = make_fold(left, right, merged)
+
+        words = words.select(
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), fold
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "merge_idx int, left string, right string, merged string,"
+        " pair_freq bigint",
+    )

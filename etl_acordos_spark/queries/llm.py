@@ -407,6 +407,20 @@ def q_ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- multimodal
 
 
+def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 12 BPE merge rules over the document corpus
+    (operators/text.py:bpe_train) — distinct-word collapse, then
+    per-round pair-count aggregate + driver argmax + HOF merge fold.
+    Rows-only: iterative (each round's argmax feeds the next round's
+    rewrite); pinned against a pure-Python reference BPE in
+    tests/test_operators.py."""
+    from etl_acordos_spark.operators.text import bpe_train
+
+    return bpe_train(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n_merges=12
+    )
+
+
 def q_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-characteristic term per document by TF-IDF (explode → two
     hash aggs → broadcast vocabulary join → windowed top-1)."""
@@ -546,6 +560,33 @@ _DUP_GRAPH_CTES = (
     "   FROM reach GROUP BY node)"
 )
 
+#: shared BM25 CTE chain (tok → base → stats → scored) over query terms
+#: ('hash', 'vector', 'stream'), k1=1.2, b=0.75, NULL-text docs dropped —
+#: MUST match bm25_topk (operators/text.py). `ext_bm25` ranks it
+#: directly; `ext_hybrid_rrf` fuses its ranks with the cosine side.
+_BM25_CTES = (
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk"
+    "  FROM documents WHERE text IS NOT NULL),"
+    " base AS (SELECT doc_id, len(tk) AS dl,"
+    "   len(list_filter(tk, x -> x = 'hash')) AS tf0,"
+    "   len(list_filter(tk, x -> x = 'vector')) AS tf1,"
+    "   len(list_filter(tk, x -> x = 'stream')) AS tf2"
+    "  FROM tok),"
+    " stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,"
+    "   count(*) FILTER (WHERE tf0 > 0) AS df0,"
+    "   count(*) FILTER (WHERE tf1 > 0) AS df1,"
+    "   count(*) FILTER (WHERE tf2 > 0) AS df2"
+    "  FROM base),"
+    " scored AS (SELECT doc_id,"
+    "   ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)"
+    "    * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    "  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)"
+    "    * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    "  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)"
+    "    * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    "   AS score FROM base CROSS JOIN stats)"
+)
+
 _ORACLES: dict[str, str | None] = {
     "ext_dedup_exact": (
         "SELECT min(doc_id) AS doc_id, sha256(text) AS content_sha256"
@@ -620,27 +661,8 @@ _ORACLES: dict[str, str | None] = {
         "  FROM scored) WHERE rn = 1"
     ),
     "ext_bm25": (
-        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk"
-        "  FROM documents WHERE text IS NOT NULL),"
-        " base AS (SELECT doc_id, len(tk) AS dl,"
-        "   len(list_filter(tk, x -> x = 'hash')) AS tf0,"
-        "   len(list_filter(tk, x -> x = 'vector')) AS tf1,"
-        "   len(list_filter(tk, x -> x = 'stream')) AS tf2"
-        "  FROM tok),"
-        " stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,"
-        "   count(*) FILTER (WHERE tf0 > 0) AS df0,"
-        "   count(*) FILTER (WHERE tf1 > 0) AS df1,"
-        "   count(*) FILTER (WHERE tf2 > 0) AS df2"
-        "  FROM base),"
-        " scored AS (SELECT doc_id,"
-        "   ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)"
-        "    * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-        "  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)"
-        "    * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-        "  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)"
-        "    * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-        "   AS score FROM base CROSS JOIN stats)"
-        " SELECT doc_id, round(score, 4) AS score FROM scored"
+        _BM25_CTES
+        + " SELECT doc_id, round(score, 4) AS score FROM scored"
         " ORDER BY round(score, 6) DESC, doc_id LIMIT 15"
     ),
     "ext_span_dedup": (
@@ -696,31 +718,13 @@ _ORACLES: dict[str, str | None] = {
         "   6) AS cosine"
         " FROM e, q ORDER BY cosine DESC, vec_id ASC LIMIT 10"
     ),
-    # BM25 side replays the ext_bm25 scored CTE (ranked at 6 dp, the
-    # precision bm25_topk's _ord key carries); vector side replays the
+    # BM25 side SHARES the ext_bm25 CTE chain (_BM25_CTES, ranked at
+    # 6 dp, the precision bm25_topk's _ord key carries); vector side replays the
     # ext_simsearch cosine; both ranked by (score desc, id asc) over the
     # top-50 cut, fused as sum of 1/(60 + rank)
     "ext_hybrid_rrf": (
-        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk"
-        "  FROM documents WHERE text IS NOT NULL),"
-        " base AS (SELECT doc_id, len(tk) AS dl,"
-        "   len(list_filter(tk, x -> x = 'hash')) AS tf0,"
-        "   len(list_filter(tk, x -> x = 'vector')) AS tf1,"
-        "   len(list_filter(tk, x -> x = 'stream')) AS tf2"
-        "  FROM tok),"
-        " stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,"
-        "   count(*) FILTER (WHERE tf0 > 0) AS df0,"
-        "   count(*) FILTER (WHERE tf1 > 0) AS df1,"
-        "   count(*) FILTER (WHERE tf2 > 0) AS df2"
-        "  FROM base),"
-        " scored AS (SELECT doc_id,"
-        "   ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)"
-        "    * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-        "  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)"
-        "    * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-        "  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)"
-        "    * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-        "   AS score FROM base CROSS JOIN stats),"
+        _BM25_CTES
+        + ","
         " lex AS (SELECT doc_id, row_number() OVER ("
         "    ORDER BY round(score, 6) DESC, doc_id) AS lex_rank"
         "   FROM scored QUALIFY lex_rank <= 50),"
@@ -1054,6 +1058,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
     "ext_bm25": QueryDef(q_ext_bm25, _ORACLES["ext_bm25"]),
+    "ext_bpe_train": QueryDef(q_ext_bpe_train, None),
     "ext_span_dedup": QueryDef(q_ext_span_dedup, _ORACLES["ext_span_dedup"]),
     "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),
     "ext_boilerplate": QueryDef(q_ext_boilerplate, _ORACLES["ext_boilerplate"]),

@@ -451,9 +451,44 @@ def _ppl_buckets_oracle() -> str:
     )
 
 
+def q_ext_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export
+    (operators/layout.py:shuffle_shard): shard = Knuth-hash bucket of
+    doc_id mod 8, pos = rank of the uncorrelated xxprime-hash within
+    the shard. One exchange on shard + in-partition sort; the oracle
+    replays both hash families with the shared DECIMAL(38,0) twins."""
+    from etl_acordos_spark.operators.layout import shuffle_shard
+
+    docs = t(spark, sf_dir, "documents")
+    return shuffle_shard(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+def _shuffle_shard_oracle() -> str:
+    from etl_acordos_spark.functions.hashing import XX_PRIME, sql_hash32
+
+    # top-bits (Fibonacci) range map, exact in DOUBLE — mirrors
+    # operators/layout.py:shuffle_shard, see its low-bits caveat
+    shard = (
+        "CAST(floor(CAST("
+        + sql_hash32("doc_id")
+        + " AS DOUBLE) * 8 / 4294967296) AS INTEGER)"
+    )
+    order = sql_hash32("doc_id", XX_PRIME)
+    return (
+        f"SELECT doc_id, {shard} AS shard,"
+        " CAST(row_number() OVER ("
+        f"  PARTITION BY {shard} ORDER BY {order} ASC, doc_id ASC"
+        " ) AS BIGINT) AS pos"
+        " FROM documents"
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _ORACLES: dict[str, str | None] = {
+    "ext_shuffle_shard": _shuffle_shard_oracle(),
     "ext_quality_filter": _quality_filter_oracle(),
     "ext_ppl_buckets": _ppl_buckets_oracle(),
     "ext_mm_audio": (
@@ -631,5 +666,8 @@ QUERIES: dict[str, QueryDef] = {
     "ext_mm_audio": QueryDef(q_ext_mm_audio, _ORACLES["ext_mm_audio"]),
     "ext_ppl_buckets": QueryDef(
         q_ext_ppl_buckets, _ORACLES["ext_ppl_buckets"]
+    ),
+    "ext_shuffle_shard": QueryDef(
+        q_ext_shuffle_shard, _ORACLES["ext_shuffle_shard"]
     ),
 }

@@ -632,7 +632,68 @@ def q_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion view → click → purchase: users who
+    clicked strictly after their first view and purchased strictly
+    after that click (operators/relational.py:funnel_steps — O(1)
+    per-user state min-chain, never a per-user event list). The oracle
+    replays the same min-chain as three chained CTEs."""
+    from etl_acordos_spark.operators.relational import funnel_steps
+
+    return funnel_steps(
+        read_events(spark, sf_dir),
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+def q_ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events
+    (operators/relational.py:cohort_retention): cohort = ISO week of a
+    user's first event, one row per (cohort, week offset) with the
+    active-user count."""
+    from etl_acordos_spark.operators.relational import cohort_retention
+
+    return cohort_retention(read_events(spark, sf_dir), "user_id", "ts")
+
+
 # ---------------------------------------------------------------- oracles
+
+_FUNNEL_ORACLE = (
+    "WITH t1 AS (SELECT user_id, min(ts) AS t FROM events"
+    "   WHERE event_type = 'view' GROUP BY user_id),"
+    " t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+    "   JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t"
+    "   WHERE e.event_type = 'click' GROUP BY e.user_id),"
+    " t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+    "   JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t"
+    "   WHERE e.event_type = 'purchase' GROUP BY e.user_id),"
+    " counts AS ("
+    "  SELECT 1 AS step_idx, 'view' AS step,"
+    "   (SELECT count(*) FROM t1) AS n_users"
+    "  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)"
+    "  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3))"
+    " SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,"
+    "  round(CAST(n_users AS DOUBLE)"
+    "   / lag(n_users) OVER (ORDER BY step_idx), 4) AS pct_of_prev"
+    " FROM counts"
+)
+
+_RETENTION_ORACLE = (
+    "WITH first AS (SELECT user_id,"
+    "   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week"
+    "  FROM events GROUP BY user_id),"
+    " active AS (SELECT DISTINCT e.user_id, f.cohort_week,"
+    "   CAST(date_diff('day', f.cohort_week,"
+    "     CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INTEGER)"
+    "    AS week_offset"
+    "  FROM events e JOIN first f ON e.user_id = f.user_id)"
+    " SELECT cohort_week, week_offset,"
+    "  CAST(count(*) AS BIGINT) AS n_users"
+    " FROM active GROUP BY cohort_week, week_offset"
+)
 
 _ORACLES: dict[str, str | None] = {
     "ext_join_star": (
@@ -943,4 +1004,6 @@ QUERIES: dict[str, QueryDef] = {
     "ext_window_range_frame": QueryDef(
         q_ext_window_range_frame, _ORACLES["ext_window_range_frame"]
     ),
+    "ext_funnel": QueryDef(q_ext_funnel, _FUNNEL_ORACLE),
+    "ext_retention": QueryDef(q_ext_retention, _RETENTION_ORACLE),
 }

@@ -87,10 +87,17 @@ def _train_quantizer(
     `_load_centroids` would fail on the empty stack); same protocol as
     `dedup_index.compact_count_deltas`."""
     train_n = train_factor * n_lists
-    # bounded probe, not a full-batch count(): limit(train_n) stops the
-    # scan as soon as the sample is satisfied, and its length is exactly
-    # min(n_avail, train_n) — all this branch needs to know
-    n_avail = len(batch_df.select(id_col).limit(train_n).collect())
+    # ONE bounded collect serves both the availability check and the
+    # k-means training sample: limit(train_n) stops the scan as soon as
+    # the sample is satisfied, and orderBy(id) makes it exactly the
+    # id-prefix sample batch-mode ivf_topk trains on
+    rows = (
+        batch_df.select(as_double(vec_col))
+        .orderBy(id_col)
+        .limit(train_n)
+        .collect()
+    )
+    n_avail = len(rows)
     if n_avail == 0:
         return False
     if n_avail < train_n:
@@ -103,8 +110,9 @@ def _train_quantizer(
             f"(train_factor={train_factor} × n_lists={n_lists}); "
             f"lower n_lists/train_factor or n_batches"
         )
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     C = train_coarse_centroids(
-        batch_df, id_col, vec_col, n_lists, train_factor
+        batch_df, id_col, vec_col, n_lists, train_factor, sample=sample
     )
     staging = centroids_dir + "_staging"
     shutil.rmtree(staging, ignore_errors=True)

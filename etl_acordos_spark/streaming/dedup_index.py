@@ -99,7 +99,14 @@ def _load_store(
         for e in os.listdir(root)
         if e.startswith("b") and int(e[1:]) < batch_id
     )
-    if probe_last_batches is not None:
+    if probe_last_batches is not None and probe_last_batches < batch_id:
+        # a horizon >= batch_id covers every batch that can exist (all
+        # indices are < batch_id), i.e. the full-history probe — exact
+        # regardless of folding, so no slice and no snapshot guard. Only
+        # a PROPER slice can cover the wrong time range when a snapshot
+        # occupies one directory slot. len(parts) would be the WRONG
+        # test: a snapshot folds many batches into one slot, so slot
+        # count understates the history the slice spans.
         sliced = parts[-probe_last_batches:]
         for p in sliced:
             if os.path.exists(os.path.join(root, p, "_folded.json")):

@@ -1124,3 +1124,174 @@ def test_dup_cluster_stats_histogram(spark):
         ).collect()
     }
     assert got == {3: (1, 3), 2: (1, 2)}
+
+
+def test_shuffle_shard_is_deterministic_balanced_and_decorrelated(spark):
+    """shuffle_shard: (1) a complete partition — every row gets exactly
+    one (shard, pos) and pos is 1..len(shard); (2) bit-deterministic
+    across plans; (3) shard uses the hash's TOP bits, so sequential ids
+    do NOT land round-robin (the low-bits degeneracy the docstring
+    warns about); (4) within-shard order is not id order."""
+    from etl_acordos_spark.operators.layout import shuffle_shard
+
+    df = spark.range(0, 512).withColumnRenamed("id", "doc_id")
+    out = shuffle_shard(df, "doc_id", n_shards=8).collect()
+    assert len(out) == 512
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    # balanced within 25% of ideal (multiplicative hash on a dense
+    # id range is near-uniform) and positions are a 1..n sequence
+    for shard, rows in by_shard.items():
+        assert 0 <= shard < 8
+        assert abs(len(rows) - 64) <= 16
+        assert sorted(r["pos"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    # not round-robin: id mod 8 must differ from shard for many rows
+    assert sum(1 for r in out if r["shard"] != r["doc_id"] % 8) > 256
+    # within-shard order decorrelated from id order
+    s0 = sorted(by_shard[0], key=lambda r: r["pos"])
+    ids0 = [r["doc_id"] for r in s0]
+    assert ids0 != sorted(ids0)
+    # deterministic across a rebuilt plan
+    again = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shard(df, "doc_id", n_shards=8).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in out}
+
+
+def test_shuffle_shard_rejects_bad_n_shards(spark):
+    import pytest
+
+    from etl_acordos_spark.operators.layout import shuffle_shard
+
+    df = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shard(df, "doc_id", n_shards=0)
+
+
+def test_funnel_steps_strict_ordering(spark):
+    """Planted users: u1 completes view→click→purchase in order; u2
+    clicks BEFORE viewing (click must not count); u3 views only; u4
+    purchases before clicking (purchase must not count)."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import funnel_steps
+
+    rows = [
+        (1, dt(2024, 1, 1, 10), "view"),
+        (1, dt(2024, 1, 1, 11), "click"),
+        (1, dt(2024, 1, 1, 12), "purchase"),
+        (2, dt(2024, 1, 2, 9), "click"),
+        (2, dt(2024, 1, 2, 10), "view"),
+        (3, dt(2024, 1, 3, 8), "view"),
+        (4, dt(2024, 1, 4, 8), "view"),
+        (4, dt(2024, 1, 4, 9), "purchase"),
+        (4, dt(2024, 1, 4, 10), "click"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["step"]: (r["step_idx"], r["n_users"], r["pct_of_prev"])
+        for r in funnel_steps(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got["view"] == (1, 4, None)
+    assert got["click"] == (2, 2, 0.5)  # u1 and u4 (click after view)
+    assert got["purchase"] == (3, 1, 0.5)  # only u1
+    import pytest
+
+    with pytest.raises(ValueError, match="steps"):
+        funnel_steps(ev, "user_id", "ts", "event_type", [])
+
+
+def test_cohort_retention_triangle(spark):
+    """Two cohorts: u1 first seen week of Jan 1 (Mon), active weeks 0
+    and 2; u2 same cohort, week 0 only; u3 cohort Jan 8, weeks 0 and 1.
+    Multiple events in one week count once."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import cohort_retention
+
+    rows = [
+        (1, dt(2024, 1, 2, 10)),   # cohort 2024-01-01, offset 0
+        (1, dt(2024, 1, 3, 10)),   # same week — dedup
+        (1, dt(2024, 1, 16, 10)),  # offset 2
+        (2, dt(2024, 1, 5, 10)),   # cohort 2024-01-01, offset 0
+        (3, dt(2024, 1, 8, 10)),   # cohort 2024-01-08, offset 0
+        (3, dt(2024, 1, 10, 10)),  # same week — dedup
+        (3, dt(2024, 1, 17, 10)),  # offset 1
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+
+
+def _ref_bpe(corpus: list[str], n_merges: int, min_freq: int):
+    """Pure-Python reference BPE (Sennrich-style, </w> marker, greedy
+    left-to-right merge application, freq-then-lexicographic argmax)."""
+    freqs: dict[str, int] = {}
+    for text in corpus:
+        for w in text.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    words = [(list(w) + ["</w>"], f) for w, f in freqs.items()]
+    merges = []
+    for it in range(n_merges):
+        pc: dict[tuple, int] = {}
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + f
+        if not pc:
+            break
+        (l, r), fr = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if fr < min_freq:
+            break
+        merges.append((it + 1, l, r, l + r, fr))
+        nxt = []
+        for syms, f in words:
+            out: list = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            nxt.append((out, f))
+        words = nxt
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE replays a pure-Python reference exactly —
+    merge order, rule spelling, and pair frequencies — on a corpus
+    with overlapping-pair and tie-break cases ('aaaa' exercises the
+    greedy left-to-right overlap rule)."""
+    from etl_acordos_spark.operators.text import bpe_train
+
+    corpus = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaaa aa",
+    ]
+    rows = [(i, c) for i, c in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        tuple(r)
+        for r in bpe_train(docs, "text", "doc_id", n_merges=8).collect()
+    ]
+    assert got == _ref_bpe(corpus, 8, 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(docs, "text", "doc_id", n_merges=0)

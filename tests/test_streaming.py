@@ -519,6 +519,10 @@ def test_stream_dedup_horizon_rejects_compacted_snapshot(spark):
     # harmless: the newest-1 directory is a genuine per-batch delta, so
     # the horizon is exact and the probe must NOT refuse
     assert _load_store(spark, counts_dir, 99, 1).count() > 0
+    # ...and a horizon >= batch_id covers every batch that can exist,
+    # so it IS the (exact) full-history probe — must not refuse either,
+    # snapshot or no snapshot
+    assert _load_store(spark, counts_dir, 4, 99).count() > 0
 
 
 def test_stream_ann_quantizer_freeze_is_crash_safe(spark, monkeypatch):
