@@ -29,7 +29,8 @@ BASELINE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r01.json")
 # Heavy/representative subset of the §2 registry: star join, hash agg,
 # window functions, time windows, JSON, set ops, the LLM-pipeline family
 # (dedup, similarity search, text analysis). The exact all-pairs oracle
-# baselines (ext_dedup_jaccard / ext_dedup_embed / ext_dedup_ngram) and
+# baselines (ext_dedup_jaccard / ext_dedup_embed / ext_dedup_ngram /
+# ext_dedup_contain) and
 # the keys built on the exact-pair graph for oracle-ability
 # (ext_dedup_keep / ext_dup_cluster_stats) are verification-scale by
 # design and excluded; their LSH scale paths are benched instead.
@@ -49,6 +50,7 @@ HEADLINE = [
     "ext_range_join",
     "ext_groupby_agg",
     "ext_join_semi_anti",
+    "ext_bloom_join",
     "ext_merge_upsert",
     "ext_salted_join",
     "ext_topk",
@@ -126,6 +128,8 @@ HEADLINE = [
     "ext_ppl_buckets",
     "ext_shuffle_shard",
     "ext_bpe_train",
+    "ext_bpe_apply",
+    "ext_dataset_card",
 ]
 
 

@@ -791,6 +791,57 @@ def dup_cluster_stats(
 # -------------------------------------------------------- n-gram Jaccard
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    min_tokens: int = 5,
+    use_shingles: bool = False,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact pairwise ASYMMETRIC containment ``|A∩B| / |A|`` — how much
+    of document A's distinct-word (or word-*shingle_n*-gram) set lies
+    inside B. Catches the
+    subset-duplicate class symmetric Jaccard misses: a paragraph quoted
+    whole inside a much longer page has Jaccard ≈ |A|/|B| ≈ 0 but
+    containment ≈ 1 (the web-crawl case Broder's original resemblance/
+    containment pair of measures was built for).
+
+    Emits ORDERED pairs (doc_a contained-in doc_b, doc_a != doc_b) with
+    containment ≥ *threshold*; docs under *min_tokens* distinct words
+    are skipped (a 2-word doc is "contained" everywhere — pure noise).
+    All-pairs by construction: the small-N oracle-able baseline, same
+    role as `jaccard_pairs` — at scale, run the SAME banded-LSH
+    candidate generation (`minhash_lsh_pairs`) and swap this exact
+    containment in as the verify predicate over candidate pairs only.
+    """
+    tok = prepare_tokens(ensure_parallelism(df), text_col, id_col)
+    sets = tok.select(
+        F.col(id_col).alias("doc"),
+        (
+            word_shingles("tok", shingle_n)
+            if use_shingles
+            else F.array_distinct(F.col("tok"))
+        ).alias("s"),
+    ).filter(F.size("s") >= min_tokens)
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sets.select(F.col("doc").alias("doc_b"), F.col("s").alias("s_b"))
+    return (
+        a.join(b, F.col("doc_a") != F.col("doc_b"))
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("s_a", "s_b"))
+                / F.size("s_a").cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

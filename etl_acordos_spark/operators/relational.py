@@ -396,3 +396,80 @@ def cohort_retention(
         active.groupBy("cohort_week", "week_offset")
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    prefilter_only: bool = False,
+) -> DataFrame:
+    """Semi-join *big* to *small* with a map-side Bloom pre-filter —
+    the runtime-row-level-filtering shape (Spark's AQE injects this
+    automatically for some shuffle joins; this operator makes it
+    explicit and deterministic). Semantics are EXACTLY ``LEFT SEMI
+    JOIN``: the Bloom pass admits a superset (no false negatives), and
+    the closing exact semi join removes the false positives.
+
+    Why at 100 TB: a selective dimension predicate leaves a few
+    thousand join keys; without the pre-filter every fact row pays the
+    exchange before the join drops ~all of them. The Bloom bitset
+    (m_bits/8 bytes — 8 KiB at the default) rides into the scan as a
+    plan literal and the probe is whole-stage-codegen'd (seeded
+    xxhash64 + shift/AND, zero Python), so non-matching rows die at
+    reader throughput and only survivors shuffle.
+
+    Build is distributed: distinct keys → k seeded bit positions →
+    per-word ``bit_or`` fold; the driver collects at most m_bits/64
+    rows no matter how many keys (same protocol as
+    operators/text.py:bloom_decontaminate).
+    """
+    assert m_bits % 64 == 0, "m_bits must pack into 64-bit words"
+    m = m_bits
+    word_rows = (
+        small.select(F.col(key).alias("k"))
+        .distinct()
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {k_hashes - 1}),"
+                    f" s -> pmod(xxhash64(k, s), {m}))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.expr("p div 64").alias("widx"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in word_rows:
+        words[r["widx"]] = int(r["word"])
+    # unrolled AND chain (k is tiny), not a forall() HOF: plain
+    # conjunctions stay inside whole-stage codegen, HOFs don't
+    def bit_test(s: int) -> str:
+        p = f"pmod(xxhash64({key}, {s}), {m})"
+        return (
+            f"((element_at(_bloom_words, CAST({p} div 64 AS INT) + 1)"
+            f" >> CAST({p} % 64 AS INT)) & 1L) = 1L"
+        )
+
+    probe = " AND ".join(bit_test(s) for s in range(k_hashes))
+    prefiltered = (
+        big.withColumn("_bloom_words", F.lit(words))
+        .filter(F.expr(probe))
+        .drop("_bloom_words")
+    )
+    if prefilter_only:
+        # the Bloom-admitted superset (true matches + FPs), before the
+        # exact closing join — for FP-rate measurement and for callers
+        # staging the exact check elsewhere
+        return prefiltered
+    return prefiltered.join(
+        F.broadcast(small.select(key).distinct()), key, "left_semi"
+    )

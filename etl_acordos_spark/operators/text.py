@@ -1216,3 +1216,88 @@ def bpe_train(
         "merge_idx int, left string, right string, merged string,"
         " pair_freq bigint",
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list,
+) -> DataFrame:
+    """Encode documents with learned BPE *merges* (the rule list
+    `bpe_train` emits: ordered (left, right) pairs) — the apply side of
+    the tokenizer pipeline. Returns (id, n_words, n_bpe_tokens,
+    chars_per_token) per document.
+
+    Rules are applied SEQUENTIALLY in rank order, one greedy
+    left-to-right pass each — exactly the rewrite the trainer performed
+    per round, so encoding the training corpus reproduces the trainer's
+    final symbol state bit-for-bit (unit-tested against the same
+    pure-Python reference).
+
+    The documented slow-path escape: tokenizer encode is per-symbol
+    branching no Catalyst expression covers at rule-list depth, so this
+    is an Arrow-batched pandas UDF (mapInPandas, map-only, zero
+    shuffle) with a per-batch DISTINCT-WORD cache — each unique word is
+    encoded once per batch regardless of its corpus frequency, which at
+    100 TB (Zipf-distributed words) collapses almost all per-row work
+    into dict lookups. The rule list rides in the closure (KBs).
+    """
+    rules = [(str(l), str(r)) for l, r in merges]
+
+    def encode_word(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        for left, right in rules:
+            out: list = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    def run(batches):
+        for pdf in batches:
+            cache: dict = {}
+            n_words = np.zeros(len(pdf), dtype=np.int64)
+            n_tok = np.zeros(len(pdf), dtype=np.int64)
+            n_chars = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                if text is None:
+                    continue
+                total = 0
+                words = text.split()
+                for w in words:
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = encode_word(w)
+                        cache[w] = hit
+                    total += hit
+                n_words[i] = len(words)
+                n_tok[i] = total
+                n_chars[i] = len(text)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_tok,
+                    "chars_per_token": np.round(
+                        np.divide(
+                            n_chars,
+                            n_tok,
+                            out=np.zeros(len(pdf), dtype=np.float64),
+                            where=n_tok > 0,
+                        ),
+                        4,
+                    ),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} bigint, n_words bigint, n_bpe_tokens bigint,"
+            " chars_per_token double"
+        ),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from etl_acordos_spark.functions.hashing import sql_hash32, sql_unit_hash
 from etl_acordos_spark.operators.dedup import (
+    containment_pairs,
     dup_cluster_stats,
     exact_dedup,
     jaccard_pairs,
@@ -88,6 +89,23 @@ def q_ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
         threshold=0.8,
+        use_shingles=True,
+        shingle_n=3,
+    )
+
+
+def q_ext_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise asymmetric 3-gram-shingle containment ≥ 0.9
+    (operators/dedup.py:containment_pairs): |A∩B|/|A| flags docs whose
+    shingle set lies inside a LONGER doc — the subset-duplicate class
+    symmetric Jaccard scores near |A|/|B| ≈ 0. All-pairs
+    verification-scale baseline; at 100 TB the same banded-LSH
+    candidate generation applies with this as the verify predicate."""
+    return containment_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=0.9,
         use_shingles=True,
         shingle_n=3,
     )
@@ -421,6 +439,25 @@ def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the 12 merge rules `ext_bpe_train`
+    learns from it (operators/text.py:bpe_apply) — per-doc BPE token
+    counts and compression ratio via an Arrow-batched distinct-word-
+    cached encode. Rows-only: the encode replays the trainer's
+    iterative rewrite; symbol-state equivalence with the pure-Python
+    reference is unit-tested."""
+    from etl_acordos_spark.operators.text import bpe_apply, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train(
+            docs, "text", "doc_id", n_merges=12
+        ).collect()
+    ]
+    return bpe_apply(docs, "text", "doc_id", rules)
+
+
 def q_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-characteristic term per document by TF-IDF (explode → two
     hash aggs → broadcast vocabulary join → windowed top-1)."""
@@ -644,6 +681,23 @@ _ORACLES: dict[str, str | None] = {
         "     / len(list_distinct(a.st || b.st)), 4) AS jaccard"
         "  FROM s a JOIN s b ON a.doc_id < b.doc_id)"
         " WHERE jaccard >= 0.8"
+    ),
+    # same shingle-builder CTE as ext_dedup_ngram (short docs collapse
+    # to one full-text shingle); containment divides by |A| only
+    "ext_dedup_contain": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        "  FROM documents),"
+        " s AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN"
+        "   list_distinct(list_transform(generate_series(1, len(tk) - 2),"
+        "     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))"
+        "  ELSE [array_to_string(tk, ' ')] END AS st FROM tok),"
+        " f AS (SELECT * FROM s WHERE len(st) >= 5)"
+        " SELECT doc_a, doc_b, containment FROM ("
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "   round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)"
+        "     / len(a.st), 4) AS containment"
+        "  FROM f a JOIN f b ON a.doc_id <> b.doc_id)"
+        " WHERE containment >= 0.9"
     ),
     "ext_tfidf": (
         "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
@@ -1018,6 +1072,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_dedup_ngram": QueryDef(
         q_ext_dedup_ngram, _ORACLES["ext_dedup_ngram"]
     ),
+    "ext_dedup_contain": QueryDef(
+        q_ext_dedup_contain, _ORACLES["ext_dedup_contain"]
+    ),
     "ext_dedup_near": QueryDef(q_ext_dedup_near, None),
     "ext_dedup_simhash": QueryDef(q_ext_dedup_simhash, None),
     "ext_dedup_keep": QueryDef(q_ext_dedup_keep, _ORACLES["ext_dedup_keep"]),
@@ -1059,6 +1116,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
     "ext_bm25": QueryDef(q_ext_bm25, _ORACLES["ext_bm25"]),
     "ext_bpe_train": QueryDef(q_ext_bpe_train, None),
+    "ext_bpe_apply": QueryDef(q_ext_bpe_apply, None),
     "ext_span_dedup": QueryDef(q_ext_span_dedup, _ORACLES["ext_span_dedup"]),
     "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),
     "ext_boilerplate": QueryDef(q_ext_boilerplate, _ORACLES["ext_boilerplate"]),

@@ -451,6 +451,95 @@ def _ppl_buckets_oracle() -> str:
     )
 
 
+def q_ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet in one pass: corpus size, source/language
+    breadth, token volume, exact-dup ratio, and mean heuristic quality,
+    melted to (metric, value) long form — the summary card a training
+    run records next to every corpus snapshot.
+
+    Two aggregates (raw corpus scan + quality-scored scan) joined as
+    1×1 rows, then unpivoted; averages are derived from EXACT integer
+    sums (token counts, 4-dp-quality grid ticks) with the grid-floor
+    rounding trick, so the oracle replays them bit-for-bit."""
+    from etl_acordos_spark.operators.text import quality_scores
+
+    docs = t(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.col("text"), " "))
+    base = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.sum(tok).cast("double").alias("total_tokens"),
+        (
+            F.floor(
+                F.sum(tok) / F.count("*").cast("double") * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("avg_doc_tokens"),
+        (
+            F.floor(
+                F.countDistinct("text") / F.count("*").cast("double")
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("uniq_text_ratio"),
+    )
+    q = quality_scores(docs, "text", "doc_id").agg(
+        (
+            F.floor(
+                F.sum(F.round(F.col("quality") * 10000.0, 0).cast("long"))
+                / (F.count("*") * 10000.0)
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("avg_quality")
+    )
+    card = base.crossJoin(q)
+    return card.unpivot(
+        ids=[],
+        values=[
+            "n_docs", "n_sources", "n_langs", "total_tokens",
+            "avg_doc_tokens", "uniq_text_ratio", "avg_quality",
+        ],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def _dataset_card_oracle() -> str:
+    from etl_acordos_spark.queries import llm
+
+    quality_sql = llm._ORACLES["ext_quality_score"]
+    return (
+        f"WITH s AS ({quality_sql}),"
+        " base AS (SELECT"
+        "  CAST(count(*) AS DOUBLE) AS n_docs,"
+        "  CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,"
+        "  CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,"
+        "  CAST(sum(len(string_split(text, ' '))) AS DOUBLE)"
+        "   AS total_tokens,"
+        "  floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)"
+        "   / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_doc_tokens,"
+        "  floor(CAST(count(DISTINCT text) AS DOUBLE) / count(*)"
+        "   * 10000.0 + 0.5) / 10000.0 AS uniq_text_ratio"
+        " FROM documents),"
+        " q AS (SELECT floor("
+        "   CAST(sum(CAST(round(quality * 10000.0, 0) AS BIGINT))"
+        "    AS DOUBLE) / (count(*) * 10000.0) * 10000.0 + 0.5)"
+        "  / 10000.0 AS avg_quality FROM s)"
+        " SELECT metric, value FROM ("
+        "  SELECT 'n_docs' AS metric, n_docs AS value FROM base"
+        "  UNION ALL SELECT 'n_sources', n_sources FROM base"
+        "  UNION ALL SELECT 'n_langs', n_langs FROM base"
+        "  UNION ALL SELECT 'total_tokens', total_tokens FROM base"
+        "  UNION ALL SELECT 'avg_doc_tokens', avg_doc_tokens FROM base"
+        "  UNION ALL SELECT 'uniq_text_ratio', uniq_text_ratio FROM base"
+        "  UNION ALL SELECT 'avg_quality', avg_quality FROM q)"
+    )
+
+
 def q_ext_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + sharding for training export
     (operators/layout.py:shuffle_shard): shard = Knuth-hash bucket of
@@ -489,6 +578,7 @@ def _shuffle_shard_oracle() -> str:
 
 _ORACLES: dict[str, str | None] = {
     "ext_shuffle_shard": _shuffle_shard_oracle(),
+    "ext_dataset_card": _dataset_card_oracle(),
     "ext_quality_filter": _quality_filter_oracle(),
     "ext_ppl_buckets": _ppl_buckets_oracle(),
     "ext_mm_audio": (
@@ -669,5 +759,8 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_shuffle_shard": QueryDef(
         q_ext_shuffle_shard, _ORACLES["ext_shuffle_shard"]
+    ),
+    "ext_dataset_card": QueryDef(
+        q_ext_dataset_card, _ORACLES["ext_dataset_card"]
     ),
 }

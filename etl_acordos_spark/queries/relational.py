@@ -632,6 +632,32 @@ def q_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (operators/relational.py:
+    bloom_semi_join): lineitem rows whose order is in the top price
+    tier (o_totalprice > 400000), revenue by return flag. The 8 KiB
+    bitset kills non-matching fact rows map-side before any exchange;
+    the closing exact semi join removes Bloom false positives, so the
+    oracle is the plain semi-join SQL."""
+    from etl_acordos_spark.operators.relational import bloom_semi_join
+
+    line = t(spark, sf_dir, "lineitem")
+    hot = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    return (
+        bloom_semi_join(line, hot, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
 def q_ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel conversion view → click → purchase: users who
     clicked strictly after their first view and purchased strictly
@@ -660,6 +686,14 @@ def q_ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- oracles
+
+_BLOOM_JOIN_ORACLE = (
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,"
+    " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+    " FROM lineitem WHERE l_orderkey IN ("
+    "  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)"
+    " GROUP BY l_returnflag"
+)
 
 _FUNNEL_ORACLE = (
     "WITH t1 AS (SELECT user_id, min(ts) AS t FROM events"
@@ -1004,6 +1038,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_window_range_frame": QueryDef(
         q_ext_window_range_frame, _ORACLES["ext_window_range_frame"]
     ),
+    "ext_bloom_join": QueryDef(q_ext_bloom_join, _BLOOM_JOIN_ORACLE),
     "ext_funnel": QueryDef(q_ext_funnel, _FUNNEL_ORACLE),
     "ext_retention": QueryDef(q_ext_retention, _RETENTION_ORACLE),
 }

@@ -1295,3 +1295,102 @@ def test_bpe_train_matches_reference(spark):
 
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(docs, "text", "doc_id", n_merges=0)
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short paragraph quoted whole inside a much longer page:
+    containment(A→B) = 1.0 while Jaccard is far below any dedup
+    threshold — the signal class this operator exists for. The reverse
+    direction (B→A) must NOT fire."""
+    from etl_acordos_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    para = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [(1, para), (2, filler + " " + para + " " + filler)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(
+            docs, "text", "doc_id", threshold=0.9, use_shingles=True
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    assert (
+        jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, use_shingles=True
+        ).count()
+        == 0
+    )
+
+
+def test_bloom_semi_join_exact_and_prefilter_effective(spark, sf_oracle):
+    """bloom_semi_join must equal the plain left-semi join exactly
+    (false positives removed by the closing join), and the Bloom
+    pre-filter alone must admit a superset of the true matches while
+    killing most non-matching rows map-side."""
+    from etl_acordos_spark.operators.relational import bloom_semi_join
+    from etl_acordos_spark.queries.base import t
+
+    line = t(spark, sf_oracle, "lineitem")
+    hot = (
+        t(spark, sf_oracle, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    got = bloom_semi_join(line, hot, "l_orderkey")
+    want = line.join(hot.distinct(), "l_orderkey", "left_semi")
+    n_true = want.count()
+    assert got.count() == n_true
+    assert got.exceptAll(want).count() == 0
+    # the Bloom stage alone: a superset of the true matches (zero
+    # false negatives) that already rejects most of the fact table —
+    # the map-side kill is the operator's entire reason to exist
+    n_admitted = bloom_semi_join(
+        line, hot, "l_orderkey", prefilter_only=True
+    ).count()
+    n_total = line.count()
+    assert n_true <= n_admitted < n_total / 2
+
+
+def test_bpe_apply_reproduces_trainer_symbol_state(spark):
+    """Encoding the training corpus with the learned rules must land on
+    the trainer's final symbol state: per-doc token counts equal the
+    reference encode, and the corpus-total matches the reference
+    trainer's final word table exactly."""
+    from etl_acordos_spark.operators.text import bpe_apply, bpe_train
+
+    corpus = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaaa aa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(corpus)], ["doc_id", "text"]
+    )
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, "text", "doc_id", n_merges=8).collect()
+    ]
+
+    def ref_encode(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        for left, right in rules:
+            out: list = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_apply(docs, "text", "doc_id", rules).collect()
+    }
+    for i, text in enumerate(corpus):
+        words = text.split()
+        assert got[i] == (len(words), sum(ref_encode(w) for w in words))

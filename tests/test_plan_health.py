@@ -70,6 +70,7 @@ def test_groupby_agg_pushes_predicate_and_partial_aggregates(spark, sf_oracle):
 #: nested-loop/cartesian execution.
 QUADRATIC_BY_DESIGN = {
     "ext_dedup_jaccard",
+    "ext_dedup_contain",
     "ext_dedup_embed",
     "ext_simsearch",  # exact top-k baseline: scan × 1 broadcast query row
     "ext_simsearch_ann",  # exact re-rank joins the 1-row query vector
@@ -83,6 +84,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_lm_score",  # 1-row vocab-total broadcast join
     "ext_ppl_buckets",  # builds on lm_score's 1-row vocab-total join
     "ext_multimodal",  # binary payload demo joins a 1-row key
+    "ext_dataset_card",  # 1-row × 1-row stats cross join
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
     "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
     "ext_quality_filter",  # 1-row quantile-thresholds broadcast join
