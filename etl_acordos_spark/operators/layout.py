@@ -152,9 +152,11 @@ def shuffle_shard(
     order re-scaled, not a shuffle.
 
     Ids must be non-negative (functions/hashing.py sign convention).
-    Ties are impossible (the multiplicative hash is injective per
-    family on int64 ids), but ``id_col`` is kept as the final sort key
-    anyway so the contract survives a future non-injective hash swap.
+    The 32-bit hash collides for ids congruent mod 2^32 (both families
+    at once, since they share the modulus), so ``id_col`` is the final
+    sort key: colliding pairs fall back to ascending-id order within
+    the shard — output stays deterministic, at the price of a locally
+    unshuffled run. Do NOT drop the id key as "redundant".
 
     The bucket is the hash's TOP bits — ``floor(h * n / 2^32)``, the
     Fibonacci-hashing range map — never ``h mod n``: a multiplicative

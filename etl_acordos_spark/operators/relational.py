@@ -425,11 +425,26 @@ def bloom_semi_join(
     per-word ``bit_or`` fold; the driver collects at most m_bits/64
     rows no matter how many keys (same protocol as
     operators/text.py:bloom_decontaminate).
+
+    ``xxhash64`` is TYPE-sensitive (``xxhash64(INT 7) !=
+    xxhash64(BIGINT 7)``), so the build side is cast to *big*'s key
+    type before hashing — without the cast, a dim whose key column is
+    a different integral width would hash to disjoint bit positions
+    and the pre-filter would silently kill every true match (the
+    closing join cannot resurrect filtered rows).
     """
-    assert m_bits % 64 == 0, "m_bits must pack into 64-bit words"
+    if m_bits % 64 != 0:
+        # a ragged word array under-allocates the tail word: rows
+        # hashing there would probe element_at -> NULL -> dropped
+        # silently, i.e. WRONG results, not an error
+        raise ValueError(
+            f"bloom_semi_join: m_bits must pack into 64-bit words,"
+            f" got {m_bits}"
+        )
     m = m_bits
+    big_key_type = big.schema[key].dataType
     word_rows = (
-        small.select(F.col(key).alias("k"))
+        small.select(F.col(key).cast(big_key_type).alias("k"))
         .distinct()
         .select(
             F.explode(

@@ -1242,11 +1242,26 @@ def bpe_apply(
     encoded once per batch regardless of its corpus frequency, which at
     100 TB (Zipf-distributed words) collapses almost all per-row work
     into dict lookups. The rule list rides in the closure (KBs).
+
+    Tokenization mirrors the TRAINER exactly, not Python defaults:
+    words split on SPACE runs only (``split(text, ' +')`` — Python's
+    ``str.split()`` would also split on tabs/newlines the trainer
+    keeps inside a word), and symbols come from the Java-regex ``'.'``
+    the trainer uses, which drops line-terminator characters — both
+    re-implemented here so a corpus containing ``\\n``/``\\r`` still
+    reproduces the trainer's symbol state.
     """
+    import re
+
     rules = [(str(l), str(r)) for l, r in merges]
+    # Java regex '.' (the trainer's regexp_extract_all(word, '.', 0))
+    # excludes the five line terminators; Python's '.' keeps '\r', so
+    # an explicit class is required for bit-parity
+    _sym_re = re.compile("[^\n\r\x85\u2028\u2029]")
+    _word_re = re.compile(" +")
 
     def encode_word(word: str) -> int:
-        syms = list(word) + ["</w>"]
+        syms = _sym_re.findall(word) + ["</w>"]
         for left, right in rules:
             out: list = []
             for x in syms:
@@ -1267,7 +1282,9 @@ def bpe_apply(
                 if text is None:
                     continue
                 total = 0
-                words = text.split()
+                # trainer split: SPACE runs only (str.split() would
+                # also break on tabs/newlines the trainer keeps)
+                words = [w for w in _word_re.split(text) if w]
                 for w in words:
                     hit = cache.get(w)
                     if hit is None:

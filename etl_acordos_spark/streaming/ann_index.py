@@ -87,10 +87,13 @@ def _train_quantizer(
     `_load_centroids` would fail on the empty stack); same protocol as
     `dedup_index.compact_count_deltas`."""
     train_n = train_factor * n_lists
-    # ONE bounded collect serves both the availability check and the
-    # k-means training sample: limit(train_n) stops the scan as soon as
-    # the sample is satisfied, and orderBy(id) makes it exactly the
-    # id-prefix sample batch-mode ivf_topk trains on
+    # ONE collect serves both the availability check and the k-means
+    # training sample; orderBy(id) makes it exactly the id-prefix
+    # sample batch-mode ivf_topk trains on. The orderBy plans as a
+    # TakeOrdered over the batch's vector column — a full batch pass,
+    # not an early-stop probe — but it replaces what used to be TWO
+    # identical passes (id-count probe + train_coarse_centroids'
+    # own collect), so first-batch latency still improves net
     rows = (
         batch_df.select(as_double(vec_col))
         .orderBy(id_col)

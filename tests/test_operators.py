@@ -1394,3 +1394,61 @@ def test_bpe_apply_reproduces_trainer_symbol_state(spark):
     for i, text in enumerate(corpus):
         words = text.split()
         assert got[i] == (len(words), sum(ref_encode(w) for w in words))
+
+
+def test_bloom_semi_join_mixed_key_types(spark):
+    """xxhash64 is type-sensitive, so a dim whose key column is a
+    different integral width must still semi-join correctly (the build
+    side is cast to the fact side's key type before hashing)."""
+    from etl_acordos_spark.operators.relational import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i,) for i in range(100)], "k int"
+    )
+    small = spark.range(10, 20).withColumnRenamed("id", "k")  # bigint
+    got = sorted(r["k"] for r in bloom_semi_join(big, small, "k").collect())
+    assert got == list(range(10, 20))
+    import pytest
+
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_semi_join(big, small, "k", m_bits=1000)
+
+
+def test_bpe_apply_matches_trainer_on_tabs_and_newlines(spark):
+    """The trainer splits words on SPACE runs only and its Java-regex
+    '.' drops line terminators; the encoder must mirror both, so a
+    corpus containing tabs/newlines still reproduces the trainer's
+    symbol state (tab stays INSIDE a word; newline chars vanish from
+    the symbol list)."""
+    from etl_acordos_spark.operators.text import bpe_apply, bpe_train
+
+    corpus = ["aa\tbb aa\tbb cc\ncc cc\ncc", "aa\tbb cc\ncc dd dd"]
+    docs = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(corpus)], ["doc_id", "text"]
+    )
+    rules_rows = bpe_train(docs, "text", "doc_id", n_merges=6).collect()
+    rules = [(r["left"], r["right"]) for r in rules_rows]
+
+    import re
+
+    def ref_encode(word: str) -> int:
+        syms = re.findall("[^\n\r\x85\u2028\u2029]", word) + ["</w>"]
+        for left, right in rules:
+            out: list = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_apply(docs, "text", "doc_id", rules).collect()
+    }
+    for i, text in enumerate(corpus):
+        words = [w for w in re.split(" +", text) if w]
+        assert got[i] == (len(words), sum(ref_encode(w) for w in words)), (
+            i, rules,
+        )

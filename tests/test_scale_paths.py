@@ -371,3 +371,25 @@ def test_ann_recall_floors_at_20x_scale(spark):
         assert len(exact & pq) >= 7, f"pq recall {len(exact & pq)}/10"
     finally:
         vecs.unpersist()
+
+
+def test_shuffle_shard_balance_at_10x(spark):
+    """Shard balance at sf0.1 (5000 docs, 16 shards): the Fibonacci
+    top-bits range map must keep every shard within 20% of ideal —
+    the property the low-bits `mod n` bucket loses on sequential ids —
+    and pos must be a dense 1..n sequence per shard."""
+    from etl_acordos_spark.operators.layout import shuffle_shard
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    out = (
+        shuffle_shard(docs, "doc_id", n_shards=16)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"), F.max("pos").alias("max_pos"))
+        .collect()
+    )
+    n_total = sum(r["n"] for r in out)
+    ideal = n_total / 16
+    assert len(out) == 16
+    for r in out:
+        assert abs(r["n"] - ideal) <= ideal * 0.2, (r, ideal)
+        assert r["max_pos"] == r["n"]  # dense rank inside each shard
