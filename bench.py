@@ -130,6 +130,7 @@ HEADLINE = [
     "ext_bpe_train",
     "ext_bpe_apply",
     "ext_dataset_card",
+    "ext_heavy_hitters",
 ]
 
 

@@ -488,3 +488,75 @@ def bloom_semi_join(
     return prefiltered.join(
         F.broadcast(small.select(key).distinct()), key, "left_semi"
     )
+
+
+def heavy_hitters(
+    items: DataFrame,
+    col: str,
+    support: float = 0.01,
+    safety: int = 4,
+) -> DataFrame:
+    """EXACT frequent-items over a column at scale: every value whose
+    count exceeds ``support`` × N, with its exact count — via the
+    classic two-pass sketch-then-verify shape, never a full value
+    shuffle.
+
+    Pass 1 is a per-partition MERGEABLE Misra-Gries summary (capacity
+    ``safety/support``) inside mapInPandas: per Arrow batch a
+    vectorized ``value_counts`` merges into the running summary, and
+    truncation back to capacity subtracts the (cap+1)-th count from
+    all survivors — the standard MG merge, which preserves the
+    undercount bound. Pigeonhole gives the superset guarantee: an item
+    with global count > N/capacity must exceed its local threshold in
+    at least one partition, so every true frequent item survives
+    SOMEWHERE. Only the tiny candidate lists (≤ capacity rows per
+    partition) leave the executors.
+
+    Pass 2 broadcast-joins the candidate set back over the scan and
+    counts EXACTLY, keeping items above the support threshold — false
+    candidates die here, so the result is exact and the oracle is
+    plain GROUP BY ... HAVING SQL.
+
+    At 100 TB: two scans, one broadcast of KBs, one aggregate over
+    candidate rows only. The alternative single-pass GROUP BY shuffles
+    every distinct value; this shuffles none.
+    """
+    import pandas as pd
+
+    if not (0 < support < 1):
+        raise ValueError(
+            f"heavy_hitters: support must be in (0, 1), got {support}"
+        )
+    capacity = int(safety / support)
+
+    def mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for v, c in vc.items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > capacity:
+                ranked = sorted(counts.values(), reverse=True)
+                cut = ranked[capacity]
+                counts = {
+                    v: c - cut for v, c in counts.items() if c > cut
+                }
+        yield pd.DataFrame({col: list(counts.keys())})
+
+    candidates = (
+        items.select(col)
+        .mapInPandas(mg, schema=f"{col} string")
+        .distinct()
+    )
+    # threshold as a lazy 1-row broadcast (the repo's stats-join
+    # pattern), not a driver-side count(): the whole operator stays
+    # one job and the caller decides when it runs
+    total = items.agg(F.count("*").alias("_N"))
+    return (
+        items.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("_N") * support)
+        .select(col, F.col("n").cast("bigint").alias("n"))
+    )

@@ -458,6 +458,22 @@ def q_ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, "text", "doc_id", rules)
 
 
+def q_ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent words (> 1% of all corpus tokens) via the
+    two-pass Misra-Gries sketch-then-verify shape
+    (operators/relational.py:heavy_hitters) — vocabulary heavy hitters
+    without ever shuffling the full distinct-word set. The exact
+    recount makes the oracle plain GROUP BY ... HAVING SQL."""
+    from etl_acordos_spark.operators.relational import heavy_hitters
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return heavy_hitters(words, "word", support=0.01)
+
+
 def q_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-characteristic term per document by TF-IDF (explode → two
     hash aggs → broadcast vocabulary join → windowed top-1)."""
@@ -681,6 +697,15 @@ _ORACLES: dict[str, str | None] = {
         "     / len(list_distinct(a.st || b.st)), 4) AS jaccard"
         "  FROM s a JOIN s b ON a.doc_id < b.doc_id)"
         " WHERE jaccard >= 0.8"
+    ),
+    "ext_heavy_hitters": (
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word"
+        "  FROM documents),"
+        " w AS (SELECT word FROM tok WHERE word <> ''),"
+        " tot AS (SELECT count(*) AS total FROM w)"
+        " SELECT word, CAST(count(*) AS BIGINT) AS n"
+        " FROM w, tot GROUP BY word, total"
+        " HAVING count(*) > total * 0.01"
     ),
     # same shingle-builder CTE as ext_dedup_ngram (short docs collapse
     # to one full-text shingle); containment divides by |A| only
@@ -1117,6 +1142,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_bm25": QueryDef(q_ext_bm25, _ORACLES["ext_bm25"]),
     "ext_bpe_train": QueryDef(q_ext_bpe_train, None),
     "ext_bpe_apply": QueryDef(q_ext_bpe_apply, None),
+    "ext_heavy_hitters": QueryDef(
+        q_ext_heavy_hitters, _ORACLES["ext_heavy_hitters"]
+    ),
     "ext_span_dedup": QueryDef(q_ext_span_dedup, _ORACLES["ext_span_dedup"]),
     "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),
     "ext_boilerplate": QueryDef(q_ext_boilerplate, _ORACLES["ext_boilerplate"]),

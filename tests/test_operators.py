@@ -1452,3 +1452,38 @@ def test_bpe_apply_matches_trainer_on_tabs_and_newlines(spark):
         assert got[i] == (len(words), sum(ref_encode(w) for w in words)), (
             i, rules,
         )
+
+
+def test_heavy_hitters_exact_with_tight_capacity(spark):
+    """With a deliberately tight MG capacity (support 0.1, safety 2 →
+    capacity 20) over a skewed stream with many distractor singletons,
+    the result must STILL equal the exact GROUP BY answer — the
+    per-partition Misra-Gries pass may undercount, but every true
+    frequent item survives somewhere and the recount is exact."""
+    from etl_acordos_spark.operators.relational import heavy_hitters
+
+    rows = (
+        [("hot",)] * 300
+        + [("warm",)] * 150
+        + [(f"noise{i}",) for i in range(600)]
+    )
+    items = spark.createDataFrame(rows, ["word"]).repartition(8)
+    got = {
+        (r["word"], r["n"])
+        for r in heavy_hitters(
+            items, "word", support=0.1, safety=2
+        ).collect()
+    }
+    n = len(rows)
+    exact = {
+        (r["word"], r["n"])
+        for r in items.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > n * 0.1)
+        .collect()
+    }
+    assert got == exact == {("hot", 300), ("warm", 150)}
+    import pytest
+
+    with pytest.raises(ValueError, match="support"):
+        heavy_hitters(items, "word", support=1.5)

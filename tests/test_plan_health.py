@@ -85,6 +85,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_ppl_buckets",  # builds on lm_score's 1-row vocab-total join
     "ext_multimodal",  # binary payload demo joins a 1-row key
     "ext_dataset_card",  # 1-row × 1-row stats cross join
+    "ext_heavy_hitters",  # 1-row corpus-total broadcast join
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
     "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
     "ext_quality_filter",  # 1-row quantile-thresholds broadcast join
