@@ -32,7 +32,8 @@ BASELINE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r01.json")
 # baselines (ext_dedup_jaccard / ext_dedup_embed / ext_dedup_ngram /
 # ext_dedup_contain) and
 # the keys built on the exact-pair graph for oracle-ability
-# (ext_dedup_keep / ext_dup_cluster_stats) are verification-scale by
+# (ext_dedup_keep / ext_dup_cluster_stats / ext_leakage_split) are
+# verification-scale by
 # design and excluded; their LSH scale paths are benched instead.
 # Write-bound layout maintenance jobs (snk_* sinks, ext_zorder,
 # ext_compaction) are likewise excluded — they measure the local disk,

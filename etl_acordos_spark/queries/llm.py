@@ -155,6 +155,34 @@ def q_ext_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_representatives(docs, pairs.select("doc_a", "doc_b"), "doc_id")
 
 
+def q_ext_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the split is a pure function
+    of the near-dup CLUSTER label (component minimum of the exact-pair
+    graph, threshold 0.9), so two near-duplicate documents can never
+    land in different splits — the eval-set leakage mode a doc-id hash
+    split silently permits. 80/10/10 by the portable DECIMAL
+    multiplicative hash on the cluster label; singletons label
+    themselves. Same component core as ext_dedup_keep; the oracle
+    replays the recursive-CTE components + the hash split."""
+    from etl_acordos_spark.functions.hashing import hash32
+    from etl_acordos_spark.operators.dedup import component_labels
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.9)
+    labels = component_labels(
+        docs, pairs.select("doc_a", "doc_b"), "doc_id"
+    ).select(F.col("a").alias("doc_id"), F.col("label").alias("cluster"))
+    bucket = hash32(F.col("cluster")) % 100
+    return labels.select(
+        "doc_id",
+        "cluster",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def q_ext_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram of the near-dup graph (same exact-pair
     truth as ext_dedup_keep, threshold 0.9): how many clusters of each
@@ -655,6 +683,19 @@ _ORACLES: dict[str, str | None] = {
         "   ON d.doc_id = c.node"
         " WHERE c.node IS NULL OR c.root = d.doc_id"
     ),
+    # split = pure function of the component root (Spark's label =
+    # component min, which IS comp.root; singletons label themselves)
+    "ext_leakage_split": (
+        _DUP_GRAPH_CTES
+        + ", lab AS (SELECT d.doc_id,"
+        "   CAST(coalesce(c.root, d.doc_id) AS BIGINT) AS cluster"
+        "  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)"
+        " SELECT doc_id, cluster,"
+        "  CASE WHEN " + sql_hash32("cluster") + " % 100 < 80 THEN 'train'"
+        "       WHEN " + sql_hash32("cluster") + " % 100 < 90 THEN 'val'"
+        "       ELSE 'test' END AS split"
+        " FROM lab"
+    ),
     # every comp node sits in a >= 2 component by construction (it has
     # an edge), so sizes off comp ARE the singleton-free histogram
     "ext_dup_cluster_stats": (
@@ -1144,6 +1185,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_bpe_apply": QueryDef(q_ext_bpe_apply, None),
     "ext_heavy_hitters": QueryDef(
         q_ext_heavy_hitters, _ORACLES["ext_heavy_hitters"]
+    ),
+    "ext_leakage_split": QueryDef(
+        q_ext_leakage_split, _ORACLES["ext_leakage_split"]
     ),
     "ext_span_dedup": QueryDef(q_ext_span_dedup, _ORACLES["ext_span_dedup"]),
     "ext_pii_redact": QueryDef(q_ext_pii_redact, _ORACLES["ext_pii_redact"]),

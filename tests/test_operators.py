@@ -1487,3 +1487,22 @@ def test_heavy_hitters_exact_with_tight_capacity(spark):
 
     with pytest.raises(ValueError, match="support"):
         heavy_hitters(items, "word", support=1.5)
+
+
+def test_leakage_split_keeps_clusters_together(spark, sf_oracle):
+    """No near-dup pair (threshold 0.9) may straddle splits — the
+    leakage guarantee is that split is a pure function of the cluster
+    label — and all three splits must be non-empty at sf0.01."""
+    from etl_acordos_spark.operators.dedup import jaccard_pairs
+    from etl_acordos_spark.queries.llm import q_ext_leakage_split
+
+    out = q_ext_leakage_split(spark, sf_oracle).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    cluster_of = {r["doc_id"]: r["cluster"] for r in out}
+    docs = t(spark, sf_oracle, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.9).collect()
+    assert pairs, "expected near-dup pairs in the oracle corpus"
+    for r in pairs:
+        assert split_of[r["doc_a"]] == split_of[r["doc_b"]]
+        assert cluster_of[r["doc_a"]] == cluster_of[r["doc_b"]]
+    assert {r["split"] for r in out} == {"train", "val", "test"}
