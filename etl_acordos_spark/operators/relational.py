@@ -497,7 +497,7 @@ def heavy_hitters(
     safety: int = 4,
 ) -> DataFrame:
     """EXACT frequent-items over a column at scale: every value whose
-    count exceeds ``support`` × N, with its exact count — via the
+    count exceeds ``support`` × N, with its exact count ``n`` — via the
     classic two-pass sketch-then-verify shape, never a full value
     shuffle.
 
@@ -510,16 +510,27 @@ def heavy_hitters(
     with global count > N/capacity must exceed its local threshold in
     at least one partition, so every true frequent item survives
     SOMEWHERE. Only the tiny candidate lists (≤ capacity rows per
-    partition) leave the executors.
+    partition) leave the executors. Each partition also emits its row
+    total, so N needs no extra pass.
 
     Pass 2 broadcast-joins the candidate set back over the scan and
     counts EXACTLY, keeping items above the support threshold — false
     candidates die here, so the result is exact and the oracle is
     plain GROUP BY ... HAVING SQL.
 
-    At 100 TB: two scans, one broadcast of KBs, one aggregate over
-    candidate rows only. The alternative single-pass GROUP BY shuffles
-    every distinct value; this shuffles none.
+    Exactly TWO scans of *items*: the sketch pass is pinned with an
+    eager localCheckpoint (its output is ≤ capacity+1 rows per
+    partition) so the candidate broadcast and the N total both read the
+    materialized summary instead of re-running the sketch — calling
+    this operator therefore RUNS the sketch job immediately. At 100 TB
+    that is: sketch scan + recount scan, one broadcast of KBs, one
+    aggregate over candidate rows only. The alternative single-pass
+    GROUP BY shuffles every distinct value; this shuffles none.
+
+    NULL values are ignored entirely — excluded from both the
+    candidates and N (the frequent-items contract; note plain
+    ``GROUP BY`` would emit a NULL group, this never does). The output
+    count column is named ``n``, so ``col`` may not be ``n``.
     """
     import pandas as pd
 
@@ -527,12 +538,26 @@ def heavy_hitters(
         raise ValueError(
             f"heavy_hitters: support must be in (0, 1), got {support}"
         )
+    if safety < 1:
+        # capacity 0 would make every truncation wipe the summary and
+        # silently return an empty result
+        raise ValueError(
+            f"heavy_hitters: safety must be >= 1, got {safety}"
+        )
+    if col in ("n", "__hh_pn"):
+        raise ValueError(
+            f"heavy_hitters: column name {col!r} collides with the"
+            " output/internal schema"
+        )
     capacity = int(safety / support)
+    val_type = items.schema[col].dataType.simpleString()
 
     def mg(batches):
         counts: dict = {}
+        part_n = 0
         for pdf in batches:
-            vc = pdf[col].value_counts()
+            part_n += int(pdf[col].count())  # non-NULL rows only
+            vc = pdf[col].value_counts()  # drops NULLs
             for v, c in vc.items():
                 counts[v] = counts.get(v, 0) + int(c)
             if len(counts) > capacity:
@@ -541,22 +566,29 @@ def heavy_hitters(
                 counts = {
                     v: c - cut for v, c in counts.items() if c > cut
                 }
-        yield pd.DataFrame({col: list(counts.keys())})
+        # candidate rows carry a NULL partial; ONE total row per
+        # partition carries the partition's non-NULL row count
+        yield pd.DataFrame(
+            {
+                col: list(counts.keys()) + [None],
+                "__hh_pn": [None] * len(counts) + [part_n],
+            }
+        )
 
-    candidates = (
+    summary = (
         items.select(col)
-        .mapInPandas(mg, schema=f"{col} string")
-        .distinct()
+        .mapInPandas(mg, schema=f"{col} {val_type}, __hh_pn bigint")
+        .localCheckpoint(eager=True)
     )
-    # threshold as a lazy 1-row broadcast (the repo's stats-join
-    # pattern), not a driver-side count(): the whole operator stays
-    # one job and the caller decides when it runs
-    total = items.agg(F.count("*").alias("_N"))
+    candidates = (
+        summary.filter(F.col(col).isNotNull()).select(col).distinct()
+    )
+    total = summary.agg(F.sum("__hh_pn").alias("__hh_pn"))
     return (
         items.join(F.broadcast(candidates), col, "left_semi")
         .groupBy(col)
         .agg(F.count("*").alias("n"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("n") > F.col("_N") * support)
+        .filter(F.col("n") > F.col("__hh_pn") * support)
         .select(col, F.col("n").cast("bigint").alias("n"))
     )

@@ -1487,6 +1487,29 @@ def test_heavy_hitters_exact_with_tight_capacity(spark):
 
     with pytest.raises(ValueError, match="support"):
         heavy_hitters(items, "word", support=1.5)
+    with pytest.raises(ValueError, match="safety"):
+        heavy_hitters(items, "word", safety=0)
+    with pytest.raises(ValueError, match="collides"):
+        heavy_hitters(items.withColumnRenamed("word", "n"), "n")
+
+
+def test_heavy_hitters_nonstring_column_and_null_semantics(spark):
+    """The generic operator must work on non-string columns (the
+    sketch schema derives from the input dtype), and NULLs are ignored
+    entirely — excluded from both candidates and the threshold N."""
+    from etl_acordos_spark.operators.relational import heavy_hitters
+
+    rows = [(7,)] * 60 + [(8,)] * 30 + [(None,)] * 100 + [
+        (i,) for i in range(100, 110)
+    ]
+    items = spark.createDataFrame(rows, "user_id bigint").repartition(4)
+    got = {
+        (r["user_id"], r["n"])
+        for r in heavy_hitters(items, "user_id", support=0.2).collect()
+    }
+    # non-NULL N = 100: both 7 (60) and 8 (30) clear 20; with NULLs
+    # wrongly counted (N = 200) the 8-group would be dropped
+    assert got == {(7, 60), (8, 30)}
 
 
 def test_leakage_split_keeps_clusters_together(spark, sf_oracle):
