@@ -293,3 +293,65 @@ def test_png_roundtrip_all_filters_and_channels(h, w, ch, filter_type, seed):
     out = decode_png(encode_png(img, filter_type=filter_type))
     assert out.shape == img.shape
     assert (out == img).all()
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**62),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    n_shards=st.integers(min_value=1, max_value=9),
+)
+@_settings
+def test_shuffle_shard_is_a_partition_of_the_input(spark, ids, n_shards):
+    """For arbitrary non-negative id sets: every row gets exactly one
+    (shard, pos); shards are in range; pos is a dense 1..n sequence
+    within each shard; and the assignment is a pure function of the id
+    (rerun-identical)."""
+    from etl_acordos_spark.operators.layout import shuffle_shard
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = shuffle_shard(df, "doc_id", n_shards=n_shards).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(ids)
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = shuffle_shard(df, "doc_id", n_shards=n_shards).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", None]),
+        min_size=5,
+        max_size=60,
+    ),
+    support=st.sampled_from([0.1, 0.25, 0.4]),
+)
+@_settings
+def test_heavy_hitters_equals_exact_group_by(spark, vals, support):
+    """For arbitrary small multisets (with NULLs) and tight sketch
+    capacity, heavy_hitters equals the exact non-NULL GROUP BY ...
+    HAVING answer."""
+    from etl_acordos_spark.operators.relational import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "word string"
+    ).repartition(3)
+    got = {
+        (r["word"], r["n"])
+        for r in heavy_hitters(df, "word", support=support, safety=1).collect()
+    }
+    non_null = [v for v in vals if v is not None]
+    n = len(non_null)
+    exact = {
+        (v, non_null.count(v))
+        for v in set(non_null)
+        if non_null.count(v) > n * support
+    }
+    assert got == exact
