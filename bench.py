@@ -64,6 +64,8 @@ HEADLINE = [
     "ext_event_windows",
     "ext_funnel",
     "ext_retention",
+    "ext_anomaly_zscore",
+    "ext_transition_matrix",
     "ext_sliding_windows",
     "ext_time_rollup",
     "ext_window_range_frame",

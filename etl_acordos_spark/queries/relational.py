@@ -685,7 +685,75 @@ def q_ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(read_events(spark, sf_dir), "user_id", "ts")
 
 
+def q_ext_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers over `value`: events more than
+    2.5 population standard deviations from their type's mean — the
+    metric-monitoring primitive of a DQ pipeline. One grouped
+    aggregate broadcast back over the scan (the repo's 1-row-per-group
+    stats-join shape); z rounded via grid-floor on |z| so the boundary
+    decision and the printed value replay exactly in the oracle."""
+    ev = read_events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"),
+        F.stddev_pop("value").alias("_sigma"),
+    ).filter(
+        # a constant-valued type has sigma 0; engines disagree on
+        # double/0 (Spark NULL, DuckDB can produce inf) — no
+        # distribution, no outliers, drop the group in BOTH engines
+        F.col("_sigma") > 0
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sigma")
+    abs_z = F.floor(F.abs(z) * 10000.0 + 0.5) / 10000.0
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("abs_z", abs_z)
+        .filter(F.col("abs_z") > 2.5)
+        .select("event_id", "event_type", "value", "abs_z")
+    )
+
+
+def q_ext_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive event-type
+    pairs within each user's timeline (lead over a per-user window +
+    one hash aggregate) — the Markov-chain input behind journey/funnel
+    analytics. Ties in ts are ordered by event_id so both engines walk
+    identical sequences."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------- oracles
+
+_ANOMALY_ORACLE = (
+    "WITH stats AS (SELECT event_type, avg(value) AS mu,"
+    "   stddev_pop(value) AS sigma FROM events GROUP BY event_type"
+    "   HAVING stddev_pop(value) > 0)"
+    " SELECT event_id, e.event_type, value,"
+    "  floor(abs((value - mu) / sigma) * 10000.0 + 0.5) / 10000.0 AS abs_z"
+    " FROM events e JOIN stats USING (event_type)"
+    " WHERE floor(abs((value - mu) / sigma) * 10000.0 + 0.5) / 10000.0"
+    "  > 2.5"
+)
+
+_TRANSITION_ORACLE = (
+    "WITH seq AS (SELECT user_id, event_type,"
+    "   lead(event_type) OVER ("
+    "    PARTITION BY user_id ORDER BY ts, event_id) AS next_type"
+    "  FROM events)"
+    " SELECT event_type AS from_type, next_type AS to_type,"
+    "  CAST(count(*) AS BIGINT) AS n"
+    " FROM seq WHERE next_type IS NOT NULL"
+    " GROUP BY event_type, next_type"
+)
 
 _BLOOM_JOIN_ORACLE = (
     "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,"
@@ -1039,6 +1107,10 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_window_range_frame, _ORACLES["ext_window_range_frame"]
     ),
     "ext_bloom_join": QueryDef(q_ext_bloom_join, _BLOOM_JOIN_ORACLE),
+    "ext_anomaly_zscore": QueryDef(q_ext_anomaly_zscore, _ANOMALY_ORACLE),
+    "ext_transition_matrix": QueryDef(
+        q_ext_transition_matrix, _TRANSITION_ORACLE
+    ),
     "ext_funnel": QueryDef(q_ext_funnel, _FUNNEL_ORACLE),
     "ext_retention": QueryDef(q_ext_retention, _RETENTION_ORACLE),
 }

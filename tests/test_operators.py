@@ -1529,3 +1529,51 @@ def test_leakage_split_keeps_clusters_together(spark, sf_oracle):
         assert split_of[r["doc_a"]] == split_of[r["doc_b"]]
         assert cluster_of[r["doc_a"]] == cluster_of[r["doc_b"]]
     assert {r["split"] for r in out} == {"train", "val", "test"}
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark, sf_oracle):
+    """Planted semantics check on the oracle corpus: every flagged
+    event is > 2.5 population SDs from its type's mean, and recomputing
+    the bound pandas-side agrees with the operator's flag set."""
+    from etl_acordos_spark.queries.relational import q_ext_anomaly_zscore
+
+    got = q_ext_anomaly_zscore(spark, sf_oracle)
+    flagged = {r["event_id"] for r in got.collect()}
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_oracle}/events.parquet")
+    mu = ev.groupby("event_type")["value"].transform("mean")
+    sigma = ev.groupby("event_type")["value"].transform(lambda s: s.std(ddof=0))
+    import numpy as np
+
+    z = np.floor(np.abs((ev["value"] - mu) / sigma) * 10000.0 + 0.5) / 10000.0
+    want = set(ev.loc[z > 2.5, "event_id"])
+    assert flagged == want and flagged
+
+
+def test_transition_matrix_counts_planted_sequence(spark, tmp_path):
+    """One user with a known timeline a→b→b→c yields exactly the three
+    transitions; a second single-event user contributes none. Runs the
+    real operator against a planted events table (ties broken by
+    event_id: the two 11:00 events for user 1 order as 2 then 3)."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.queries.relational import q_ext_transition_matrix
+
+    rows = [
+        (1, dt(2024, 1, 1, 10), 1, "a"),
+        (2, dt(2024, 1, 1, 11), 1, "b"),
+        (3, dt(2024, 1, 1, 11), 1, "b"),
+        (4, dt(2024, 1, 1, 13), 1, "c"),
+        (5, dt(2024, 1, 1, 10), 2, "a"),
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in q_ext_transition_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1}
