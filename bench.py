@@ -66,6 +66,8 @@ HEADLINE = [
     "ext_retention",
     "ext_anomaly_zscore",
     "ext_transition_matrix",
+    "ext_psi_drift",
+    "ext_gini",
     "ext_sliding_windows",
     "ext_time_rollup",
     "ext_window_range_frame",

@@ -592,3 +592,136 @@ def heavy_hitters(
         .filter(F.col("n") > F.col("__hh_pn") * support)
         .select(col, F.col("n").cast("bigint").alias("n"))
     )
+
+
+def psi_drift(
+    events: DataFrame,
+    type_col: str,
+    ts_col: str,
+    value_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per series: how far each
+    ``type_col`` group's ``value_col`` distribution drifted between the
+    older and newer half of the timeline — the drift monitor every
+    production feature/metric pipeline runs next to its z-score
+    alerting.
+
+    Returns one row per type: (type, n_old, n_new, psi), with
+    ``psi = Σ_b (p_b - q_b) · ln(p_b / q_b)`` over the observed value
+    bins (fixed-width over the global [min, max]), each side Laplace-
+    smoothed by 0.5 so empty bins stay finite. The split day is the
+    integer midpoint of the observed date range (old = first half) —
+    date arithmetic, not a float epoch, so both engines cut the
+    timeline on exactly the same row set.
+
+    Scale shape: one global min/max aggregate broadcast back over the
+    scan (1-row cross join — never a shuffle of the fact table), one
+    (type, bin) hash aggregate with map-side combine, then a per-type
+    window + final aggregate over ≤ ``bins`` rows per type. Only
+    (type, bin, counts) tuples ever shuffle; the PSI sum is grid-floored
+    at 1e-6 so the cross-engine result hashes stably.
+    """
+    day = F.col(ts_col).cast("date")
+    bounds = events.agg(
+        F.min(day).alias("_d0"),
+        F.max(day).alias("_d1"),
+        F.min(value_col).alias("_v0"),
+        F.max(value_col).alias("_v1"),
+    )
+    mid = F.date_add(
+        F.col("_d0"),
+        F.floor(F.datediff(F.col("_d1"), F.col("_d0")) / 2.0).cast("int"),
+    )
+    # identical expression text in the SQL oracle: bin edges are pure
+    # double arithmetic on values that exist in the data, so IEEE
+    # evaluation matches across engines
+    width_bin = F.least(
+        F.floor(
+            (F.col(value_col) - F.col("_v0"))
+            / ((F.col("_v1") - F.col("_v0")) / float(bins))
+        ),
+        F.lit(bins - 1),
+    )
+    binned = (
+        events.join(F.broadcast(bounds))
+        .select(
+            F.col(type_col).alias("type"),
+            F.when(F.col("_v1") > F.col("_v0"), width_bin)
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("_bin"),
+            F.when(day <= mid, F.lit(1)).otherwise(F.lit(0)).alias("_is_old"),
+        )
+        .groupBy("type", "_bin")
+        .agg(
+            F.sum("_is_old").alias("_c_old"),
+            F.sum(1 - F.col("_is_old")).alias("_c_new"),
+        )
+    )
+    w = Window.partitionBy("type")
+    with_tot = (
+        binned.withColumn("_n_old", F.sum("_c_old").over(w))
+        .withColumn("_n_new", F.sum("_c_new").over(w))
+        .withColumn("_nb", F.count("*").over(w))
+    )
+    p = (F.col("_c_old") + 0.5) / (F.col("_n_old") + 0.5 * F.col("_nb"))
+    q = (F.col("_c_new") + 0.5) / (F.col("_n_new") + 0.5 * F.col("_nb"))
+    return (
+        with_tot.withColumn("_term", (p - q) * F.log(p / q))
+        .groupBy("type")
+        .agg(
+            F.max("_n_old").cast("bigint").alias("n_old"),
+            F.max("_n_new").cast("bigint").alias("n_new"),
+            (F.floor(F.sum("_term") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "psi"
+            ),
+        )
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient of ``value_col`` per group — the
+    inequality/concentration measure behind revenue-concentration and
+    data-mixture-balance dashboards (0 = perfectly even, → 1 = one key
+    holds everything).
+
+    Uses the rank formulation ``G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x)``
+    with x ascending; ``key_col`` breaks ties so both engines walk the
+    same permutation (Gini is invariant to tie order among equal x, the
+    tiebreak just pins determinism). One windowed row_number inside
+    hash-partitioned groups, then one aggregate — per-key rows shuffle
+    once, no global sort at any group count.
+
+    Callers should pre-round ``value_col`` (repo convention: money at
+    2 dp) so cross-engine double-sum reassociation can't reorder ranks.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, key_col)
+    ranked = df.withColumn("_i", F.row_number().over(w))
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum(value_col).alias("_sx"),
+            F.sum(F.col("_i") * F.col(value_col)).alias("_six"),
+        )
+        .filter(F.col("_sx") > 0)
+        .select(
+            group_col,
+            "n_keys",
+            (
+                F.floor(
+                    (2.0 * F.col("_six") - (F.col("n_keys") + 1) * F.col("_sx"))
+                    / (F.col("n_keys") * F.col("_sx"))
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("gini"),
+        )
+    )

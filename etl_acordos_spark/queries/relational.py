@@ -731,7 +731,93 @@ def q_ext_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the older and
+    newer half of the events timeline
+    (operators/relational.py:psi_drift) — the distribution-drift
+    monitor that pairs with `ext_anomaly_zscore`'s point outliers. One
+    broadcast 1-row bounds join, one (type, bin) hash aggregate, then
+    per-type math over ≤ 10 rows."""
+    from etl_acordos_spark.operators.relational import psi_drift
+
+    return psi_drift(
+        read_events(spark, sf_dir), "event_type", "ts", "value"
+    ).withColumnRenamed("type", "event_type")
+
+
+def q_ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per nation over
+    per-customer order revenue (operators/relational.py:gini_by_group).
+    Revenue is pre-rounded to 2 dp (repo money convention) so rank
+    order — and therefore the rank-formula Gini — replays identically
+    in both engines."""
+    from etl_acordos_spark.operators.relational import gini_by_group
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    base = (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .select(F.col("n_name").alias("nation"), "o_custkey", "rev")
+    )
+    return gini_by_group(base, "nation", "o_custkey", "rev")
+
+
 # ---------------------------------------------------------------- oracles
+
+_PSI_ORACLE = (
+    "WITH bounds AS ("
+    " SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1,"
+    "  min(value) AS v0, max(value) AS v1 FROM events),"
+    " binned AS ("
+    " SELECT event_type,"
+    "  CAST(CASE WHEN v1 > v0 THEN"
+    "   least(floor((value - v0) / ((v1 - v0) / 10.0)), 9)"
+    "   ELSE 0 END AS INT) AS bin,"
+    "  CASE WHEN CAST(ts AS DATE) <="
+    "   d0 + CAST(floor(datediff('day', d0, d1) / 2.0) AS INT)"
+    "   THEN 1 ELSE 0 END AS is_old"
+    " FROM events, bounds),"
+    " counts AS ("
+    " SELECT event_type, bin, sum(is_old) AS c_old,"
+    "  sum(1 - is_old) AS c_new"
+    " FROM binned GROUP BY event_type, bin),"
+    " tot AS ("
+    " SELECT *, sum(c_old) OVER (PARTITION BY event_type) AS n_old,"
+    "  sum(c_new) OVER (PARTITION BY event_type) AS n_new,"
+    "  count(*) OVER (PARTITION BY event_type) AS nb"
+    " FROM counts)"
+    " SELECT event_type, CAST(max(n_old) AS BIGINT) AS n_old,"
+    "  CAST(max(n_new) AS BIGINT) AS n_new,"
+    "  floor(sum(((c_old + 0.5)/(n_old + 0.5*nb)"
+    "    - (c_new + 0.5)/(n_new + 0.5*nb))"
+    "   * ln(((c_old + 0.5)/(n_old + 0.5*nb))"
+    "    / ((c_new + 0.5)/(n_new + 0.5*nb))))"
+    "   * 1000000.0 + 0.5) / 1000000.0 AS psi"
+    " FROM tot GROUP BY event_type"
+)
+
+_GINI_ORACLE = (
+    "WITH rev AS ("
+    " SELECT o_custkey, round(sum(o_totalprice), 2) AS rev"
+    " FROM orders GROUP BY o_custkey),"
+    " ranked AS ("
+    " SELECT n_name AS nation, rev, row_number() OVER ("
+    "  PARTITION BY n_name ORDER BY rev, o_custkey) AS i"
+    " FROM rev JOIN customer ON c_custkey = o_custkey"
+    "  JOIN nation ON n_nationkey = c_nationkey)"
+    " SELECT nation, CAST(count(*) AS BIGINT) AS n_keys,"
+    "  floor((2.0 * sum(i * rev) - (count(*) + 1) * sum(rev))"
+    "   / (count(*) * sum(rev)) * 10000.0 + 0.5) / 10000.0 AS gini"
+    " FROM ranked GROUP BY nation"
+)
 
 _ANOMALY_ORACLE = (
     "WITH stats AS (SELECT event_type, avg(value) AS mu,"
@@ -1108,6 +1194,8 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_bloom_join": QueryDef(q_ext_bloom_join, _BLOOM_JOIN_ORACLE),
     "ext_anomaly_zscore": QueryDef(q_ext_anomaly_zscore, _ANOMALY_ORACLE),
+    "ext_psi_drift": QueryDef(q_ext_psi_drift, _PSI_ORACLE),
+    "ext_gini": QueryDef(q_ext_gini, _GINI_ORACLE),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

@@ -1577,3 +1577,45 @@ def test_transition_matrix_counts_planted_sequence(spark, tmp_path):
         for r in q_ext_transition_matrix(spark, str(tmp_path)).collect()
     }
     assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1}
+
+
+def test_psi_drift_zero_for_identical_halves(spark):
+    """A series whose old and new halves share the same per-bin counts
+    has PSI exactly 0; a series that jumps from the bottom to the top
+    of the value range drifts hard (psi >> 0.25, the classic 'major
+    shift' threshold)."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import psi_drift
+
+    rows = []
+    # "stable": same values in January (old) and December (new)
+    for m, base in ((1, 0), (12, 0)):
+        for i in range(50):
+            rows.append((dt(2024, m, 1 + i % 20), "stable", float(i % 10)))
+    # "shifted": low values in January, high values in December
+    for i in range(50):
+        rows.append((dt(2024, 1, 1 + i % 20), "shifted", 0.0 + i % 2))
+    for i in range(50):
+        rows.append((dt(2024, 12, 1 + i % 20), "shifted", 8.0 + i % 2))
+    ev = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    got = {
+        r["type"]: r
+        for r in psi_drift(ev, "event_type", "ts", "value").collect()
+    }
+    assert got["stable"]["psi"] == 0.0
+    assert got["stable"]["n_old"] == 50 and got["stable"]["n_new"] == 50
+    assert got["shifted"]["psi"] > 0.25
+
+
+def test_gini_known_extremes(spark):
+    """All-equal values give Gini 0 exactly; one key holding all the
+    value gives the finite-sample maximum (n-1)/n."""
+    from etl_acordos_spark.operators.relational import gini_by_group
+
+    rows = [("even", k, 10.0) for k in range(10)]
+    rows += [("conc", k, 0.0) for k in range(9)] + [("conc", 9, 100.0)]
+    df = spark.createDataFrame(rows, ["grp", "key", "val"])
+    got = {r["grp"]: r["gini"] for r in gini_by_group(df, "grp", "key", "val").collect()}
+    assert got["even"] == 0.0
+    assert got["conc"] == 0.9

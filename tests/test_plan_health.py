@@ -86,6 +86,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_multimodal",  # binary payload demo joins a 1-row key
     "ext_dataset_card",  # 1-row × 1-row stats cross join
     "ext_heavy_hitters",  # 1-row corpus-total broadcast join
+    "ext_psi_drift",  # 1-row global-bounds broadcast join
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
     "ext_leakage_split",  # built on the exact all-pairs dup graph
     "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
