@@ -68,6 +68,8 @@ HEADLINE = [
     "ext_transition_matrix",
     "ext_psi_drift",
     "ext_gini",
+    "ext_record_linkage",
+    "ext_triangle_count",
     "ext_sliding_windows",
     "ext_time_rollup",
     "ext_window_range_frame",
@@ -109,6 +111,7 @@ HEADLINE = [
     "ext_pii_redact",
     "ext_tfidf",
     "ext_bm25",
+    "ext_ngram_topk",
     "ext_span_dedup",
     "ext_repetition",
     "ext_doc_chunk",

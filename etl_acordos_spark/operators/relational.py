@@ -725,3 +725,48 @@ def gini_by_group(
             ).alias("gini"),
         )
     )
+
+
+def fuzzy_label_match(
+    dirty: DataFrame,
+    canon: DataFrame,
+    dirty_col: str,
+    canon_col: str,
+    max_dist: int,
+    block_len: int = 2,
+) -> DataFrame:
+    """Blocked approximate string join: match each dirty label to its
+    best canonical label by Levenshtein distance — the record-linkage /
+    dimension-reconciliation primitive (dirty category strings → a
+    canonical dimension) every ETL cleanup stage needs.
+
+    Blocking key = the first ``block_len`` characters of the consonant
+    skeleton (lowercase, vowels and spaces stripped), so the join is
+    per-block, never all-pairs: candidate volume is Σ |dirty_b|·|canon_b|
+    over blocks, and a skewed block can be split by lengthening the key.
+    Best match per dirty label = windowed row_number ordered by
+    (distance, canonical) — one row out per dirty label, ties broken
+    lexicographically so both engines pick the same winner.
+    """
+
+    def skeleton(c: Column) -> Column:
+        return F.substring(
+            F.regexp_replace(F.lower(c), "[aeiou ]", ""), 1, block_len
+        )
+
+    cand = dirty.withColumn("_bk", skeleton(F.col(dirty_col))).join(
+        canon.withColumn("_bk", skeleton(F.col(canon_col))), "_bk"
+    )
+    scored = cand.withColumn(
+        "dist", F.levenshtein(F.col(dirty_col), F.col(canon_col)).cast("int")
+    ).filter(F.col("dist") <= max_dist)
+    w = Window.partitionBy(dirty_col).orderBy("dist", canon_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(dirty_col).alias("dirty"),
+            F.col(canon_col).alias("matched"),
+            "dist",
+        )
+    )

@@ -1318,3 +1318,44 @@ def bpe_apply(
             " chars_per_token double"
         ),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n: int = 2,
+    k: int = 25,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams — the collocation/frequency table
+    behind vocabulary analysis and boilerplate discovery.
+
+    Whitespace tokens (repo tokenizer convention), n-grams built with a
+    `sequence`/`transform` HOF so the doc body is scanned once and only
+    (ngram, partial count) pairs shuffle — map-side combine collapses
+    each partition to its distinct n-grams before the exchange, and the
+    final top-k is a TakeOrdered (never a global sort). Ties at the
+    boundary break lexicographically so the returned row SET is
+    deterministic in both engines.
+    """
+    if n < 1:
+        raise ValueError(f"top_ngrams: n must be >= 1, got {n}")
+    joiner = ", ' ', ".join(f"tk[i-{n - 1 - j}]" for j in range(n))
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.split(F.col(text_col), " ").alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence({n - 1}, size(tk) - 1),"
+                    f" i -> concat({joiner}))"
+                )
+            ).alias("ngram")
+        )
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -603,6 +603,16 @@ def q_ext_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(media, stride=2)
 
 
+def q_ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 word bigrams (operators/text.py:top_ngrams) —
+    the collocation table behind vocabulary analysis and boilerplate
+    discovery. One scan, HOF n-gram expansion, map-side-combined hash
+    aggregate, TakeOrdered top-k with lexicographic tie-break."""
+    from etl_acordos_spark.operators.text import top_ngrams
+
+    return top_ngrams(t(spark, sf_dir, "documents"), "text", n=2, k=25)
+
+
 # ------------------------------------------------------------------ oracles
 
 _JACCARD_PAIRS = (
@@ -666,6 +676,16 @@ _BM25_CTES = (
     "  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)"
     "    * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
     "   AS score FROM base CROSS JOIN stats)"
+)
+
+_NGRAM_TOPK_ORACLE = (
+    "WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents"
+    "  WHERE text IS NOT NULL),"
+    " bg AS (SELECT unnest(list_transform(range(1, len(tk)),"
+    "   i -> tk[i] || ' ' || tk[i+1])) AS ngram"
+    "  FROM tok WHERE len(tk) >= 2)"
+    " SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM bg"
+    " GROUP BY ngram ORDER BY n DESC, ngram LIMIT 25"
 )
 
 _ORACLES: dict[str, str | None] = {
@@ -1181,6 +1201,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
     "ext_bm25": QueryDef(q_ext_bm25, _ORACLES["ext_bm25"]),
+    "ext_ngram_topk": QueryDef(q_ext_ngram_topk, _NGRAM_TOPK_ORACLE),
     "ext_bpe_train": QueryDef(q_ext_bpe_train, None),
     "ext_bpe_apply": QueryDef(q_ext_bpe_apply, None),
     "ext_heavy_hitters": QueryDef(

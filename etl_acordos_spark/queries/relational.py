@@ -770,7 +770,76 @@ def q_ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_by_group(base, "nation", "o_custkey", "rev")
 
 
+def q_ext_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked approximate string join
+    (operators/relational.py:fuzzy_label_match): reconcile dirty
+    category labels back to the canonical part-name dimension. The
+    dirty probe set is derived deterministically from the data itself
+    (vowel-stripped distinct names — same convention as
+    ext_decontaminate's derived probes), so both engines link the same
+    inputs. Blocked on the 2-char consonant skeleton, never all-pairs;
+    best match per label via (distance, name) row_number."""
+    from etl_acordos_spark.operators.relational import fuzzy_label_match
+
+    canon = t(spark, sf_dir, "part").select("p_name").distinct()
+    dirty = canon.select(
+        F.regexp_replace("p_name", "[aeiou]", "").alias("dirty_label")
+    )
+    return fuzzy_label_match(dirty, canon, "dirty_label", "p_name", max_dist=6)
+
+
+def q_ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase graph
+    (operators/graph.py): parts are connected iff they share an order;
+    triangles measure community density. Spark runs the degree-
+    orientation algorithm (out-degree ≤ O(√m), wedge join O(m^1.5));
+    the oracle replays the orientation-invariant a<b<c three-way self-
+    join — same counts, different physical strategy."""
+    from etl_acordos_spark.operators.graph import (
+        co_occurrence_edges,
+        triangle_counts,
+    )
+
+    edges = co_occurrence_edges(
+        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    return triangle_counts(edges, k=20).withColumnRenamed(
+        "vertex", "p_partkey"
+    )
+
+
 # ---------------------------------------------------------------- oracles
+
+_LINKAGE_ORACLE = (
+    "WITH canon AS (SELECT DISTINCT p_name FROM part),"
+    " dirty AS (SELECT regexp_replace(p_name, '[aeiou]', '', 'g')"
+    "   AS dirty_label FROM canon),"
+    " cand AS (SELECT dirty_label, p_name,"
+    "   CAST(levenshtein(dirty_label, p_name) AS INT) AS dist"
+    "  FROM dirty JOIN canon"
+    "   ON substr(regexp_replace(lower(dirty_label), '[aeiou ]', '', 'g'),"
+    "     1, 2)"
+    "    = substr(regexp_replace(lower(p_name), '[aeiou ]', '', 'g'), 1, 2)"
+    "  WHERE levenshtein(dirty_label, p_name) <= 6),"
+    " best AS (SELECT *, row_number() OVER ("
+    "   PARTITION BY dirty_label ORDER BY dist, p_name) AS rn FROM cand)"
+    " SELECT dirty_label AS dirty, p_name AS matched, dist"
+    " FROM best WHERE rn = 1"
+)
+
+_TRIANGLE_ORACLE = (
+    "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    " edges AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d"
+    "  FROM li a JOIN li b"
+    "   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),"
+    " tri AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c"
+    "  FROM edges e1 JOIN edges e2 ON e1.d = e2.s"
+    "   JOIN edges e3 ON e1.s = e3.s AND e2.d = e3.d),"
+    " pv AS (SELECT unnest([a, b, c]) AS p_partkey FROM tri)"
+    " SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_triangles"
+    " FROM pv GROUP BY p_partkey"
+    " ORDER BY n_triangles DESC, p_partkey LIMIT 20"
+)
 
 _PSI_ORACLE = (
     "WITH bounds AS ("
@@ -1196,6 +1265,8 @@ QUERIES: dict[str, QueryDef] = {
     "ext_anomaly_zscore": QueryDef(q_ext_anomaly_zscore, _ANOMALY_ORACLE),
     "ext_psi_drift": QueryDef(q_ext_psi_drift, _PSI_ORACLE),
     "ext_gini": QueryDef(q_ext_gini, _GINI_ORACLE),
+    "ext_record_linkage": QueryDef(q_ext_record_linkage, _LINKAGE_ORACLE),
+    "ext_triangle_count": QueryDef(q_ext_triangle_count, _TRIANGLE_ORACLE),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

@@ -1619,3 +1619,67 @@ def test_gini_known_extremes(spark):
     got = {r["grp"]: r["gini"] for r in gini_by_group(df, "grp", "key", "val").collect()}
     assert got["even"] == 0.0
     assert got["conc"] == 0.9
+
+
+def test_top_ngrams_planted_counts(spark):
+    """Known corpus: 'a b a b' yields bigrams ('a b', 'b a', 'a b') and
+    'a b c' adds ('a b', 'b c') — so 'a b' counts 3. NULL text and
+    single-token docs contribute nothing; at the top-2 boundary the
+    count-1 tie breaks lexicographically ('b a' < 'b c')."""
+    from etl_acordos_spark.operators.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, None), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    got = [(r["ngram"], r["n"]) for r in top_ngrams(docs, "text", 2, 2).collect()]
+    assert got == [("a b", 3), ("b a", 1)]
+
+
+def test_fuzzy_label_match_picks_nearest(spark):
+    """A typo'd label links to its nearest canonical name within the
+    distance bound; an unrelated label (outside every block or beyond
+    max_dist) produces no row."""
+    from etl_acordos_spark.operators.relational import fuzzy_label_match
+
+    canon = spark.createDataFrame(
+        [("small ring",), ("small rings",), ("blue bolt",)], ["name"]
+    )
+    dirty = spark.createDataFrame(
+        [("smal ring",), ("zzzzzz",)], ["label"]
+    )
+    got = {
+        r["dirty"]: (r["matched"], r["dist"])
+        for r in fuzzy_label_match(dirty, canon, "label", "name", 3).collect()
+    }
+    # dist 1 to "small ring", dist 2 to "small rings" — nearest wins
+    assert got == {"smal ring": ("small ring", 1)}
+
+
+def test_triangle_counts_planted_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; the shared-edge
+    endpoints participate in both, the others in one."""
+    from etl_acordos_spark.operators.graph import triangle_counts
+
+    # vertices 1-4, all edges except (3, 4): triangles {1,2,3} {1,2,4}
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["src", "dst"]
+    )
+    got = {
+        r["vertex"]: r["n_triangles"]
+        for r in triangle_counts(edges, k=10).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_co_occurrence_edges_dedups_pairs(spark):
+    """Items repeated within a group emit one edge; pairs appearing in
+    several groups emit one edge; ordering is src < dst."""
+    from etl_acordos_spark.operators.graph import co_occurrence_edges
+
+    items = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 20), (2, 20), (2, 10), (3, 30)],
+        ["grp", "item"],
+    )
+    got = {(r["src"], r["dst"]) for r in co_occurrence_edges(items, "grp", "item").collect()}
+    assert got == {(10, 20)}
