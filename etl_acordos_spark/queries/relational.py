@@ -886,6 +886,9 @@ _GINI_ORACLE = (
     "  floor((2.0 * sum(i * rev) - (count(*) + 1) * sum(rev))"
     "   / (count(*) * sum(rev)) * 10000.0 + 0.5) / 10000.0 AS gini"
     " FROM ranked GROUP BY nation"
+    # mirrors gini_by_group's sum > 0 guard (a zero-total group has no
+    # defined concentration); latent here — revenue is always positive
+    " HAVING sum(rev) > 0"
 )
 
 _ANOMALY_ORACLE = (
