@@ -70,6 +70,7 @@ HEADLINE = [
     "ext_gini",
     "ext_record_linkage",
     "ext_triangle_count",
+    "ext_ab_test",
     "ext_sliding_windows",
     "ext_time_rollup",
     "ext_window_range_frame",
@@ -89,6 +90,7 @@ HEADLINE = [
     "ext_stream_join",
     "ext_stream_stream_join",
     "ext_stream_upsert",
+    "ext_stream_anomaly",
     "ext_dedup_exact",
     "ext_dedup_near",
     "ext_passage_dedup",
@@ -112,6 +114,7 @@ HEADLINE = [
     "ext_tfidf",
     "ext_bm25",
     "ext_ngram_topk",
+    "ext_weighted_sample",
     "ext_span_dedup",
     "ext_repetition",
     "ext_doc_chunk",

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_acordos_spark.functions.hashing import unit_hash
+
 
 def star_join(
     fact: DataFrame,
@@ -770,3 +772,76 @@ def fuzzy_label_match(
             "dist",
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, top-k in one pass:
+    Efraimidis–Spirakis A-ES keys (``u^(1/w)``, u uniform per id, take
+    the k largest) — the mixture-weighting primitive for building
+    training corpora where a doc's inclusion odds follow its weight
+    (length, quality, domain boost) rather than uniform chance.
+
+    The uniform variate is the repo's deterministic cross-engine
+    multiplicative hash (functions/hashing.py), so the sample is
+    reproducible across runs, engines, and cluster layouts — no RNG
+    state. Keys are grid-floored to 9 dp and tie-broken by id so the
+    top-k row SET is identical in both engines (raw ``pow`` can differ
+    in the last ULP between libm implementations). One scan, no
+    shuffle until the TakeOrdered top-k; rows with weight <= 0 are
+    excluded (their inclusion probability is 0).
+    """
+    u = unit_hash(F.col(id_col))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(
+            "sample_key", F.floor(key * 1000000000.0 + 0.5) / 1000000000.0
+        )
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def conversion_ztest(
+    users: DataFrame, variant_col: str, converted_col: str
+) -> DataFrame:
+    """Two-proportion pooled z-test over a per-user frame (one row per
+    user: variant 0/1, converted 0/1) — the experiment-analysis
+    primitive behind every A/B dashboard.
+
+    Returns ONE row: (n_a, x_a, n_b, x_b, z) with
+    ``z = (p_b - p_a) / sqrt(p(1-p)(1/n_a + 1/n_b))``, p pooled. Two
+    hash aggregates (user dedup upstream, then a 2-row variant
+    aggregate folded to one row) — nothing but counts ever shuffles.
+    The z statistic is grid-floored at 1e-6; sqrt/division are IEEE
+    deterministic on identical expression trees.
+    """
+    per_var = users.groupBy(variant_col).agg(
+        F.count("*").alias("_n"), F.sum(converted_col).alias("_x")
+    )
+    row = per_var.agg(
+        F.sum(F.when(F.col(variant_col) == 0, F.col("_n")))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col(variant_col) == 0, F.col("_x")))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col(variant_col) == 1, F.col("_n")))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col(variant_col) == 1, F.col("_x")))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    p_a = F.col("x_a") / F.col("n_a")
+    p_b = F.col("x_b") / F.col("n_b")
+    p = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    # degenerate experiments (0% or 100% pooled conversion) have no
+    # defined z — NULL, not a divide-by-zero (ANSI) or inf (DuckDB)
+    z = F.when(
+        se > 0, F.floor((p_b - p_a) / se * 1000000.0 + 0.5) / 1000000.0
+    )
+    return row.select("n_a", "x_a", "n_b", "x_b", z.alias("z"))

@@ -603,6 +603,18 @@ def q_ext_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(media, stride=2)
 
 
+def q_ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample, top-50 without replacement
+    (operators/relational.py:weighted_sample, Efraimidis–Spirakis A-ES
+    keys): inclusion odds ∝ n_chars, keys from the deterministic
+    cross-engine hash so the oracle replays the exact sample. One scan,
+    TakeOrdered — never a global sort."""
+    from etl_acordos_spark.operators.relational import weighted_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
 def q_ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-25 word bigrams (operators/text.py:top_ngrams) —
     the collocation table behind vocabulary analysis and boilerplate
@@ -676,6 +688,17 @@ _BM25_CTES = (
     "  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)"
     "    * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))"
     "   AS score FROM base CROSS JOIN stats)"
+)
+
+_WEIGHTED_SAMPLE_ORACLE = (
+    "WITH keyed AS (SELECT doc_id, n_chars,"
+    "  floor(pow((CAST((CAST(doc_id AS DECIMAL(38,0)) * 2654435761)"
+    "     % 4294967296 AS DOUBLE) / 4294967296.0),"
+    "    1.0 / n_chars) * 1000000000.0 + 0.5) / 1000000000.0"
+    "   AS sample_key"
+    "  FROM documents WHERE n_chars > 0)"
+    " SELECT doc_id, n_chars, sample_key FROM keyed"
+    " ORDER BY sample_key DESC, doc_id LIMIT 50"
 )
 
 _NGRAM_TOPK_ORACLE = (
@@ -1202,6 +1225,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
     "ext_bm25": QueryDef(q_ext_bm25, _ORACLES["ext_bm25"]),
     "ext_ngram_topk": QueryDef(q_ext_ngram_topk, _NGRAM_TOPK_ORACLE),
+    "ext_weighted_sample": QueryDef(
+        q_ext_weighted_sample, _WEIGHTED_SAMPLE_ORACLE
+    ),
     "ext_bpe_train": QueryDef(q_ext_bpe_train, None),
     "ext_bpe_apply": QueryDef(q_ext_bpe_apply, None),
     "ext_heavy_hitters": QueryDef(

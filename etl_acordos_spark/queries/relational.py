@@ -808,7 +808,57 @@ def q_ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test
+    (operators/relational.py:conversion_ztest): variant = user_id
+    parity (deterministic derivation — props carries no variant field),
+    conversion = "power buyer" (≥ 14 purchase events, straddling the
+    corpus median of 13 so both outcomes occur). One per-user
+    aggregate, one 2-row variant aggregate, one output row."""
+    from etl_acordos_spark.operators.relational import conversion_ztest
+
+    ev = read_events(spark, sf_dir)
+    users = ev.groupBy("user_id").agg(
+        F.max(F.col("user_id") % 2).alias("variant"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    return conversion_ztest(users, "variant", "converted")
+
+
 # ---------------------------------------------------------------- oracles
+
+_AB_TEST_ORACLE = (
+    "WITH users AS (SELECT user_id, user_id % 2 AS variant,"
+    "   CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+    "     >= 14 THEN 1 ELSE 0 END AS converted"
+    "  FROM events GROUP BY user_id),"
+    " pv AS (SELECT variant, count(*) AS n, sum(converted) AS x"
+    "  FROM users GROUP BY variant),"
+    " row1 AS (SELECT"
+    "  CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,"
+    "  CAST(sum(CASE WHEN variant = 0 THEN x END) AS BIGINT) AS x_a,"
+    "  CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,"
+    "  CAST(sum(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS x_b"
+    "  FROM pv),"
+    " calc AS (SELECT *,"
+    "  (CAST(x_a AS DOUBLE) + x_b) / (CAST(n_a AS DOUBLE) + n_b) AS p,"
+    "  CAST(x_b AS DOUBLE) / n_b - CAST(x_a AS DOUBLE) / n_a AS d"
+    "  FROM row1)"
+    " SELECT n_a, x_a, n_b, x_b,"
+    "  CASE WHEN sqrt(p * (1 - p) * (1.0/n_a + 1.0/n_b)) > 0"
+    "   THEN floor(d / sqrt(p * (1 - p) * (1.0/n_a + 1.0/n_b))"
+    "    * 1000000.0 + 0.5) / 1000000.0"
+    "  END AS z"
+    " FROM calc"
+)
 
 _LINKAGE_ORACLE = (
     "WITH canon AS (SELECT DISTINCT p_name FROM part),"
@@ -1270,6 +1320,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_gini": QueryDef(q_ext_gini, _GINI_ORACLE),
     "ext_record_linkage": QueryDef(q_ext_record_linkage, _LINKAGE_ORACLE),
     "ext_triangle_count": QueryDef(q_ext_triangle_count, _TRIANGLE_ORACLE),
+    "ext_ab_test": QueryDef(q_ext_ab_test, _AB_TEST_ORACLE),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

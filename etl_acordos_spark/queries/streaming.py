@@ -242,6 +242,43 @@ FROM events a JOIN events b
  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
 """
 
+def q_ext_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming metric anomaly scoring: each microbatch of the event
+    stream scored against batch-trained per-type stats (stream-static
+    broadcast join — the stats never reshuffle the stream) and filtered
+    to |z| > 2.5 — real-time DQ alerting on top of the batch monitor.
+    On availableNow input the result equals the batch z-score query, so
+    `ext_anomaly_zscore`'s oracle is reused verbatim."""
+    from pyspark.sql import functions as F
+
+    ev_static = read_events(spark, sf_dir)
+    stats = (
+        ev_static.groupBy("event_type")
+        .agg(
+            F.avg("value").alias("_mu"),
+            F.stddev_pop("value").alias("_sigma"),
+        )
+        .filter(F.col("_sigma") > 0)
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sigma")
+    scored = (
+        stream_events(spark, sf_dir)
+        .join(F.broadcast(stats), "event_type")
+        .withColumn("abs_z", F.floor(F.abs(z) * 10000.0 + 0.5) / 10000.0)
+        .filter(F.col("abs_z") > 2.5)
+        .select("event_id", "event_type", "value", "abs_z")
+    )
+    return run_stream_to_table(
+        scored, "stream_anomaly_result", output_mode="append"
+    )
+
+
+def _anomaly_oracle() -> str:
+    from etl_acordos_spark.queries.relational import _ANOMALY_ORACLE
+
+    return _ANOMALY_ORACLE
+
+
 QUERIES: dict[str, QueryDef] = {
     "ext_stream_windows": QueryDef(q_ext_stream_windows, _WINDOWS_ORACLE),
     "ext_stream_dedup": QueryDef(q_ext_stream_dedup, _DEDUP_ORACLE),
@@ -254,4 +291,5 @@ QUERIES: dict[str, QueryDef] = {
     "ext_stream_upsert": QueryDef(q_ext_stream_upsert, _STREAM_UPSERT_ORACLE),
     "ext_stream_dedup_index": QueryDef(q_ext_stream_dedup_index, None),
     "ext_stream_ann_index": QueryDef(q_ext_stream_ann_index, None),
+    "ext_stream_anomaly": QueryDef(q_ext_stream_anomaly, _anomaly_oracle()),
 }

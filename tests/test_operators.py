@@ -1683,3 +1683,38 @@ def test_co_occurrence_edges_dedups_pairs(spark):
     )
     got = {(r["src"], r["dst"]) for r in co_occurrence_edges(items, "grp", "item").collect()}
     assert got == {(10, 20)}
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """With extreme weight separation the heavy items dominate the
+    sample; zero/negative-weight rows are never selected; the result
+    is rerun-stable (hash keys, no RNG)."""
+    from etl_acordos_spark.operators.relational import weighted_sample
+
+    rows = [(i, 1000000.0 if i < 5 else 0.001) for i in range(1, 50)]
+    rows += [(50, 0.0), (51, -3.0)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got1 = [r["id"] for r in weighted_sample(df, "id", "w", 5).collect()]
+    got2 = [r["id"] for r in weighted_sample(df, "id", "w", 5).collect()]
+    assert got1 == got2
+    assert set(got1) == {1, 2, 3, 4, 5}  # u^(1/w) -> ~1 for huge w
+    assert 50 not in got1 and 51 not in got1
+
+
+def test_conversion_ztest_signs_and_degenerate(spark):
+    """Variant B converting more gives z > 0; all-convert experiments
+    (p = 1) yield NULL z rather than a division error."""
+    from etl_acordos_spark.operators.relational import conversion_ztest
+
+    users = spark.createDataFrame(
+        [(u, u % 2, 1 if (u % 2 == 1 and u < 60) or u < 20 else 0)
+         for u in range(100)],
+        ["user_id", "variant", "converted"],
+    )
+    row = conversion_ztest(users, "variant", "converted").collect()[0]
+    assert row["n_a"] == 50 and row["n_b"] == 50
+    assert row["x_b"] > row["x_a"] and row["z"] > 0
+    degen = spark.createDataFrame(
+        [(u, u % 2, 1) for u in range(10)], ["user_id", "variant", "converted"]
+    )
+    assert conversion_ztest(degen, "variant", "converted").collect()[0]["z"] is None
