@@ -71,6 +71,7 @@ HEADLINE = [
     "ext_record_linkage",
     "ext_triangle_count",
     "ext_ab_test",
+    "ext_pagerank",
     "ext_sliding_windows",
     "ext_time_rollup",
     "ext_window_range_frame",

@@ -47,7 +47,9 @@ def co_occurrence_edges(
     )
 
 
-def triangle_counts(edges: DataFrame, k: int = 20) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, k: int = 20, broadcast_edges: bool = True
+) -> DataFrame:
     """Top-k vertices by triangle participation over an undirected
     edge list (src < dst, distinct).
 
@@ -59,8 +61,28 @@ def triangle_counts(edges: DataFrame, k: int = 20) -> DataFrame:
     formulation). Ties at the top-k boundary break by vertex id — the
     returned row SET is deterministic.
 
+    ``broadcast_edges=True`` (default) hints both wedge-join probes as
+    broadcast hash joins: the wedge stream — O(Σ outdeg²) rows, 34×
+    the edge count on the sf0.1 co-purchase graph — then flows map-side
+    straight into the partial aggregate and is NEVER sorted or
+    shuffled; only (vertex, partial count) pairs hit the exchange. With
+    sort-merge joins instead, sorting the wedge stream dominates the
+    whole query (and OOMs a small heap long before the data is big).
+    The hint requires the ORIENTED EDGE LIST (not the wedges) to fit in
+    executor memory — ~16 bytes/edge, so fine into the 10^8-edge range;
+    pass False beyond that to fall back to shuffled joins.
+
     Returns (vertex, n_triangles) — k rows.
     """
+    # eager lineage CUT: the edge list feeds the degree aggregate AND
+    # the orientation join, and the oriented list is referenced three
+    # times in the wedge join — without pinning, Catalyst inlines the
+    # whole edge-building subtree (self-join + distinct) into every
+    # reference and the fact table is scanned 12×. After the cut each
+    # is an RDD leaf: built once, O(m) ids in executor storage. cache()
+    # underneath keeps repeated invocations cheap (same canonical plan
+    # → hit) — the dedup candidate-table idiom (operators/dedup.py).
+    edges = edges.cache().localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
@@ -82,10 +104,12 @@ def triangle_counts(edges: DataFrame, k: int = 20) -> DataFrame:
     oriented = e.select(
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("w"),
-    )
+    ).cache().localCheckpoint(eager=True)
     o1 = oriented.select(F.col("u").alias("a"), F.col("w").alias("b"))
     o2 = oriented.select(F.col("u").alias("b"), F.col("w").alias("c"))
     o3 = oriented.select(F.col("u").alias("a"), F.col("w").alias("c"))
+    if broadcast_edges:
+        o2, o3 = F.broadcast(o2), F.broadcast(o3)
     tri = o1.join(o2, "b").join(o3, ["a", "c"])
     return (
         tri.select(
@@ -94,5 +118,86 @@ def triangle_counts(edges: DataFrame, k: int = 20) -> DataFrame:
         .groupBy("vertex")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), F.asc("vertex"))
+        .limit(k)
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    k: int = 20,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Top-k vertices by PageRank over an undirected edge list
+    (src < dst, distinct) after a fixed number of power iterations —
+    the influence/centrality score behind seed-quality weighting and
+    catalog curation.
+
+    Each iteration is one join + one hash aggregate on vertex ids
+    (``r' = (1-d)/N + d · Σ r_u / deg_u`` over in-neighbors, edges
+    symmetrized so every vertex both sends and receives; an undirected
+    graph has no dangling mass). The rank column is grid-floored to
+    1e-9 after EVERY iteration so both engines feed bit-identical
+    ranks into the next round — per-iteration float error (~1e-16
+    relative) never accumulates across the 10 rounds. Lineage is cut
+    per iteration with ``localCheckpoint`` (the repo's iterative-loop
+    idiom, cf. keep_representatives in operators/dedup.py): without the
+    cut, iteration i's plan inlines all i-1 predecessors and analysis
+    goes quadratic.
+
+    Returns (vertex, rank) — k rows, rank floored at 1e-9, top-k ties
+    broken by vertex id.
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # degree-annotated out-edges are reused every iteration: pin once
+    deg = sym.groupBy("src").agg(F.count("*").alias("_deg"))
+    out = (
+        sym.join(deg, "src")
+        .select("src", "dst", "_deg")
+        .cache()
+        .localCheckpoint(eager=True)
+    )
+    n = out.select("src").distinct().count()
+    ranks = (
+        out.select("src")
+        .distinct()
+        .select(F.col("src").alias("v"), F.lit(1.0 / n).alias("rank"))
+    )
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        # the rank table is |V| rows of (id, double) — ~16 bytes/vertex,
+        # broadcastable into the 10^8-vertex range. Broadcasting it makes
+        # every iteration a map-side join over the pinned edge list +
+        # one (vertex, partial-sum) exchange; the checkpointed leaf
+        # carries no partitioning metadata, so a shuffled join would
+        # re-exchange BOTH sides all 10 rounds. Pass False for graphs
+        # whose vertex set outgrows executor memory.
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (
+            out.join(r, out.src == r.v)
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = contrib.select(
+            "v",
+            (
+                F.floor(
+                    (F.lit(base) + F.lit(damping) * F.col("_in"))
+                    * 1000000000.0
+                    + 0.5
+                )
+                / 1000000000.0
+            ).alias("rank"),
+        ).localCheckpoint(eager=True)
+    return (
+        ranks.select(F.col("v").alias("vertex"), "rank")
+        .orderBy(F.desc("rank"), F.asc("vertex"))
         .limit(k)
     )

@@ -833,6 +833,59 @@ def q_ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_ztest(users, "variant", "converted")
 
 
+def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PageRank over the co-purchase graph
+    (operators/graph.py:pagerank): 10 power iterations, each one
+    join + one hash aggregate on vertex ids, lineage cut per round.
+    The oracle replays the identical recurrence as 10 unrolled chained
+    CTEs — per-iteration 1e-9 grid-floors keep both engines
+    bit-identical round over round."""
+    from etl_acordos_spark.operators.graph import (
+        co_occurrence_edges,
+        pagerank,
+    )
+
+    edges = co_occurrence_edges(
+        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    return pagerank(edges, iterations=10, damping=0.85, k=20).withColumnRenamed(
+        "vertex", "p_partkey"
+    )
+
+
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """Unrolled chained-CTE twin of operators/graph.py:pagerank —
+    identical recurrence, identical per-iteration grid-floor."""
+    head = (
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+        " edges AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d"
+        "  FROM li a JOIN li b"
+        "   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),"
+        " sym AS (SELECT s AS src, d AS dst FROM edges"
+        "  UNION ALL SELECT d AS src, s AS dst FROM edges),"
+        " deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),"
+        " oute AS (SELECT sym.src, sym.dst, deg.deg"
+        "  FROM sym JOIN deg USING (src)),"
+        " nn AS (SELECT count(DISTINCT src) AS n FROM sym),"
+        " r0 AS (SELECT DISTINCT src AS v,"
+        "  1.0 / (SELECT n FROM nn) AS rank FROM sym)"
+    )
+    its = "".join(
+        f", r{i} AS (SELECT o.dst AS v,"
+        f" floor(((1.0 - 0.85) / (SELECT n FROM nn)"
+        f"  + 0.85 * sum(r.rank / o.deg)) * 1000000000.0 + 0.5)"
+        f"  / 1000000000.0 AS rank"
+        f" FROM oute o JOIN r{i - 1} r ON o.src = r.v GROUP BY o.dst)"
+        for i in range(1, iterations + 1)
+    )
+    return (
+        head
+        + its
+        + f" SELECT v AS p_partkey, rank FROM r{iterations}"
+        " ORDER BY rank DESC, p_partkey LIMIT 20"
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _AB_TEST_ORACLE = (
@@ -1321,6 +1374,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_record_linkage": QueryDef(q_ext_record_linkage, _LINKAGE_ORACLE),
     "ext_triangle_count": QueryDef(q_ext_triangle_count, _TRIANGLE_ORACLE),
     "ext_ab_test": QueryDef(q_ext_ab_test, _AB_TEST_ORACLE),
+    "ext_pagerank": QueryDef(q_ext_pagerank, _pagerank_oracle()),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

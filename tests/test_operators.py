@@ -1718,3 +1718,24 @@ def test_conversion_ztest_signs_and_degenerate(spark):
         [(u, u % 2, 1) for u in range(10)], ["user_id", "variant", "converted"]
     )
     assert conversion_ztest(degen, "variant", "converted").collect()[0]["z"] is None
+
+
+def test_pagerank_star_center_dominates(spark):
+    """On a star graph the hub outranks every leaf; ranks are a
+    probability distribution (sum ≈ 1 after grid-flooring); a
+    symmetric 4-cycle gives all vertices equal rank."""
+    from etl_acordos_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [(1, h) for h in range(2, 8)], ["src", "dst"]
+    )
+    rows = pagerank(star, iterations=5, k=10).collect()
+    ranks = {r["vertex"]: r["rank"] for r in rows}
+    hub = ranks[1]
+    assert all(hub > v for k_, v in ranks.items() if k_ != 1)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    ring = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["src", "dst"]
+    )
+    rr = {r["vertex"]: r["rank"] for r in pagerank(ring, iterations=5, k=10).collect()}
+    assert len(set(rr.values())) == 1
