@@ -68,6 +68,8 @@ HEADLINE = [
     "ext_transition_matrix",
     "ext_psi_drift",
     "ext_gini",
+    "ext_gap_fill",
+    "ext_quantile_sketch",
     "ext_record_linkage",
     "ext_triangle_count",
     "ext_ab_test",

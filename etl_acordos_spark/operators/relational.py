@@ -845,3 +845,139 @@ def conversion_ztest(
         se > 0, F.floor((p_b - p_a) / se * 1000000.0 + 0.5) / 1000000.0
     )
     return row.select("n_a", "x_a", "n_b", "x_b", z.alias("z"))
+
+
+def gap_fill_hours(
+    events: DataFrame, series_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Time-series gap filling: one row per (series, hour) across each
+    series' observed span, missing hours forward-filled from the last
+    observed hour — the regularization step before any rolling-window
+    or forecasting job (windows over a gappy series silently mis-size
+    their frames).
+
+    Returns (series, hour, v_filled, was_gap). One (series, hour) hash
+    aggregate, a 1-row-per-series bounds aggregate exploded into the
+    hour spine (`sequence` — never a driver loop), a co-keyed left
+    join, and a per-series ordered window for the fill. Only (series,
+    hour, value) tuples shuffle; the fill is O(span) per series, so a
+    series spanning years of hours dominates its partition — split the
+    spine by month upstream if that skews.
+    """
+    hourly = events.groupBy(
+        F.col(series_col).alias("series"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.round(F.sum(value_col), 4).alias("_v"))
+    bounds = hourly.groupBy("series").agg(
+        F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
+    )
+    spine = bounds.select(
+        "series",
+        F.explode(
+            F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = spine.join(hourly, ["series", "hour"], "left")
+    w = (
+        Window.partitionBy("series")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "series",
+        "hour",
+        F.last("_v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("_v").isNull().cast("int").alias("was_gap"),
+    )
+
+
+def histogram_quantile_rollup(
+    df: DataFrame,
+    series_col: str,
+    tier_col: Column,
+    value_col: str,
+    bins: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable quantile sketch rollup — the percentile analog of
+    `ext_hll_sketch`: per (series, tier) fixed-width histogram sketches
+    (counts per bin over the global value range) merged tier-by-tier
+    into per-series quantile estimates, error bounded by one bin width.
+    The merge is exact (bin counts are associative), so a two-tier
+    rollup answers identically to a single-level histogram — which is
+    exactly what the SQL oracle computes, making the merge losslessness
+    part of the checked contract.
+
+    Returns (series, q, est): est = left bin edge + linear
+    interpolation inside the target bin, grid-floored at 1e-6.
+
+    Scale shape: one global 1-row bounds aggregate broadcast over the
+    scan, one (series, tier, bin) hash aggregate (the persistable
+    sketch tier — O(series·tiers·bins) rows, KBs per series-day), one
+    (series, bin) merge aggregate, then a per-series window over ≤
+    ``bins`` rows. Raw values never shuffle twice.
+    """
+    bounds = df.agg(
+        F.min(value_col).alias("_v0"), F.max(value_col).alias("_v1")
+    )
+    width_bin = F.least(
+        F.floor(
+            (F.col(value_col) - F.col("_v0"))
+            / ((F.col("_v1") - F.col("_v0")) / float(bins))
+        ),
+        F.lit(bins - 1),
+    )
+    sketch = (
+        df.join(F.broadcast(bounds))
+        .select(
+            F.col(series_col).alias("series"),
+            tier_col.alias("_tier"),
+            F.when(F.col("_v1") > F.col("_v0"), width_bin)
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("_bin"),
+            "_v0",
+            "_v1",
+        )
+        .groupBy("series", "_tier", "_bin", "_v0", "_v1")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    merged = sketch.groupBy("series", "_bin", "_v0", "_v1").agg(
+        F.sum("_cnt").alias("_cnt")
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        merged.withColumn("_cum", F.sum("_cnt").over(w))
+        .withColumn(
+            "_n", F.sum("_cnt").over(Window.partitionBy("series"))
+        )
+    )
+    qf = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    width = (F.col("_v1") - F.col("_v0")) / float(bins)
+    target = F.col("q") * F.col("_n")
+    est = (
+        F.col("_v0")
+        + width
+        * (
+            F.col("_bin")
+            + (target - (F.col("_cum") - F.col("_cnt"))) / F.col("_cnt")
+        )
+    )
+    return (
+        cum.select("*", qf)
+        .filter(
+            (F.col("_cum") >= target)
+            & ((F.col("_cum") - F.col("_cnt")) < target)
+        )
+        .select(
+            "series",
+            "q",
+            (F.floor(est * 1000000.0 + 0.5) / 1000000.0).alias("est"),
+        )
+    )

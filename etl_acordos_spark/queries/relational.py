@@ -886,7 +886,85 @@ def _pagerank_oracle(iterations: int = 10) -> str:
     )
 
 
+def q_ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap filling + forward fill per event type
+    (operators/relational.py:gap_fill_hours): the series-regularization
+    step before rolling windows or forecasting. Spine from `sequence`
+    explode, per-series ordered fill window."""
+    from etl_acordos_spark.operators.relational import gap_fill_hours
+
+    return gap_fill_hours(
+        read_events(spark, sf_dir), "event_type", "ts", "value"
+    ).withColumnRenamed("series", "event_type")
+
+
+def q_ext_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile rollup per event type
+    (operators/relational.py:histogram_quantile_rollup): daily
+    64-bin sketches merged to per-type p50/p90/p99 — the percentile
+    analog of ext_hll_sketch, with the merge losslessness checked by
+    the oracle's single-level histogram."""
+    from etl_acordos_spark.operators.relational import (
+        histogram_quantile_rollup,
+    )
+
+    ev = read_events(spark, sf_dir)
+    return histogram_quantile_rollup(
+        ev,
+        "event_type",
+        F.col("ts").cast("date"),
+        "value",
+        bins=64,
+        quantiles=(0.5, 0.9, 0.99),
+    ).withColumnRenamed("series", "event_type")
+
+
 # ---------------------------------------------------------------- oracles
+
+_GAP_FILL_ORACLE = (
+    "WITH hourly AS (SELECT event_type AS series,"
+    "   date_trunc('hour', ts) AS hour, round(sum(value), 4) AS v"
+    "  FROM events GROUP BY 1, 2),"
+    " b AS (SELECT series, min(hour) AS h0, max(hour) AS h1"
+    "  FROM hourly GROUP BY 1),"
+    " spine AS (SELECT series,"
+    "   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),"
+    " j AS (SELECT s.series, s.hour, h.v"
+    "  FROM spine s LEFT JOIN hourly h USING (series, hour))"
+    " SELECT series AS event_type, hour,"
+    "  last_value(v IGNORE NULLS) OVER (PARTITION BY series ORDER BY hour"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,"
+    "  CAST(v IS NULL AS INT) AS was_gap"
+    " FROM j"
+)
+
+_QUANTILE_SKETCH_ORACLE = (
+    # single-level histogram: equals the engine's two-tier rollup
+    # because bin-count merges are associative (the checked contract)
+    "WITH bounds AS (SELECT min(value) AS v0, max(value) AS v1"
+    "  FROM events),"
+    " binned AS (SELECT event_type AS series,"
+    "  CAST(CASE WHEN v1 > v0 THEN"
+    "   least(floor((value - v0) / ((v1 - v0) / 64.0)), 63)"
+    "   ELSE 0 END AS INT) AS bin, v0, v1"
+    "  FROM events, bounds),"
+    " merged AS (SELECT series, bin, v0, v1, count(*) AS cnt"
+    "  FROM binned GROUP BY series, bin, v0, v1),"
+    " cum AS (SELECT *,"
+    "  sum(cnt) OVER (PARTITION BY series ORDER BY bin"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,"
+    "  sum(cnt) OVER (PARTITION BY series) AS n FROM merged),"
+    # CAST: a bare [0.5, …] list is DECIMAL in DuckDB — decimal q*n
+    # would hit bin boundaries differently than Spark's double
+    " q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),"
+    "   CAST(0.99 AS DOUBLE)]) AS q)"
+    " SELECT series AS event_type, q,"
+    "  floor((v0 + ((v1 - v0) / 64.0)"
+    "    * (bin + (q * n - (c - cnt)) / cnt)) * 1000000.0 + 0.5)"
+    "   / 1000000.0 AS est"
+    " FROM cum, q"
+    " WHERE c >= q * n AND (c - cnt) < q * n"
+)
 
 _AB_TEST_ORACLE = (
     "WITH users AS (SELECT user_id, user_id % 2 AS variant,"
@@ -1375,6 +1453,10 @@ QUERIES: dict[str, QueryDef] = {
     "ext_triangle_count": QueryDef(q_ext_triangle_count, _TRIANGLE_ORACLE),
     "ext_ab_test": QueryDef(q_ext_ab_test, _AB_TEST_ORACLE),
     "ext_pagerank": QueryDef(q_ext_pagerank, _pagerank_oracle()),
+    "ext_gap_fill": QueryDef(q_ext_gap_fill, _GAP_FILL_ORACLE),
+    "ext_quantile_sketch": QueryDef(
+        q_ext_quantile_sketch, _QUANTILE_SKETCH_ORACLE
+    ),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

@@ -1739,3 +1739,55 @@ def test_pagerank_star_center_dominates(spark):
     )
     rr = {r["vertex"]: r["rank"] for r in pagerank(ring, iterations=5, k=10).collect()}
     assert len(set(rr.values())) == 1
+
+
+def test_gap_fill_forward_fills_missing_hours(spark):
+    """A series observed at hours 0 and 3 yields a 4-row spine with
+    hours 1-2 forward-filled from hour 0 and flagged as gaps."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import gap_fill_hours
+
+    ev = spark.createDataFrame(
+        [
+            ("s", dt(2024, 1, 1, 0, 15), 2.0),
+            ("s", dt(2024, 1, 1, 0, 45), 3.0),
+            ("s", dt(2024, 1, 1, 3, 10), 7.0),
+        ],
+        ["series_id", "ts", "value"],
+    )
+    rows = sorted(
+        gap_fill_hours(ev, "series_id", "ts", "value").collect(),
+        key=lambda r: r["hour"],
+    )
+    assert [r["hour"].hour for r in rows] == [0, 1, 2, 3]
+    assert [r["v_filled"] for r in rows] == [5.0, 5.0, 5.0, 7.0]
+    assert [r["was_gap"] for r in rows] == [0, 1, 1, 0]
+
+
+def test_histogram_quantile_rollup_merge_and_bounds(spark):
+    """The two-tier rollup equals a one-tier sketch (merge is
+    associative), and each estimate sits within one bin width of the
+    exact quantile on a uniform series."""
+    from etl_acordos_spark.operators.relational import (
+        histogram_quantile_rollup,
+    )
+
+    rows = [("u", i % 7, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["series_id", "day", "value"])
+    two_tier = {
+        (r["series"], r["q"]): r["est"]
+        for r in histogram_quantile_rollup(
+            df, "series_id", F.col("day"), "value", bins=64
+        ).collect()
+    }
+    one_tier = {
+        (r["series"], r["q"]): r["est"]
+        for r in histogram_quantile_rollup(
+            df, "series_id", F.lit(0), "value", bins=64
+        ).collect()
+    }
+    assert two_tier == one_tier
+    width = 999.0 / 64
+    for q in (0.5, 0.9, 0.99):
+        assert abs(two_tier[("u", q)] - q * 999.0) <= width

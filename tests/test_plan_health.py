@@ -87,6 +87,8 @@ QUADRATIC_BY_DESIGN = {
     "ext_dataset_card",  # 1-row × 1-row stats cross join
     "ext_heavy_hitters",  # 1-row corpus-total broadcast join
     "ext_psi_drift",  # 1-row global-bounds broadcast join
+    "ext_quantile_sketch",  # 1-row global-bounds broadcast join
+    # + a 3-row quantile-probe lateral explode (not a join)
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
     "ext_leakage_split",  # built on the exact all-pairs dup graph
     "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
