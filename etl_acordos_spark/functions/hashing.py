@@ -57,3 +57,21 @@ def sql_hash32(expr: str, mult: int = KNUTH_C) -> str:
 def sql_unit_hash(expr: str, mult: int = KNUTH_C) -> str:
     """DuckDB-SQL twin of :func:`unit_hash`."""
     return f"(CAST({sql_hash32(expr, mult)} AS DOUBLE) / 4294967296.0)"
+
+
+def unit_hash_open(col: Column, mult: int = KNUTH_C) -> Column:
+    """``(hash32 + 0.5) / 2^32`` — a variate in the OPEN interval
+    (0, 1). Use for weight-keyed sampling (``u ** (1/w)``): a variate
+    of exactly 0 would freeze the key at 0 for every weight, silently
+    excluding that id no matter how heavy it is."""
+    return (hash32(col, mult).cast("double") + F.lit(0.5)) / F.lit(
+        float(M32)
+    )
+
+
+def sql_unit_hash_open(expr: str, mult: int = KNUTH_C) -> str:
+    """DuckDB-SQL twin of :func:`unit_hash_open`."""
+    return (
+        f"((CAST({sql_hash32(expr, mult)} AS DOUBLE) + 0.5)"
+        " / 4294967296.0)"
+    )

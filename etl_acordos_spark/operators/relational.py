@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_acordos_spark.functions.hashing import unit_hash
+from etl_acordos_spark.functions.hashing import unit_hash_open
 
 
 def star_join(
@@ -596,6 +596,29 @@ def heavy_hitters(
     )
 
 
+
+def fixed_width_bin(value_col: str, bins: int) -> Column:
+    """Fixed-width bin index over a broadcast 1-row [_v0, _v1] bounds
+    frame: ``least(floor((v - v0) / ((v1 - v0) / bins)), bins - 1)``,
+    degenerate ranges (v1 == v0) collapsing to bin 0. ONE definition
+    shared by every histogram-shaped operator (psi_drift,
+    histogram_quantile_rollup): the expression text must match the SQL
+    oracles IEEE-for-IEEE, so there must be exactly one copy to keep
+    in sync."""
+    raw = F.least(
+        F.floor(
+            (F.col(value_col) - F.col("_v0"))
+            / ((F.col("_v1") - F.col("_v0")) / float(bins))
+        ),
+        F.lit(bins - 1),
+    )
+    return (
+        F.when(F.col("_v1") > F.col("_v0"), raw)
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+
+
 def psi_drift(
     events: DataFrame,
     type_col: str,
@@ -635,24 +658,11 @@ def psi_drift(
         F.col("_d0"),
         F.floor(F.datediff(F.col("_d1"), F.col("_d0")) / 2.0).cast("int"),
     )
-    # identical expression text in the SQL oracle: bin edges are pure
-    # double arithmetic on values that exist in the data, so IEEE
-    # evaluation matches across engines
-    width_bin = F.least(
-        F.floor(
-            (F.col(value_col) - F.col("_v0"))
-            / ((F.col("_v1") - F.col("_v0")) / float(bins))
-        ),
-        F.lit(bins - 1),
-    )
     binned = (
         events.join(F.broadcast(bounds))
         .select(
             F.col(type_col).alias("type"),
-            F.when(F.col("_v1") > F.col("_v0"), width_bin)
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("_bin"),
+            fixed_width_bin(value_col, bins).alias("_bin"),
             F.when(day <= mid, F.lit(1)).otherwise(F.lit(0)).alias("_is_old"),
         )
         .groupBy("type", "_bin")
@@ -784,15 +794,17 @@ def weighted_sample(
     (length, quality, domain boost) rather than uniform chance.
 
     The uniform variate is the repo's deterministic cross-engine
-    multiplicative hash (functions/hashing.py), so the sample is
-    reproducible across runs, engines, and cluster layouts — no RNG
-    state. Keys are grid-floored to 9 dp and tie-broken by id so the
+    multiplicative hash shifted into the OPEN interval (0, 1)
+    (functions/hashing.py:unit_hash_open — a closed-interval u = 0
+    would freeze the key at 0 and silently exclude that id at any
+    weight), so the sample is reproducible across runs, engines, and
+    cluster layouts — no RNG state. Keys are grid-floored to 9 dp and tie-broken by id so the
     top-k row SET is identical in both engines (raw ``pow`` can differ
     in the last ULP between libm implementations). One scan, no
     shuffle until the TakeOrdered top-k; rows with weight <= 0 are
     excluded (their inclusion probability is 0).
     """
-    u = unit_hash(F.col(id_col))
+    u = unit_hash_open(F.col(id_col))
     key = F.pow(u, F.lit(1.0) / F.col(weight_col))
     return (
         df.filter(F.col(weight_col) > 0)
@@ -920,22 +932,12 @@ def histogram_quantile_rollup(
     bounds = df.agg(
         F.min(value_col).alias("_v0"), F.max(value_col).alias("_v1")
     )
-    width_bin = F.least(
-        F.floor(
-            (F.col(value_col) - F.col("_v0"))
-            / ((F.col("_v1") - F.col("_v0")) / float(bins))
-        ),
-        F.lit(bins - 1),
-    )
     sketch = (
         df.join(F.broadcast(bounds))
         .select(
             F.col(series_col).alias("series"),
             tier_col.alias("_tier"),
-            F.when(F.col("_v1") > F.col("_v0"), width_bin)
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("_bin"),
+            fixed_width_bin(value_col, bins).alias("_bin"),
             "_v0",
             "_v1",
         )
@@ -980,4 +982,44 @@ def histogram_quantile_rollup(
             "q",
             (F.floor(est * 1000000.0 + 0.5) / 1000000.0).alias("est"),
         )
+    )
+
+
+def zscore_outliers(
+    train: DataFrame,
+    score: DataFrame,
+    type_col: str,
+    value_col: str,
+    id_cols: tuple[str, ...] = ("event_id",),
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-group z-score outlier scoring: population mean/stddev per
+    ``type_col`` trained on *train*, then *score* rows more than
+    ``threshold`` SDs out are flagged — one stats aggregate broadcast
+    over the scored scan. *train* and *score* are separate so the batch
+    monitor (score what you trained on) and the streaming monitor
+    (score a stream against batch-trained stats) share ONE expression
+    tree — `ext_anomaly_zscore` and `ext_stream_anomaly` both verify
+    against the same oracle, so their construction must never diverge.
+
+    |z| is grid-floored at 1e-4 so the boundary decision and the
+    printed value replay exactly in SQL; constant-valued groups
+    (sigma 0 — engines disagree on double/0) are dropped in both
+    engines.
+    """
+    stats = (
+        train.groupBy(type_col)
+        .agg(
+            F.avg(value_col).alias("_mu"),
+            F.stddev_pop(value_col).alias("_sigma"),
+        )
+        .filter(F.col("_sigma") > 0)
+    )
+    z = (F.col(value_col) - F.col("_mu")) / F.col("_sigma")
+    abs_z = F.floor(F.abs(z) * 10000.0 + 0.5) / 10000.0
+    return (
+        score.join(F.broadcast(stats), type_col)
+        .withColumn("abs_z", abs_z)
+        .filter(F.col("abs_z") > threshold)
+        .select(*id_cols, type_col, value_col, "abs_z")
     )

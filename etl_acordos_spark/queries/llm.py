@@ -690,16 +690,22 @@ _BM25_CTES = (
     "   AS score FROM base CROSS JOIN stats)"
 )
 
-_WEIGHTED_SAMPLE_ORACLE = (
-    "WITH keyed AS (SELECT doc_id, n_chars,"
-    "  floor(pow((CAST((CAST(doc_id AS DECIMAL(38,0)) * 2654435761)"
-    "     % 4294967296 AS DOUBLE) / 4294967296.0),"
-    "    1.0 / n_chars) * 1000000000.0 + 0.5) / 1000000000.0"
-    "   AS sample_key"
-    "  FROM documents WHERE n_chars > 0)"
-    " SELECT doc_id, n_chars, sample_key FROM keyed"
-    " ORDER BY sample_key DESC, doc_id LIMIT 50"
-)
+def _weighted_sample_oracle() -> str:
+    from etl_acordos_spark.functions.hashing import sql_unit_hash_open
+
+    u = sql_unit_hash_open("doc_id")
+    return (
+        "WITH keyed AS (SELECT doc_id, n_chars,"
+        f"  floor(pow({u},"
+        "    1.0 / n_chars) * 1000000000.0 + 0.5) / 1000000000.0"
+        "   AS sample_key"
+        "  FROM documents WHERE n_chars > 0)"
+        " SELECT doc_id, n_chars, sample_key FROM keyed"
+        " ORDER BY sample_key DESC, doc_id LIMIT 50"
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = _weighted_sample_oracle()
 
 _NGRAM_TOPK_ORACLE = (
     "WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents"

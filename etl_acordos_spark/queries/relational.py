@@ -688,28 +688,14 @@ def q_ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outliers over `value`: events more than
     2.5 population standard deviations from their type's mean — the
-    metric-monitoring primitive of a DQ pipeline. One grouped
-    aggregate broadcast back over the scan (the repo's 1-row-per-group
-    stats-join shape); z rounded via grid-floor on |z| so the boundary
-    decision and the printed value replay exactly in the oracle."""
+    metric-monitoring primitive of a DQ pipeline
+    (operators/relational.py:zscore_outliers — the SAME expression tree
+    `ext_stream_anomaly` scores its stream with, which is what lets
+    both keys share one oracle)."""
+    from etl_acordos_spark.operators.relational import zscore_outliers
+
     ev = read_events(spark, sf_dir)
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("_mu"),
-        F.stddev_pop("value").alias("_sigma"),
-    ).filter(
-        # a constant-valued type has sigma 0; engines disagree on
-        # double/0 (Spark NULL, DuckDB can produce inf) — no
-        # distribution, no outliers, drop the group in BOTH engines
-        F.col("_sigma") > 0
-    )
-    z = (F.col("value") - F.col("_mu")) / F.col("_sigma")
-    abs_z = F.floor(F.abs(z) * 10000.0 + 0.5) / 10000.0
-    return (
-        ev.join(F.broadcast(stats), "event_type")
-        .withColumn("abs_z", abs_z)
-        .filter(F.col("abs_z") > 2.5)
-        .select("event_id", "event_type", "value", "abs_z")
-    )
+    return zscore_outliers(ev, ev, "event_type", "value")
 
 
 def q_ext_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,9 +839,13 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iterations: int = 10) -> str:
+def _pagerank_oracle(
+    iterations: int = 10, damping: float = 0.85, k: int = 20
+) -> str:
     """Unrolled chained-CTE twin of operators/graph.py:pagerank —
-    identical recurrence, identical per-iteration grid-floor."""
+    identical recurrence, identical per-iteration grid-floor. All
+    three knobs are threaded through so the oracle can't silently
+    diverge from a retuned q_ext_pagerank."""
     head = (
         "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
         " edges AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d"
@@ -872,8 +862,8 @@ def _pagerank_oracle(iterations: int = 10) -> str:
     )
     its = "".join(
         f", r{i} AS (SELECT o.dst AS v,"
-        f" floor(((1.0 - 0.85) / (SELECT n FROM nn)"
-        f"  + 0.85 * sum(r.rank / o.deg)) * 1000000000.0 + 0.5)"
+        f" floor(((1.0 - {damping!r}) / (SELECT n FROM nn)"
+        f"  + {damping!r} * sum(r.rank / o.deg)) * 1000000000.0 + 0.5)"
         f"  / 1000000000.0 AS rank"
         f" FROM oute o JOIN r{i - 1} r ON o.src = r.v GROUP BY o.dst)"
         for i in range(1, iterations + 1)
@@ -882,7 +872,7 @@ def _pagerank_oracle(iterations: int = 10) -> str:
         head
         + its
         + f" SELECT v AS p_partkey, rank FROM r{iterations}"
-        " ORDER BY rank DESC, p_partkey LIMIT 20"
+        f" ORDER BY rank DESC, p_partkey LIMIT {k}"
     )
 
 

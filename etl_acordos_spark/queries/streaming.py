@@ -249,24 +249,13 @@ def q_ext_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     to |z| > 2.5 — real-time DQ alerting on top of the batch monitor.
     On availableNow input the result equals the batch z-score query, so
     `ext_anomaly_zscore`'s oracle is reused verbatim."""
-    from pyspark.sql import functions as F
+    from etl_acordos_spark.operators.relational import zscore_outliers
 
-    ev_static = read_events(spark, sf_dir)
-    stats = (
-        ev_static.groupBy("event_type")
-        .agg(
-            F.avg("value").alias("_mu"),
-            F.stddev_pop("value").alias("_sigma"),
-        )
-        .filter(F.col("_sigma") > 0)
-    )
-    z = (F.col("value") - F.col("_mu")) / F.col("_sigma")
-    scored = (
-        stream_events(spark, sf_dir)
-        .join(F.broadcast(stats), "event_type")
-        .withColumn("abs_z", F.floor(F.abs(z) * 10000.0 + 0.5) / 10000.0)
-        .filter(F.col("abs_z") > 2.5)
-        .select("event_id", "event_type", "value", "abs_z")
+    scored = zscore_outliers(
+        read_events(spark, sf_dir),
+        stream_events(spark, sf_dir),
+        "event_type",
+        "value",
     )
     return run_stream_to_table(
         scored, "stream_anomaly_result", output_mode="append"

@@ -1697,7 +1697,11 @@ def test_weighted_sample_prefers_heavy_weights(spark):
     got1 = [r["id"] for r in weighted_sample(df, "id", "w", 5).collect()]
     got2 = [r["id"] for r in weighted_sample(df, "id", "w", 5).collect()]
     assert got1 == got2
-    assert set(got1) == {1, 2, 3, 4, 5}  # u^(1/w) -> ~1 for huge w
+    assert len(got1) == 5
+    # the four heavy ids must all be in: u^(1/w) -> ~1 for huge w,
+    # while every light item's key is u^1000 << 1. Which light item
+    # fills the 5th slot is a property of the hash — don't pin it.
+    assert {1, 2, 3, 4} <= set(got1)
     assert 50 not in got1 and 51 not in got1
 
 
