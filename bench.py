@@ -117,6 +117,7 @@ HEADLINE = [
     "ext_tfidf",
     "ext_bm25",
     "ext_ngram_topk",
+    "ext_pmi",
     "ext_weighted_sample",
     "ext_span_dedup",
     "ext_repetition",

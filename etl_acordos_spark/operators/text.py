@@ -1359,3 +1359,83 @@ def top_ngrams(
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 25,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    ``pmi = ln( (c_ab / N_b) / ((c_a / N_t) · (c_b / N_t)) )`` over
+    whitespace bigrams — the association statistic that separates true
+    collocations ("New York") from merely-frequent pairs, the step
+    after raw n-gram counting in vocabulary/tokenizer analysis.
+
+    One scan: tokens HOF-expanded once, then two hash aggregates
+    (unigram and bigram counts, both map-side combined); the two corpus
+    totals are 1-row broadcast joins; the unigram table joins back onto
+    the min-count-filtered bigrams keyed on word (AQE broadcasts it
+    while the vocabulary is dim-sized, falls back to a shuffle join
+    beyond). ``min_count`` keeps rare-pair noise out (PMI is maximized
+    by hapax pairs). PMI is grid-floored at 1e-6 BEFORE the TakeOrdered
+    so the top-k boundary, tie-broken by (w1, w2), is deterministic in
+    both engines.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.split(F.col(text_col), " ").alias("tk"))
+    )
+    unigrams = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    nt = unigrams.agg(F.sum("c_w").alias("_nt"))
+    pairs = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i-1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    nb = pairs.agg(F.count("*").alias("_nb"))
+    bigrams = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    pmi = F.log(
+        (F.col("c_ab") / F.col("_nb"))
+        / ((F.col("c_a") / F.col("_nt")) * (F.col("c_b") / F.col("_nt")))
+    )
+    return (
+        bigrams.join(
+            unigrams.select(
+                F.col("w").alias("w1"), F.col("c_w").alias("c_a")
+            ),
+            "w1",
+        )
+        .join(
+            unigrams.select(
+                F.col("w").alias("w2"), F.col("c_w").alias("c_b")
+            ),
+            "w2",
+        )
+        .join(F.broadcast(nb))
+        .join(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("n"),
+            (F.floor(pmi * 1000000.0 + 0.5) / 1000000.0).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -615,6 +615,18 @@ def q_ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", "n_chars", k=50)
 
 
+def q_ext_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information over corpus
+    bigrams with min support 25 (operators/text.py:pmi_collocations) —
+    the association statistic behind collocation discovery, one scan +
+    two hash aggregates + word-keyed joins."""
+    from etl_acordos_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(
+        t(spark, sf_dir, "documents"), "text", min_count=25, k=20
+    )
+
+
 def q_ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-25 word bigrams (operators/text.py:top_ngrams) —
     the collocation table behind vocabulary analysis and boilerplate
@@ -706,6 +718,26 @@ def _weighted_sample_oracle() -> str:
 
 
 _WEIGHTED_SAMPLE_ORACLE = _weighted_sample_oracle()
+
+_PMI_ORACLE = (
+    "WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents"
+    "  WHERE text IS NOT NULL),"
+    " uni AS (SELECT unnest(tk) AS w FROM tok),"
+    " uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),"
+    " nt AS (SELECT sum(c_w) AS nt FROM uc),"
+    " pr AS (SELECT unnest(range(1, len(tk))) AS i, tk FROM tok"
+    "  WHERE len(tk) >= 2),"
+    " pairs AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM pr),"
+    " nb AS (SELECT count(*) AS nb FROM pairs),"
+    " bg AS (SELECT w1, w2, count(*) AS c_ab FROM pairs"
+    "  GROUP BY w1, w2 HAVING count(*) >= 25)"
+    " SELECT w1, w2, CAST(c_ab AS BIGINT) AS n,"
+    "  floor(ln((CAST(c_ab AS DOUBLE) / nb)"
+    "    / ((CAST(a.c_w AS DOUBLE) / nt) * (CAST(b.c_w AS DOUBLE) / nt)))"
+    "   * 1000000.0 + 0.5) / 1000000.0 AS pmi"
+    " FROM bg JOIN uc a ON a.w = bg.w1 JOIN uc b ON b.w = bg.w2, nb, nt"
+    " ORDER BY pmi DESC, w1, w2 LIMIT 20"
+)
 
 _NGRAM_TOPK_ORACLE = (
     "WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents"
@@ -1231,6 +1263,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_tfidf": QueryDef(q_ext_tfidf, _ORACLES["ext_tfidf"]),
     "ext_bm25": QueryDef(q_ext_bm25, _ORACLES["ext_bm25"]),
     "ext_ngram_topk": QueryDef(q_ext_ngram_topk, _NGRAM_TOPK_ORACLE),
+    "ext_pmi": QueryDef(q_ext_pmi, _PMI_ORACLE),
     "ext_weighted_sample": QueryDef(
         q_ext_weighted_sample, _WEIGHTED_SAMPLE_ORACLE
     ),

@@ -1795,3 +1795,24 @@ def test_histogram_quantile_rollup_merge_and_bounds(spark):
     width = 999.0 / 64
     for q in (0.5, 0.9, 0.99):
         assert abs(two_tier[("u", q)] - q * 999.0) <= width
+
+
+def test_pmi_collocations_prefers_exclusive_pairs(spark):
+    """A pair that ALWAYS co-occurs ('new york' in every doc) scores
+    higher PMI than a pair of independently frequent words, and pairs
+    below min_count never appear."""
+    from etl_acordos_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york the cat the dog") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["w1"], r["w2"]): r["pmi"]
+        for r in pmi_collocations(docs, "text", min_count=10, k=10).collect()
+    }
+    assert ("new", "york") in got
+    # 'york the' co-occurs as often as 'new york' but 'the' is twice as
+    # frequent as 'new' (appears twice per doc) -> strictly lower PMI
+    assert got[("new", "york")] > got[("york", "the")]
+    assert ("the", "cat") in got and ("rare", "pair") not in got

@@ -89,6 +89,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_psi_drift",  # 1-row global-bounds broadcast join
     "ext_quantile_sketch",  # 1-row global-bounds broadcast join
     # + a 3-row quantile-probe lateral explode (not a join)
+    "ext_pmi",  # two 1-row corpus-total broadcast joins
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
     "ext_leakage_split",  # built on the exact all-pairs dup graph
     "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
