@@ -70,6 +70,7 @@ HEADLINE = [
     "ext_gini",
     "ext_gap_fill",
     "ext_quantile_sketch",
+    "ext_changepoint",
     "ext_record_linkage",
     "ext_triangle_count",
     "ext_ab_test",

@@ -1023,3 +1023,63 @@ def zscore_outliers(
         .filter(F.col("abs_z") > threshold)
         .select(*id_cols, type_col, value_col, "abs_z")
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM changepoint detection per series: the event where the
+    running sum of (value − series mean) peaks in magnitude — the
+    classic "when did this metric shift" locator that turns
+    `ext_psi_drift`'s *whether* into a *when*.
+
+    Returns one row per series: (series, cp_ts, cp_event, cusum) with
+    ``cusum = max_i |Σ_{j<=i} (x_j − μ)|``, the argmax event
+    identifying the shift boundary.
+
+    Determinism: μ is grid-floored at 1e-9 (a raw avg differs between
+    engines in the last ULP from partial-sum reassociation; once μ is
+    pinned, the running sum adds identical terms in the identical
+    (ts, id) order, so every S_i is bit-identical) and |S| is floored
+    at 1e-6 for output and argmax, ties broken by (ts, id). One stats
+    aggregate broadcast over the scan, one sequential window per
+    series, one argmax window — the per-series pass is O(series
+    length) on one partition, like any ordered scan; shard long series
+    by epoch upstream if one series dominates.
+    """
+    stats = events.groupBy(type_col).agg(
+        (
+            F.floor(F.avg(value_col) * 1000000000.0 + 0.5) / 1000000000.0
+        ).alias("_mu")
+    )
+    w_run = (
+        Window.partitionBy(type_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        events.join(F.broadcast(stats), type_col)
+        .withColumn(
+            "_s", F.sum(F.col(value_col) - F.col("_mu")).over(w_run)
+        )
+        .withColumn(
+            "_abs_s", F.floor(F.abs("_s") * 1000000.0 + 0.5) / 1000000.0
+        )
+    )
+    w_pick = Window.partitionBy(type_col).orderBy(
+        F.desc("_abs_s"), F.asc(ts_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(type_col).alias("series"),
+            F.col(ts_col).alias("cp_ts"),
+            F.col(id_col).alias("cp_event"),
+            F.col("_abs_s").alias("cusum"),
+        )
+    )

@@ -909,7 +909,36 @@ def q_ext_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("series", "event_type")
 
 
+def q_ext_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type
+    (operators/relational.py:cusum_changepoint): the event where each
+    type's cumulative deviation from its mean peaks — turns
+    `ext_psi_drift`'s *whether the metric shifted* into *when*."""
+    from etl_acordos_spark.operators.relational import cusum_changepoint
+
+    return cusum_changepoint(
+        read_events(spark, sf_dir), "event_type", "ts", "event_id", "value"
+    ).withColumnRenamed("series", "event_type")
+
+
 # ---------------------------------------------------------------- oracles
+
+_CHANGEPOINT_ORACLE = (
+    "WITH stats AS (SELECT event_type,"
+    "   floor(avg(value) * 1000000000.0 + 0.5) / 1000000000.0 AS mu"
+    "  FROM events GROUP BY event_type),"
+    " scored AS (SELECT e.event_type, ts, event_id,"
+    "  floor(abs(sum(value - mu) OVER (PARTITION BY e.event_type"
+    "    ORDER BY ts, event_id"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+    "   * 1000000.0 + 0.5) / 1000000.0 AS abs_s"
+    "  FROM events e JOIN stats USING (event_type)),"
+    " picked AS (SELECT *, row_number() OVER (PARTITION BY event_type"
+    "   ORDER BY abs_s DESC, ts, event_id) AS rn FROM scored)"
+    " SELECT event_type, ts AS cp_ts, event_id AS cp_event,"
+    "  abs_s AS cusum"
+    " FROM picked WHERE rn = 1"
+)
 
 _GAP_FILL_ORACLE = (
     "WITH hourly AS (SELECT event_type AS series,"
@@ -1447,6 +1476,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_quantile_sketch": QueryDef(
         q_ext_quantile_sketch, _QUANTILE_SKETCH_ORACLE
     ),
+    "ext_changepoint": QueryDef(q_ext_changepoint, _CHANGEPOINT_ORACLE),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

@@ -1816,3 +1816,21 @@ def test_pmi_collocations_prefers_exclusive_pairs(spark):
     # frequent as 'new' (appears twice per doc) -> strictly lower PMI
     assert got[("new", "york")] > got[("york", "the")]
     assert ("the", "cat") in got and ("rare", "pair") not in got
+
+
+def test_cusum_changepoint_locates_planted_shift(spark):
+    """A series that jumps from 0-mean to +10 halfway through peaks its
+    CUSUM magnitude exactly at the last pre-shift event."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import cusum_changepoint
+
+    rows = [("s", dt(2024, 1, 1, h), h, 0.0) for h in range(10)]
+    rows += [("s", dt(2024, 1, 2, h), 10 + h, 10.0) for h in range(10)]
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "event_id", "value"])
+    got = cusum_changepoint(ev, "event_type", "ts", "event_id", "value").collect()
+    assert len(got) == 1
+    # mean = 5; pre-shift events accumulate -5 each -> |S| peaks at -50
+    # on event_id 9 (the boundary), then shrinks by +5 per post event
+    assert got[0]["cp_event"] == 9
+    assert got[0]["cusum"] == 50.0
