@@ -63,6 +63,7 @@ HEADLINE = [
     "ext_rollup",
     "ext_event_windows",
     "ext_funnel",
+    "ext_funnel_latency",
     "ext_retention",
     "ext_anomaly_zscore",
     "ext_transition_matrix",

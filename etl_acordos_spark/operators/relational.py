@@ -1083,3 +1083,56 @@ def cusum_changepoint(
             F.col("_abs_s").alias("cusum"),
         )
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_step: str,
+    to_step: str,
+) -> DataFrame:
+    """Time-to-convert distribution: for users who completed
+    ``to_step`` strictly after their first ``from_step``, the calendar-
+    day latency between the two, summarized per ISO-week cohort of the
+    first step (same week truncation as cohort_retention) — the "how
+    long does conversion take" follow-up to `ext_funnel`'s "how many
+    convert".
+
+    Returns (cohort_week, n_users, avg_days, p50_days, max_days).
+
+    Same O(1)-per-user min-chain as funnel_steps (two filtered scans +
+    one co-keyed join — never a per-user event list); latency is an
+    integer calendar-day difference, so avg (one exact-int sum / one
+    division, grid-floored) and the interpolated median (halves of
+    ints are exact doubles) replay identically in SQL.
+    """
+    first_a = (
+        events.filter(F.col(type_col) == from_step)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t_a"))
+    )
+    first_b = (
+        events.filter(F.col(type_col) == to_step)
+        .join(first_a, user_col)
+        .filter(F.col(ts_col) > F.col("_t_a"))
+        .groupBy(user_col)
+        .agg(
+            F.min(ts_col).alias("_t_b"), F.min("_t_a").alias("_t_a")
+        )
+    )
+    lat = first_b.select(
+        F.date_trunc("week", F.col("_t_a"))
+        .cast("date")
+        .alias("cohort_week"),
+        F.datediff(F.col("_t_b"), F.col("_t_a")).alias("_days"),
+    )
+    return lat.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        (
+            F.floor(F.avg("_days") * 10000.0 + 0.5) / 10000.0
+        ).alias("avg_days"),
+        F.expr("percentile(_days, 0.5)").alias("p50_days"),
+        F.max("_days").cast("int").alias("max_days"),
+    )

@@ -909,6 +909,23 @@ def q_ext_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("series", "event_type")
 
 
+def q_ext_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution view → purchase per ISO-week
+    cohort (operators/relational.py:funnel_latency): integer
+    calendar-day latencies, exact-int average and interpolated median
+    — the follow-up statistic to `ext_funnel`'s conversion counts."""
+    from etl_acordos_spark.operators.relational import funnel_latency
+
+    return funnel_latency(
+        read_events(spark, sf_dir),
+        "user_id",
+        "ts",
+        "event_type",
+        "view",
+        "purchase",
+    )
+
+
 def q_ext_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint per event type
     (operators/relational.py:cusum_changepoint): the event where each
@@ -922,6 +939,24 @@ def q_ext_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- oracles
+
+_FUNNEL_LATENCY_ORACLE = (
+    "WITH fa AS (SELECT user_id, min(ts) AS t_a FROM events"
+    "  WHERE event_type = 'view' GROUP BY user_id),"
+    " fb AS (SELECT e.user_id, min(e.ts) AS t_b, min(t_a) AS t_a"
+    "  FROM events e JOIN fa USING (user_id)"
+    "  WHERE e.event_type = 'purchase' AND e.ts > t_a"
+    "  GROUP BY e.user_id),"
+    " lat AS (SELECT CAST(date_trunc('week', t_a) AS DATE)"
+    "   AS cohort_week,"
+    "  date_diff('day', CAST(t_a AS DATE), CAST(t_b AS DATE)) AS days"
+    "  FROM fb)"
+    " SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users,"
+    "  floor(avg(days) * 10000.0 + 0.5) / 10000.0 AS avg_days,"
+    "  quantile_cont(days, 0.5) AS p50_days,"
+    "  CAST(max(days) AS INT) AS max_days"
+    " FROM lat GROUP BY cohort_week"
+)
 
 _CHANGEPOINT_ORACLE = (
     "WITH stats AS (SELECT event_type,"
@@ -1477,6 +1512,9 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_quantile_sketch, _QUANTILE_SKETCH_ORACLE
     ),
     "ext_changepoint": QueryDef(q_ext_changepoint, _CHANGEPOINT_ORACLE),
+    "ext_funnel_latency": QueryDef(
+        q_ext_funnel_latency, _FUNNEL_LATENCY_ORACLE
+    ),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

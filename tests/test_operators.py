@@ -1834,3 +1834,27 @@ def test_cusum_changepoint_locates_planted_shift(spark):
     # on event_id 9 (the boundary), then shrinks by +5 per post event
     assert got[0]["cp_event"] == 9
     assert got[0]["cusum"] == 50.0
+
+
+def test_funnel_latency_planted_timeline(spark):
+    """Two users: one converts 3 days after first view, one 0 days
+    (same day), one never converts (purchase BEFORE the view doesn't
+    count) -> one cohort row with n=2, avg 1.5, median 1.5, max 3."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import funnel_latency
+
+    rows = [
+        (1, dt(2024, 1, 1, 9), 1, "view"),
+        (2, dt(2024, 1, 4, 9), 1, "purchase"),
+        (3, dt(2024, 1, 2, 9), 2, "view"),
+        (4, dt(2024, 1, 2, 18), 2, "purchase"),
+        (5, dt(2024, 1, 2, 9), 3, "purchase"),
+        (6, dt(2024, 1, 3, 9), 3, "view"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = funnel_latency(ev, "user_id", "ts", "event_type", "view", "purchase").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_users"] == 2
+    assert r["avg_days"] == 1.5 and r["p50_days"] == 1.5 and r["max_days"] == 3

@@ -355,3 +355,54 @@ def test_heavy_hitters_equals_exact_group_by(spark, vals, support):
         if non_null.count(v) > n * support
     }
     assert got == exact
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=25,
+    ),
+    scale=st.floats(min_value=0.1, max_value=100.0, allow_nan=False),
+)
+@settings(max_examples=10, deadline=None)
+def test_gini_scale_invariant_and_bounded(spark, vals, scale):
+    """Gini is invariant to uniform scaling of the values and bounded
+    in [0, (n-1)/n] — over generated positive distributions."""
+    from etl_acordos_spark.operators.relational import gini_by_group
+
+    n = len(vals)
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    rows += [("h", i, float(v) * scale) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["grp", "key", "val"])
+    got = {
+        r["grp"]: r["gini"]
+        for r in gini_by_group(df, "grp", "key", "val").collect()
+    }
+    # scaling every value by c > 0 multiplies both numerator terms and
+    # the denominator by c — identical up to the 1e-4 output grid
+    assert abs(got["g"] - got["h"]) <= 1e-4 + 1e-9
+    assert -1e-9 <= got["g"] <= (n - 1) / n + 1e-4
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+        ).map(lambda p: (min(p), max(p))).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_pagerank_is_a_distribution(spark, edges):
+    """PageRank over any generated undirected graph sums to ~1 (within
+    the per-iteration 1e-9 grid) and every rank is positive."""
+    from etl_acordos_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    rows = pagerank(df, iterations=4, k=100).collect()
+    ranks = [r["rank"] for r in rows]
+    assert all(r > 0 for r in ranks)
+    assert abs(sum(ranks) - 1.0) < 1e-5
