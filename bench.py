@@ -76,6 +76,7 @@ HEADLINE = [
     "ext_triangle_count",
     "ext_ab_test",
     "ext_pagerank",
+    "ext_hierarchy",
     "ext_sliding_windows",
     "ext_time_rollup",
     "ext_window_range_frame",

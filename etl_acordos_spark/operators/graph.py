@@ -201,3 +201,52 @@ def pagerank(
         .orderBy(F.desc("rank"), F.asc("vertex"))
         .limit(k)
     )
+
+
+def hierarchy_flatten(
+    edges: DataFrame, rounds: int = 6
+) -> DataFrame:
+    """Resolve every node of a forest to its (root, depth) — the
+    hierarchy-flattening behind BOM explosions, org charts, and
+    category trees, i.e. the DataFrame re-expression of a recursive
+    CTE (which is exactly what the SQL oracle uses).
+
+    *edges* is (node, parent) with parent NULL for roots; every
+    non-NULL parent must itself appear as a node (a dangling parent
+    silently drops its subtree at the first join). Uses pointer
+    doubling: each round joins the state table to itself, so after r
+    rounds every node ≤ 2^r levels deep is fully resolved —
+    ``rounds=6`` covers depth 64; raise it logarithmically, not
+    linearly, for deeper trees. Each round is ONE self-join on ids
+    (state rows are (node, ptr, depth) triples) with a lineage cut, so
+    a 10^9-node catalog costs log(depth) shuffles, not depth — the
+    standard distributed formulation, same family as the
+    pointer-jumping connected-components labeller in
+    operators/dedup.py.
+
+    Returns (node, root, depth): depth 0 for roots.
+    """
+    state = edges.select(
+        F.col("node"),
+        F.coalesce(F.col("parent"), F.col("node")).alias("ptr"),
+        F.when(F.col("parent").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("depth"),
+    ).cache().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        lookup = state.select(
+            F.col("node").alias("_n"),
+            F.col("ptr").alias("_p"),
+            F.col("depth").alias("_d"),
+        )
+        state = (
+            state.join(lookup, state.ptr == lookup._n)
+            .select(
+                "node",
+                F.col("_p").alias("ptr"),
+                (F.col("depth") + F.col("_d")).cast("int").alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", F.col("ptr").alias("root"), "depth")

@@ -926,6 +926,30 @@ def q_ext_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening (operators/graph.py:hierarchy_flatten):
+    every part resolved to its (root, depth) in the derived decimal
+    part tree (parent = partkey div 10 — deterministic, closed under
+    the contiguous key range). Spark runs log(depth) pointer-doubling
+    self-joins; the oracle is the plain recursive CTE — the
+    hierarchical-query surface re-expressed for a 1000-executor
+    cluster."""
+    from etl_acordos_spark.operators.graph import hierarchy_flatten
+
+    edges = (
+        t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .distinct()
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.when(
+                F.col("p_partkey") > 0, F.expr("p_partkey div 10")
+            ).alias("parent"),
+        )
+    )
+    return hierarchy_flatten(edges).withColumnRenamed("node", "p_partkey")
+
+
 def q_ext_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint per event type
     (operators/relational.py:cusum_changepoint): the event where each
@@ -956,6 +980,20 @@ _FUNNEL_LATENCY_ORACLE = (
     "  quantile_cont(days, 0.5) AS p50_days,"
     "  CAST(max(days) AS INT) AS max_days"
     " FROM lat GROUP BY cohort_week"
+)
+
+_HIERARCHY_ORACLE = (
+    "WITH RECURSIVE nodes AS (SELECT DISTINCT p_partkey AS node,"
+    "   CASE WHEN p_partkey > 0 THEN p_partkey // 10 END AS parent"
+    "  FROM part),"
+    " walk AS ("
+    "  SELECT node, node AS root, 0 AS depth FROM nodes"
+    "   WHERE parent IS NULL"
+    "  UNION ALL"
+    "  SELECT n.node, w.root, w.depth + 1"
+    "   FROM nodes n JOIN walk w ON n.parent = w.node)"
+    " SELECT node AS p_partkey, root, CAST(depth AS INT) AS depth"
+    " FROM walk"
 )
 
 _CHANGEPOINT_ORACLE = (
@@ -1515,6 +1553,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_funnel_latency": QueryDef(
         q_ext_funnel_latency, _FUNNEL_LATENCY_ORACLE
     ),
+    "ext_hierarchy": QueryDef(q_ext_hierarchy, _HIERARCHY_ORACLE),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

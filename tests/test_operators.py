@@ -1858,3 +1858,19 @@ def test_funnel_latency_planted_timeline(spark):
     r = got[0]
     assert r["n_users"] == 2
     assert r["avg_days"] == 1.5 and r["p50_days"] == 1.5 and r["max_days"] == 3
+
+
+def test_hierarchy_flatten_resolves_deep_chain(spark):
+    """A 7-deep chain plus a second 1-node tree: every node resolves to
+    the right root and exact depth with only 6 pointer-doubling rounds
+    (2^6 = 64 >= 7)."""
+    from etl_acordos_spark.operators.graph import hierarchy_flatten
+
+    chain = [(i, i - 1 if i > 0 else None) for i in range(8)]
+    chain += [(100, None)]
+    edges = spark.createDataFrame(chain, ["node", "parent"])
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(edges).collect()
+    }
+    assert got == {**{i: (0, i) for i in range(8)}, 100: (100, 0)}
