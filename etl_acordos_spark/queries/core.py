@@ -65,6 +65,49 @@ def q_src_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "nation")
 
 
+def q_src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source: the object-store entry point of a
+    multimodal lake — raw files read as (path, content) rows, decoded
+    downstream. Fixture PNGs (the SAME deterministic gradients as
+    ext_mm_decode, stdlib codec) are materialized once into a
+    PID-scoped scratch dir; the query then reads them back through
+    spark.read.format("binaryFile"), parses the id out of the
+    filename, and reduces each payload to integer-exact features whose
+    closed form the SQL oracle replays over generate_series. At scale
+    the fixture step is the part that already exists (files on object
+    storage); the read path — distributed file listing, per-file tasks,
+    payloads never shuffling — is what this key exercises."""
+    import os
+
+    import numpy as np
+
+    from etl_acordos_spark.functions.png import encode_png
+    from etl_acordos_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    root = os.path.join(scratch_dir(), f"binary_src_{os.getpid()}")
+    os.makedirs(root, exist_ok=True)
+    for d in range(64):
+        path = os.path.join(root, f"img_{d:04d}.png")
+        if not os.path.exists(path):
+            w, h = 8 + d % 9, 8 + d % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            with open(path, "wb") as f:
+                f.write(encode_png(((xx + yy + d) % 256).astype(np.uint8)))
+    media = (
+        spark.read.format("binaryFile")
+        .load(root)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.png$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return extract_image_features(media)
+
+
 def q_src_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External list[dict] records source with pinned headers (SURVEY §2.1
     src_records; reference tasks/bronze.py:22-47). All values arrive as
@@ -516,6 +559,24 @@ _ORACLES: dict[str, str | None] = {
         " CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"
     ),
     "src_orc": "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+    "src_binary": (
+        # closed-form replay of the gradient fixtures (same algebra as
+        # ext_mm_decode's oracle, over generate_series instead of docs)
+        "WITH dims AS (SELECT unnest(generate_series(0, 63)) AS doc_id),"
+        " d2 AS (SELECT doc_id,"
+        "  CAST(8 + doc_id % 9 AS INTEGER) AS width,"
+        "  CAST(8 + doc_id % 7 AS INTEGER) AS height FROM dims),"
+        " px AS (SELECT doc_id, width, height,"
+        "   (x.v + y.v + doc_id) % 256 AS p"
+        "  FROM d2,"
+        "  LATERAL (SELECT unnest(generate_series(0,"
+        "   CAST(width AS BIGINT) - 1)) AS v) x,"
+        "  LATERAL (SELECT unnest(generate_series(0,"
+        "   CAST(height AS BIGINT) - 1)) AS v) y)"
+        " SELECT doc_id, width, height, 1 AS channels,"
+        "  CAST(sum(p) AS BIGINT) AS sum_px"
+        " FROM px GROUP BY doc_id, width, height"
+    ),
     "snk_partitioned": (
         "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,"
         " CAST(year(o_orderdate) AS INTEGER) AS ano"
@@ -620,6 +681,7 @@ _ORACLES: dict[str, str | None] = {
 
 QUERIES: dict[str, QueryDef] = {
     "src_parquet": QueryDef(q_src_parquet, _ORACLES["src_parquet"]),
+    "src_binary": QueryDef(q_src_binary, _ORACLES["src_binary"]),
     "src_records": QueryDef(q_src_records, _ORACLES["src_records"]),
     "snk_parquet": QueryDef(q_snk_parquet, _ORACLES["snk_parquet"]),
     "src_csv": QueryDef(q_src_csv, _ORACLES["src_csv"]),
