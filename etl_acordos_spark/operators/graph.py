@@ -212,12 +212,15 @@ def hierarchy_flatten(
     CTE (which is exactly what the SQL oracle uses).
 
     *edges* is (node, parent) with parent NULL for roots; every
-    non-NULL parent must itself appear as a node (a dangling parent
-    silently drops its subtree at the first join). Uses pointer
+    non-NULL parent must itself appear as a node. Uses pointer
     doubling: each round joins the state table to itself, so after r
     rounds every node ≤ 2^r levels deep is fully resolved —
     ``rounds=6`` covers depth 64; raise it logarithmically, not
-    linearly, for deeper trees. Each round is ONE self-join on ids
+    linearly, for deeper trees. After the loop every pointer is
+    checked against the root set and a ``ValueError`` is raised if any
+    node is unresolved (tree deeper than 2^rounds, or a cycle in bad
+    edge data) — wrong hierarchy data must never come back silently.
+    Each round is ONE self-join on ids
     (state rows are (node, ptr, depth) triples) with a lineage cut, so
     a 10^9-node catalog costs log(depth) shuffles, not depth — the
     standard distributed formulation, same family as the
@@ -248,5 +251,23 @@ def hierarchy_flatten(
                 (F.col("depth") + F.col("_d")).cast("int").alias("depth"),
             )
             .localCheckpoint(eager=True)
+        )
+    roots = edges.filter(F.col("parent").isNull()).select(
+        F.col("node").alias("_root")
+    )
+    # two failure modes, two guards: a node whose pointer never reached
+    # a root (too-shallow `rounds`, or a cycle) survives with a non-root
+    # ptr; a node whose parent is missing from the node set was DROPPED
+    # by the join, so compare row counts as well
+    unresolved = state.join(
+        roots, state.ptr == roots._root, "left_anti"
+    ).count()
+    dropped = edges.count() - state.count()
+    if unresolved or dropped:
+        raise ValueError(
+            f"hierarchy_flatten: {unresolved} nodes unresolved and "
+            f"{dropped} dropped after {rounds} rounds — tree deeper "
+            f"than 2^{rounds}, a cycle, or a dangling parent "
+            "reference; raise `rounds` or fix the edge data"
         )
     return state.select("node", F.col("ptr").alias("root"), "depth")

@@ -1373,24 +1373,33 @@ def pmi_collocations(
     collocations ("New York") from merely-frequent pairs, the step
     after raw n-gram counting in vocabulary/tokenizer analysis.
 
-    One scan: tokens HOF-expanded once, then two hash aggregates
-    (unigram and bigram counts, both map-side combined); the two corpus
-    totals are 1-row broadcast joins; the unigram table joins back onto
-    the min-count-filtered bigrams keyed on word (AQE broadcasts it
-    while the vocabulary is dim-sized, falls back to a shuffle join
-    beyond). ``min_count`` keeps rare-pair noise out (PMI is maximized
-    by hapax pairs). PMI is grid-floored at 1e-6 BEFORE the TakeOrdered
-    so the top-k boundary, tie-broken by (w1, w2), is deterministic in
-    both engines.
+    One scan: the tokenized corpus is pinned
+    (``cache().localCheckpoint``, the repo's shared-subtree idiom) so
+    the unigram and bigram aggregates both read the SAME materialized
+    token arrays instead of each re-scanning and re-splitting the
+    corpus (the pin trades ~input-sized executor storage for 2× the
+    scan+HOF cost — drop it only if storage is tighter than CPU). Both
+    corpus totals derive from the count tables, never from a second
+    pass over the raw streams; they join as 1-row broadcasts. The
+    unigram table joins back onto the min-count-filtered bigrams keyed
+    on word (AQE broadcasts it while the vocabulary is dim-sized,
+    falls back to a shuffle join beyond). ``min_count`` keeps
+    rare-pair noise out (PMI is maximized by hapax pairs). PMI is
+    grid-floored at 1e-6 BEFORE the TakeOrdered so the top-k boundary,
+    tie-broken by (w1, w2), is deterministic in both engines.
     """
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.split(F.col(text_col), " ").alias("tk"))
+        .cache()
+        .localCheckpoint(eager=True)
     )
     unigrams = (
         toks.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c_w"))
+        .cache()
+        .localCheckpoint(eager=True)
     )
     nt = unigrams.agg(F.sum("c_w").alias("_nt"))
     pairs = (
@@ -1405,12 +1414,17 @@ def pmi_collocations(
         )
         .select("bg.w1", "bg.w2")
     )
-    nb = pairs.agg(F.count("*").alias("_nb"))
-    bigrams = (
+    # all-bigram counts pinned once: the corpus total and the filtered
+    # collocation table both derive from it — the raw pair stream has
+    # exactly ONE consumer and is never materialized
+    bigrams_all = (
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
+        .cache()
+        .localCheckpoint(eager=True)
     )
+    nb = bigrams_all.agg(F.sum("c_ab").alias("_nb"))
+    bigrams = bigrams_all.filter(F.col("c_ab") >= min_count)
     pmi = F.log(
         (F.col("c_ab") / F.col("_nb"))
         / ((F.col("c_a") / F.col("_nt")) * (F.col("c_b") / F.col("_nt")))

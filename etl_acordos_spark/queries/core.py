@@ -86,15 +86,20 @@ def q_src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
-    root = os.path.join(scratch_dir(), f"binary_src_{os.getpid()}")
+    # fixed dir (the content is fully deterministic, so every process
+    # reuses it — a PID-scoped name would orphan one dir per run);
+    # concurrent writers are safe via write-to-tmp + atomic os.replace
+    root = os.path.join(scratch_dir(), "binary_src")
     os.makedirs(root, exist_ok=True)
     for d in range(64):
         path = os.path.join(root, f"img_{d:04d}.png")
         if not os.path.exists(path):
             w, h = 8 + d % 9, 8 + d % 7
             yy, xx = np.mgrid[0:h, 0:w]
-            with open(path, "wb") as f:
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
                 f.write(encode_png(((xx + yy + d) % 256).astype(np.uint8)))
+            os.replace(tmp, path)
     media = (
         spark.read.format("binaryFile")
         .load(root)

@@ -719,25 +719,34 @@ def _weighted_sample_oracle() -> str:
 
 _WEIGHTED_SAMPLE_ORACLE = _weighted_sample_oracle()
 
-_PMI_ORACLE = (
-    "WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents"
-    "  WHERE text IS NOT NULL),"
-    " uni AS (SELECT unnest(tk) AS w FROM tok),"
-    " uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),"
-    " nt AS (SELECT sum(c_w) AS nt FROM uc),"
-    " pr AS (SELECT unnest(range(1, len(tk))) AS i, tk FROM tok"
-    "  WHERE len(tk) >= 2),"
-    " pairs AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM pr),"
-    " nb AS (SELECT count(*) AS nb FROM pairs),"
-    " bg AS (SELECT w1, w2, count(*) AS c_ab FROM pairs"
-    "  GROUP BY w1, w2 HAVING count(*) >= 25)"
-    " SELECT w1, w2, CAST(c_ab AS BIGINT) AS n,"
-    "  floor(ln((CAST(c_ab AS DOUBLE) / nb)"
-    "    / ((CAST(a.c_w AS DOUBLE) / nt) * (CAST(b.c_w AS DOUBLE) / nt)))"
-    "   * 1000000.0 + 0.5) / 1000000.0 AS pmi"
-    " FROM bg JOIN uc a ON a.w = bg.w1 JOIN uc b ON b.w = bg.w2, nb, nt"
-    " ORDER BY pmi DESC, w1, w2 LIMIT 20"
-)
+def _pmi_oracle(min_count: int = 25, k: int = 20) -> str:
+    """Oracle twin of q_ext_pmi with min_count and k threaded through
+    (the _pagerank_oracle convention — a retuned query can't silently
+    diverge from a hardcoded oracle constant)."""
+    return (
+        "WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents"
+        "  WHERE text IS NOT NULL),"
+        " uni AS (SELECT unnest(tk) AS w FROM tok),"
+        " uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),"
+        " nt AS (SELECT sum(c_w) AS nt FROM uc),"
+        " pr AS (SELECT unnest(range(1, len(tk))) AS i, tk FROM tok"
+        "  WHERE len(tk) >= 2),"
+        " pairs AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM pr),"
+        " nb AS (SELECT count(*) AS nb FROM pairs),"
+        " bg AS (SELECT w1, w2, count(*) AS c_ab FROM pairs"
+        f"  GROUP BY w1, w2 HAVING count(*) >= {min_count})"
+        " SELECT w1, w2, CAST(c_ab AS BIGINT) AS n,"
+        "  floor(ln((CAST(c_ab AS DOUBLE) / nb)"
+        "    / ((CAST(a.c_w AS DOUBLE) / nt)"
+        "     * (CAST(b.c_w AS DOUBLE) / nt)))"
+        "   * 1000000.0 + 0.5) / 1000000.0 AS pmi"
+        " FROM bg JOIN uc a ON a.w = bg.w1 JOIN uc b ON b.w = bg.w2,"
+        " nb, nt"
+        f" ORDER BY pmi DESC, w1, w2 LIMIT {k}"
+    )
+
+
+_PMI_ORACLE = _pmi_oracle()
 
 _NGRAM_TOPK_ORACLE = (
     "WITH tok AS (SELECT string_split(text, ' ') AS tk FROM documents"

@@ -1874,3 +1874,23 @@ def test_hierarchy_flatten_resolves_deep_chain(spark):
         for r in hierarchy_flatten(edges).collect()
     }
     assert got == {**{i: (0, i) for i in range(8)}, 100: (100, 0)}
+
+
+def test_hierarchy_flatten_raises_on_unresolvable_input(spark):
+    """A chain deeper than 2^rounds raises (never silently returns a
+    mid-tree 'root'); so does a dangling parent reference."""
+    import pytest
+
+    from etl_acordos_spark.operators.graph import hierarchy_flatten
+
+    deep = spark.createDataFrame(
+        [(i, i - 1 if i > 0 else None) for i in range(6)],
+        ["node", "parent"],
+    )
+    with pytest.raises(ValueError, match="unresolved"):
+        hierarchy_flatten(deep, rounds=1)
+    dangling = spark.createDataFrame(
+        [(1, None), (2, 99)], ["node", "parent"]
+    )
+    with pytest.raises(ValueError, match="dropped|unresolved"):
+        hierarchy_flatten(dangling)
