@@ -64,6 +64,8 @@ HEADLINE = [
     "ext_event_windows",
     "ext_funnel",
     "ext_funnel_latency",
+    "ext_rfm",
+    "ext_assoc_rules",
     "ext_retention",
     "ext_anomaly_zscore",
     "ext_transition_matrix",

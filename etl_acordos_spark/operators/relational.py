@@ -1136,3 +1136,131 @@ def funnel_latency(
         F.expr("percentile(_days, 0.5)").alias("p50_days"),
         F.max("_days").cast("int").alias("max_days"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str,
+    date_col: str,
+    amount_col: str,
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles per customer — the classic warehouse segmentation every
+    CRM mart materializes.
+
+    Returns (customer, recency_days, frequency, monetary, r, f, m,
+    rfm_score) with each dimension scored 1..buckets by `ntile`
+    (5 = most recent / most frequent / highest spend), ties broken by
+    customer id so bucket assignment is engine-deterministic, score =
+    r·100 + f·10 + m. One per-customer aggregate, a 1-row global
+    max-date broadcast (recency anchor = the data's own horizon, not
+    wall-clock now — reruns replay), then three window passes over the
+    (small) per-customer frame.
+    """
+    anchor = orders.agg(F.max(F.col(date_col)).alias("_d_max"))
+    per_cust = (
+        orders.join(F.broadcast(anchor))
+        .groupBy(customer_col)
+        .agg(
+            F.min(F.datediff(F.col("_d_max"), F.col(date_col))).alias(
+                "recency_days"
+            ),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(F.sum(amount_col), 2).alias("monetary"),
+        )
+    )
+    r = F.ntile(buckets).over(
+        Window.orderBy(F.desc("recency_days"), F.asc(customer_col))
+    )
+    f = F.ntile(buckets).over(
+        Window.orderBy(F.asc("frequency"), F.asc(customer_col))
+    )
+    m = F.ntile(buckets).over(
+        Window.orderBy(F.asc("monetary"), F.asc(customer_col))
+    )
+    return per_cust.select(
+        customer_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r"),
+        f.alias("f"),
+        m.alias("m"),
+    ).withColumn(
+        "rfm_score",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int"),
+    )
+
+
+def association_rules(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair: int = 50,
+    k: int = 20,
+) -> DataFrame:
+    """Market-basket association rules a → b over co-occurrence counts:
+    support, confidence, and lift for directed item pairs sharing a
+    basket — the recommendation/affinity primitive next to the
+    co-purchase graph ops.
+
+    Returns top-k rules by (lift desc, a, b): (item_a, item_b, n_ab,
+    support, confidence, lift), all ratios grid-floored at 1e-6.
+
+    The per-basket self-join emits directed pairs (a ≠ b) — C(g,2)·2
+    per basket of g items, so cap pathological baskets upstream like
+    co_occurrence_edges. Item and basket totals are hash aggregates;
+    the basket count joins as a 1-row broadcast; item counts join back
+    keyed on the item (dim-sized → AQE broadcast). ``min_pair`` prunes
+    the rule table before the expensive per-rule math.
+    """
+    li = items.select(group_col, item_col).distinct()
+    a = li.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("item_a")
+    )
+    b = li.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("item_b")
+    )
+    pair_counts = (
+        a.join(b, "_g")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair)
+    )
+    item_counts = li.groupBy(item_col).agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    n_baskets = li.select(group_col).distinct().agg(
+        F.count("*").cast("bigint").alias("_n")
+    )
+    grid = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    support = F.col("n_ab") / F.col("_n")
+    confidence = F.col("n_ab") / F.col("_ca")
+    lift = (F.col("n_ab") / F.col("_ca")) / (F.col("_cb") / F.col("_n"))
+    return (
+        pair_counts.join(
+            item_counts.select(
+                F.col(item_col).alias("item_a"), F.col("_c").alias("_ca")
+            ),
+            "item_a",
+        )
+        .join(
+            item_counts.select(
+                F.col(item_col).alias("item_b"), F.col("_c").alias("_cb")
+            ),
+            "item_b",
+        )
+        .join(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            grid(support).alias("support"),
+            grid(confidence).alias("confidence"),
+            grid(lift).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("item_a"), F.asc("item_b"))
+        .limit(k)
+    )

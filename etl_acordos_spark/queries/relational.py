@@ -950,6 +950,37 @@ def q_ext_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hierarchy_flatten(edges).withColumnRenamed("node", "p_partkey")
 
 
+def q_ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders
+    (operators/relational.py:rfm_segments): recency/frequency/monetary
+    quintiles, ntile ties pinned by customer key. The per-customer
+    frame is dimension-sized, so the global ntile sort is fine; a
+    fact-sized input would use quantile-threshold bucketing
+    (`ext_quantile_sketch`) instead."""
+    from etl_acordos_spark.operators.relational import rfm_segments
+
+    return rfm_segments(
+        t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+def q_ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets
+    (operators/relational.py:association_rules): top-20 directed rules
+    by lift with support/confidence, min 3 shared baskets (the
+    synthetic baskets are near-uniform, so pair counts are small at
+    every SF)."""
+    from etl_acordos_spark.operators.relational import association_rules
+
+    return association_rules(
+        t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_pair=3,
+        k=20,
+    )
+
+
 def q_ext_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint per event type
     (operators/relational.py:cusum_changepoint): the event where each
@@ -995,6 +1026,54 @@ _HIERARCHY_ORACLE = (
     " SELECT node AS p_partkey, root, CAST(depth AS INT) AS depth"
     " FROM walk"
 )
+
+_RFM_ORACLE = (
+    "WITH anchor AS (SELECT max(o_orderdate) AS d_max FROM orders),"
+    " pc AS (SELECT o_custkey,"
+    "  min(date_diff('day', CAST(o_orderdate AS DATE),"
+    "   CAST(d_max AS DATE))) AS recency_days,"
+    "  CAST(count(*) AS BIGINT) AS frequency,"
+    "  round(sum(o_totalprice), 2) AS monetary"
+    " FROM orders, anchor GROUP BY o_custkey)"
+    " SELECT o_custkey, recency_days, frequency, monetary,"
+    "  ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r,"
+    "  ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f,"
+    "  ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m,"
+    "  CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) * 100"
+    "   + ntile(5) OVER (ORDER BY frequency ASC, o_custkey) * 10"
+    "   + ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS INT)"
+    "   AS rfm_score"
+    " FROM pc"
+)
+
+
+def _assoc_rules_oracle(min_pair: int = 3, k: int = 20) -> str:
+    """Oracle twin of q_ext_assoc_rules with the knobs threaded
+    through (the _pagerank_oracle convention)."""
+    return (
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey"
+        "  FROM lineitem),"
+        " pc AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,"
+        "   CAST(count(*) AS BIGINT) AS n_ab"
+        "  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+        "   AND a.l_partkey <> b.l_partkey"
+        f"  GROUP BY 1, 2 HAVING count(*) >= {min_pair}),"
+        " ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c"
+        "  FROM li GROUP BY 1),"
+        " nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n"
+        "  FROM li)"
+        " SELECT item_a, item_b, n_ab,"
+        "  floor(CAST(n_ab AS DOUBLE) / n * 1000000.0 + 0.5)"
+        "   / 1000000.0 AS support,"
+        "  floor(CAST(n_ab AS DOUBLE) / a.c * 1000000.0 + 0.5)"
+        "   / 1000000.0 AS confidence,"
+        "  floor((CAST(n_ab AS DOUBLE) / a.c) / (CAST(b.c AS DOUBLE) / n)"
+        "   * 1000000.0 + 0.5) / 1000000.0 AS lift"
+        " FROM pc JOIN ic a ON a.l_partkey = item_a"
+        "  JOIN ic b ON b.l_partkey = item_b, nb"
+        f" ORDER BY lift DESC, item_a, item_b LIMIT {k}"
+    )
+
 
 _CHANGEPOINT_ORACLE = (
     "WITH stats AS (SELECT event_type,"
@@ -1554,6 +1633,8 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_funnel_latency, _FUNNEL_LATENCY_ORACLE
     ),
     "ext_hierarchy": QueryDef(q_ext_hierarchy, _HIERARCHY_ORACLE),
+    "ext_rfm": QueryDef(q_ext_rfm, _RFM_ORACLE),
+    "ext_assoc_rules": QueryDef(q_ext_assoc_rules, _assoc_rules_oracle()),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

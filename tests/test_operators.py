@@ -1894,3 +1894,44 @@ def test_hierarchy_flatten_raises_on_unresolvable_input(spark):
     )
     with pytest.raises(ValueError, match="dropped|unresolved"):
         hierarchy_flatten(dangling)
+
+
+def test_rfm_extremes_score_correctly(spark):
+    """The most recent/frequent/high-spend customer scores 555; the
+    stalest/rarest/lowest scores 111 (5 customers, 5 buckets, one per
+    bucket)."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import rfm_segments
+
+    rows = []
+    for c in range(1, 6):
+        # customer c places c orders of value 100*c, last on day c
+        for i in range(c):
+            rows.append((c, dt(2024, 1, c), 100.0 * c))
+    orders = spark.createDataFrame(rows, ["cust", "odate", "amount"])
+    got = {
+        r["cust"]: (r["r"], r["f"], r["m"], r["rfm_score"])
+        for r in rfm_segments(orders, "cust", "odate", "amount").collect()
+    }
+    assert got[5] == (5, 5, 5, 555)
+    assert got[1] == (1, 1, 1, 111)
+
+
+def test_association_rules_planted_affinity(spark):
+    """Items 1 and 2 co-occur in every basket (confidence 1, lift = n
+    baskets / baskets-with-2); a pair below min_pair never appears."""
+    from etl_acordos_spark.operators.relational import association_rules
+
+    rows = []
+    for g in range(10):
+        rows += [(g, 1), (g, 2)]
+        rows.append((g, 100 + g))  # singleton noise item per basket
+    items = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(items, "basket", "item", min_pair=5, k=10).collect()
+    }
+    r12 = got[(1, 2)]
+    assert r12["n_ab"] == 10 and r12["confidence"] == 1.0 and r12["lift"] == 1.0
+    assert all(a in (1, 2) and b in (1, 2) for a, b in got)

@@ -90,6 +90,8 @@ QUADRATIC_BY_DESIGN = {
     "ext_quantile_sketch",  # 1-row global-bounds broadcast join
     # + a 3-row quantile-probe lateral explode (not a join)
     "ext_pmi",  # two 1-row corpus-total broadcast joins
+    "ext_rfm",  # 1-row date-horizon broadcast join
+    "ext_assoc_rules",  # 1-row basket-total broadcast join
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
     "ext_leakage_split",  # built on the exact all-pairs dup graph
     "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
@@ -106,7 +108,8 @@ SKIP_PLAN_CHECK = {
     "flow_dag", "flow_retry", "chk_exists", "ddl_infer",
     "ext_stream_windows", "ext_stream_sessions", "ext_stream_stateful",
     "ext_stream_dedup", "ext_stream_join", "ext_stream_upsert",
-    "ext_stream_dedup_index", "ext_stream_ann_index",
+    "ext_stream_stream_join", "ext_stream_dedup_index",
+    "ext_stream_ann_index", "ext_stream_anomaly",
 }
 
 
@@ -223,3 +226,25 @@ def test_no_unintended_cartesian(spark, sf_oracle, key):
     if key in QUADRATIC_BY_DESIGN:
         return  # allowed (and some plan as broadcast-nested-loop of 1 row)
     assert not quadratic, f"{key} fell back to a cartesian/nested-loop join"
+
+
+def test_triangle_count_wedge_joins_stay_broadcast(spark, sf_oracle):
+    """The wedge-closing joins must be BroadcastHashJoins: a sort-merge
+    fallback sorts the O(Σ outdeg²) wedge stream — measured 34× the
+    edge count at sf0.1 — and GC-storms small heaps (the r5 bench
+    crash). The pinned-leaf inputs make this explicit, not
+    AQE-dependent, so a refactor can't silently regress it."""
+    df = contract.queries()["ext_triangle_count"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iterations_broadcast_the_rank_table(spark, sf_oracle):
+    """Every power iteration must join the (tiny) rank table to the
+    pinned edge list as a broadcast — a shuffled join would re-exchange
+    the edge list all 10 rounds (checkpointed leaves carry no
+    partitioning metadata)."""
+    df = contract.queries()["ext_pagerank"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
