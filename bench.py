@@ -66,6 +66,7 @@ HEADLINE = [
     "ext_funnel_latency",
     "ext_rfm",
     "ext_assoc_rules",
+    "ext_geo_join",
     "ext_retention",
     "ext_anomaly_zscore",
     "ext_transition_matrix",

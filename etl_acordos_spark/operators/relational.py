@@ -1264,3 +1264,84 @@ def association_rules(
         .orderBy(F.desc("lift"), F.asc("item_a"), F.asc("item_b"))
         .limit(k)
     )
+
+
+def grid_neighbor_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+    cell: float | None = None,
+) -> DataFrame:
+    """Spatial neighbor self-join: all point pairs within ``radius``
+    (planar euclidean), found via fixed-grid binning — the 2-D analog
+    of `range_join_binned` and the scale shape behind every geo
+    nearest-store / proximity-dedup job.
+
+    One side explodes to its 3×3 neighbor cells and equi-joins the
+    other side's home cell, so candidate volume is Σ 9·|cell|² over
+    cells instead of |points|² — provided ``cell >= radius`` (default:
+    cell = radius), the 3×3 neighborhood provably covers every
+    qualifying pair. The exact predicate (squared distance — pure
+    double arithmetic, no trig, so both engines evaluate bit-
+    identically) refines the candidates; an all-pairs filter is
+    therefore a valid oracle. Skewed cells (one city block holding
+    half the points) behave like any hot join key: AQE splits them, or
+    shrink ``cell`` to re-balance.
+
+    Returns (id_a, id_b, dist2) with id_a < id_b, dist2 grid-floored
+    at 1e-9.
+    """
+    if cell is None:
+        cell = radius
+    if cell < radius:
+        raise ValueError(
+            f"grid_neighbor_join: cell ({cell}) must be >= radius "
+            f"({radius}) or the 3x3 neighborhood misses pairs"
+        )
+    home = points.select(
+        F.col(id_col).alias("_ib"),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+        F.floor(F.col(x_col) / cell).cast("long").alias("_cx"),
+        F.floor(F.col(y_col) / cell).cast("long").alias("_cy"),
+    )
+    probe = (
+        points.select(
+            F.col(id_col).alias("_ia"),
+            F.col(x_col).alias("_xa"),
+            F.col(y_col).alias("_ya"),
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(-1, 1), dx ->"
+                    f" transform(sequence(-1, 1), dy ->"
+                    f" struct(CAST(floor({x_col} / {cell!r}) + dx AS LONG)"
+                    f"  AS cx,"
+                    f"  CAST(floor({y_col} / {cell!r}) + dy AS LONG)"
+                    f"  AS cy))))"
+                )
+            ).alias("_c"),
+        )
+        .select("_ia", "_xa", "_ya", "_c.cx", "_c.cy")
+    )
+    d2 = (F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb")) + (
+        F.col("_ya") - F.col("_yb")
+    ) * (F.col("_ya") - F.col("_yb"))
+    return (
+        probe.join(
+            home,
+            (F.col("cx") == F.col("_cx")) & (F.col("cy") == F.col("_cy")),
+        )
+        .filter(F.col("_ia") < F.col("_ib"))
+        .withColumn("dist2", d2)
+        .filter(F.col("dist2") <= radius * radius)
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            (
+                F.floor(F.col("dist2") * 1000000000.0 + 0.5)
+                / 1000000000.0
+            ).alias("dist2"),
+        )
+    )

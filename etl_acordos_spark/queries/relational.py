@@ -981,6 +981,26 @@ def q_ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join
+    (operators/relational.py:grid_neighbor_join): customer points on a
+    10×10 planar patch (coordinates derived from the deterministic
+    cross-engine hash — the dataset carries no geo columns, same
+    derivation convention as ext_record_linkage's probes), all pairs
+    within radius 0.3 via 3×3 grid binning. The oracle is the
+    brute-force all-pairs filter — the binned plan must reproduce it
+    exactly."""
+    from etl_acordos_spark.functions.hashing import XX_PRIME, unit_hash
+    from etl_acordos_spark.operators.relational import grid_neighbor_join
+
+    pts = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (unit_hash(F.col("c_custkey")) * 10.0).alias("x"),
+        (unit_hash(F.col("c_custkey"), XX_PRIME) * 10.0).alias("y"),
+    )
+    return grid_neighbor_join(pts, "c_custkey", "x", "y", radius=0.3, cell=1.0)
+
+
 def q_ext_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint per event type
     (operators/relational.py:cusum_changepoint): the event where each
@@ -1072,6 +1092,27 @@ def _assoc_rules_oracle(min_pair: int = 3, k: int = 20) -> str:
         " FROM pc JOIN ic a ON a.l_partkey = item_a"
         "  JOIN ic b ON b.l_partkey = item_b, nb"
         f" ORDER BY lift DESC, item_a, item_b LIMIT {k}"
+    )
+
+
+def _geo_join_oracle() -> str:
+    """Brute-force all-pairs twin of the binned spatial join — the
+    binning is a pure candidate-pruning strategy, so the full filter
+    over the same derived coordinates must agree row-for-row."""
+    from etl_acordos_spark.functions.hashing import XX_PRIME, sql_unit_hash
+
+    x = f"({sql_unit_hash('c_custkey')} * 10.0)"
+    y = f"({sql_unit_hash('c_custkey', XX_PRIME)} * 10.0)"
+    return (
+        f"WITH pts AS (SELECT c_custkey, {x} AS x, {y} AS y"
+        "  FROM customer),"
+        " pairs AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,"
+        "   (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
+        "    AS dist2"
+        "  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey)"
+        " SELECT id_a, id_b,"
+        "  floor(dist2 * 1000000000.0 + 0.5) / 1000000000.0 AS dist2"
+        " FROM pairs WHERE dist2 <= 0.3 * 0.3"
     )
 
 
@@ -1635,6 +1676,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_hierarchy": QueryDef(q_ext_hierarchy, _HIERARCHY_ORACLE),
     "ext_rfm": QueryDef(q_ext_rfm, _RFM_ORACLE),
     "ext_assoc_rules": QueryDef(q_ext_assoc_rules, _assoc_rules_oracle()),
+    "ext_geo_join": QueryDef(q_ext_geo_join, _geo_join_oracle()),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

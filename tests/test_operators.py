@@ -1935,3 +1935,31 @@ def test_association_rules_planted_affinity(spark):
     r12 = got[(1, 2)]
     assert r12["n_ab"] == 10 and r12["confidence"] == 1.0 and r12["lift"] == 1.0
     assert all(a in (1, 2) and b in (1, 2) for a, b in got)
+
+
+def test_grid_neighbor_join_matches_brute_force(spark):
+    """Planted points: pairs straddling cell borders are still found
+    (the 3x3 neighborhood), far pairs are not, and cell < radius is
+    rejected."""
+    import pytest
+
+    from etl_acordos_spark.operators.relational import grid_neighbor_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0.95, 0.5),   # near 2 across the x=1 cell border
+            (2, 1.05, 0.5),
+            (3, 5.0, 5.0),    # isolated
+            (4, 0.95, 0.62),  # near 1 within the same cell
+        ],
+        ["pid", "x", "y"],
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in grid_neighbor_join(pts, "pid", "x", "y", radius=0.2).collect()
+    }
+    # (2,4) qualifies too: sqrt(0.1^2 + 0.12^2) ~ 0.156 < 0.2, found
+    # across the cell border like (1,2)
+    assert got == {(1, 2), (1, 4), (2, 4)}
+    with pytest.raises(ValueError, match="cell"):
+        grid_neighbor_join(pts, "pid", "x", "y", radius=0.5, cell=0.2)
