@@ -67,6 +67,8 @@ HEADLINE = [
     "ext_rfm",
     "ext_assoc_rules",
     "ext_geo_join",
+    "ext_growth",
+    "ext_active_users",
     "ext_retention",
     "ext_anomaly_zscore",
     "ext_transition_matrix",

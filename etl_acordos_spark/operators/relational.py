@@ -1345,3 +1345,80 @@ def grid_neighbor_join(
             ).alias("dist2"),
         )
     )
+
+
+def period_growth(
+    events: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Week-over-week growth per series: weekly value totals and their
+    relative change vs the previous observed week — the
+    period-over-period delta behind every BI trend tile.
+
+    Returns (series, week, total, pct_change) with pct_change NULL on
+    each series' first week and whenever the previous total is 0 (no
+    base → no defined growth, in BOTH engines rather than an
+    inf/error split). One (series, week) hash aggregate, then a lag
+    window over the tiny rollup; totals rounded to 2 dp (money
+    convention) before the ratio so the division replays exactly.
+    """
+    weekly = events.groupBy(
+        F.col(series_col).alias("series"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+    ).agg(F.round(F.sum(value_col), 2).alias("total"))
+    w = Window.partitionBy("series").orderBy("week")
+    prev = F.lag("total").over(w)
+    pct = F.when(
+        prev > 0,
+        F.floor((F.col("total") - prev) / prev * 1000000.0 + 0.5)
+        / 1000000.0,
+    )
+    return weekly.select("series", "week", "total", pct.alias("pct_change"))
+
+
+def active_user_stickiness(
+    events: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Weekly active users + DAU/WAU stickiness: per ISO week, the
+    distinct weekly actives, the average daily actives over the week's
+    OBSERVED days, and their ratio — the engagement metric every
+    product dashboard leads with.
+
+    Returns (week, wau, avg_dau, stickiness). Two distinct-count
+    aggregates (per day, per week — ids only in the shuffles) and one
+    join on the week; avg_dau is an exact-int sum over observed days /
+    observed-day count, stickiness grid-floored at 1e-4.
+    """
+    day = F.col(ts_col).cast("date")
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    daily = (
+        events.select(week.alias("week"), day.alias("day"), user_col)
+        .groupBy("week", "day")
+        .agg(F.count_distinct(user_col).alias("_dau"))
+        .groupBy("week")
+        .agg(
+            (
+                F.floor(
+                    F.sum("_dau") / F.count("*") * 10000.0 + 0.5
+                )
+                / 10000.0
+            ).alias("avg_dau")
+        )
+    )
+    weekly = events.select(week.alias("week"), user_col).groupBy(
+        "week"
+    ).agg(F.count_distinct(user_col).cast("bigint").alias("wau"))
+    return (
+        weekly.join(daily, "week")
+        .select(
+            "week",
+            "wau",
+            "avg_dau",
+            (
+                F.floor(F.col("avg_dau") / F.col("wau") * 10000.0 + 0.5)
+                / 10000.0
+            ).alias("stickiness"),
+        )
+    )

@@ -981,6 +981,30 @@ def q_ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week value growth per event type
+    (operators/relational.py:period_growth) — the period-over-period
+    trend behind BI tiles; NULL growth on first weeks and zero bases
+    in both engines."""
+    from etl_acordos_spark.operators.relational import period_growth
+
+    return period_growth(
+        read_events(spark, sf_dir), "event_type", "ts", "value"
+    ).withColumnRenamed("series", "event_type")
+
+
+def q_ext_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly actives + DAU/WAU stickiness
+    (operators/relational.py:active_user_stickiness) — the engagement
+    headline metric; ids-only shuffles, exact integer distinct
+    counts."""
+    from etl_acordos_spark.operators.relational import (
+        active_user_stickiness,
+    )
+
+    return active_user_stickiness(read_events(spark, sf_dir), "user_id", "ts")
+
+
 def q_ext_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial proximity self-join
     (operators/relational.py:grid_neighbor_join): customer points on a
@@ -1093,6 +1117,36 @@ def _assoc_rules_oracle(min_pair: int = 3, k: int = 20) -> str:
         "  JOIN ic b ON b.l_partkey = item_b, nb"
         f" ORDER BY lift DESC, item_a, item_b LIMIT {k}"
     )
+
+
+_GROWTH_ORACLE = (
+    "WITH weekly AS (SELECT event_type,"
+    "   CAST(date_trunc('week', ts) AS DATE) AS week,"
+    "   round(sum(value), 2) AS total"
+    "  FROM events GROUP BY 1, 2),"
+    " lagged AS (SELECT *, lag(total) OVER ("
+    "   PARTITION BY event_type ORDER BY week) AS prev FROM weekly)"
+    " SELECT event_type, week, total,"
+    "  CASE WHEN prev > 0 THEN"
+    "   floor((total - prev) / prev * 1000000.0 + 0.5) / 1000000.0"
+    "  END AS pct_change"
+    " FROM lagged"
+)
+
+_ACTIVE_USERS_ORACLE = (
+    "WITH d AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,"
+    "   CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau"
+    "  FROM events GROUP BY 1, 2),"
+    " avg_d AS (SELECT week,"
+    "   floor(sum(dau) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_dau"
+    "  FROM d GROUP BY week),"
+    " w AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,"
+    "   CAST(count(DISTINCT user_id) AS BIGINT) AS wau"
+    "  FROM events GROUP BY 1)"
+    " SELECT w.week, wau, avg_dau,"
+    "  floor(avg_dau / wau * 10000.0 + 0.5) / 10000.0 AS stickiness"
+    " FROM w JOIN avg_d ON w.week = avg_d.week"
+)
 
 
 def _geo_join_oracle() -> str:
@@ -1677,6 +1731,8 @@ QUERIES: dict[str, QueryDef] = {
     "ext_rfm": QueryDef(q_ext_rfm, _RFM_ORACLE),
     "ext_assoc_rules": QueryDef(q_ext_assoc_rules, _assoc_rules_oracle()),
     "ext_geo_join": QueryDef(q_ext_geo_join, _geo_join_oracle()),
+    "ext_growth": QueryDef(q_ext_growth, _GROWTH_ORACLE),
+    "ext_active_users": QueryDef(q_ext_active_users, _ACTIVE_USERS_ORACLE),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

@@ -1963,3 +1963,49 @@ def test_grid_neighbor_join_matches_brute_force(spark):
     assert got == {(1, 2), (1, 4), (2, 4)}
     with pytest.raises(ValueError, match="cell"):
         grid_neighbor_join(pts, "pid", "x", "y", radius=0.5, cell=0.2)
+
+
+def test_period_growth_planted_weeks(spark):
+    """Weekly totals 100 -> 150 -> 0 -> 30 give +0.5, -1.0, NULL (zero
+    base) pct changes; first week is NULL."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import period_growth
+
+    rows = []
+    for wk, total in [(1, 100.0), (8, 150.0), (15, 0.0), (22, 30.0)]:
+        rows.append(("s", dt(2024, 1, wk), total))
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = [
+        r["pct_change"]
+        for r in period_growth(ev, "event_type", "ts", "value")
+        .orderBy("week")
+        .collect()
+    ]
+    assert got == [None, 0.5, -1.0, None]
+
+
+def test_active_user_stickiness_bounds(spark):
+    """A week where all 4 users appear every observed day has
+    stickiness 1.0; a week where each user appears once on separate
+    days has stickiness 1/wau."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import (
+        active_user_stickiness,
+    )
+
+    rows = []
+    # week of Jan 1: users 1-4 active on Mon and Tue
+    for d in (1, 2):
+        rows += [(dt(2024, 1, d), u) for u in range(1, 5)]
+    # week of Jan 8: users 1-4 on separate days
+    for i, u in enumerate(range(1, 5)):
+        rows.append((dt(2024, 1, 8 + i), u))
+    ev = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = {
+        r["week"].isoformat(): (r["wau"], r["avg_dau"], r["stickiness"])
+        for r in active_user_stickiness(ev, "user_id", "ts").collect()
+    }
+    assert got["2024-01-01"] == (4, 4.0, 1.0)
+    assert got["2024-01-08"] == (4, 1.0, 0.25)
