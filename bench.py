@@ -69,6 +69,8 @@ HEADLINE = [
     "ext_geo_join",
     "ext_growth",
     "ext_active_users",
+    "ext_calendar_dim",
+    "ext_benford",
     "ext_retention",
     "ext_anomaly_zscore",
     "ext_transition_matrix",

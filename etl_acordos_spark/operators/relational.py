@@ -1422,3 +1422,75 @@ def active_user_stickiness(
             ).alias("stickiness"),
         )
     )
+
+
+def calendar_dim(
+    df: DataFrame, date_col: str
+) -> DataFrame:
+    """Generate the calendar dimension spanning the data's own date
+    range — the conformed date spine every warehouse joins its facts
+    to (no external input, no wall clock: reruns replay).
+
+    Returns one row per calendar day: (cal_date, year, quarter, month,
+    iso_week, iso_dow, is_weekend). Built by exploding a `sequence`
+    from a 1-row min/max aggregate — never a driver loop; ISO
+    weekday/week are used because engines disagree on Sunday-based
+    conventions (Spark weekday()+1 == DuckDB isodow).
+    """
+    bounds = df.agg(
+        F.min(F.col(date_col).cast("date")).alias("_d0"),
+        F.max(F.col(date_col).cast("date")).alias("_d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("_d0", "_d1")).alias("cal_date")
+    )
+    iso_dow = (F.weekday("cal_date") + 1).cast("int")
+    return spine.select(
+        "cal_date",
+        F.year("cal_date").cast("int").alias("year"),
+        F.quarter("cal_date").cast("int").alias("quarter"),
+        F.month("cal_date").cast("int").alias("month"),
+        F.weekofyear("cal_date").cast("int").alias("iso_week"),
+        iso_dow.alias("iso_dow"),
+        (iso_dow >= 6).cast("int").alias("is_weekend"),
+    )
+
+
+def benford_profile(
+    df: DataFrame, amount_col: str
+) -> DataFrame:
+    """Benford's-law first-digit profile of a positive amount column —
+    the forensic DQ check for fabricated or truncated monetary data
+    (organic amounts follow P(d) = log10(1 + 1/d); flat or spiked
+    first-digit distributions are a red flag).
+
+    Returns one row per leading digit 1-9: (digit, n, expected_n,
+    chi2_term), expected from the Benford pmf × N, the chi-square
+    contribution (obs − exp)²/exp grid-floored at 1e-4 (Σ over digits
+    vs the χ²₈ critical value is the caller's verdict). One filtered
+    scan → 9-group hash aggregate → 1-row total broadcast; rows with
+    amount < 1 are excluded (no stable leading digit).
+    """
+    digit = F.substring(
+        F.floor(F.col(amount_col)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(amount_col) >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_n"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit")) * F.col("_n")
+    chi2 = (F.col("n") - expected) * (F.col("n") - expected) / expected
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.floor(expected * 10000.0 + 0.5) / 10000.0).alias(
+                "expected_n"
+            ),
+            (F.floor(chi2 * 10000.0 + 0.5) / 10000.0).alias("chi2_term"),
+        )
+    )

@@ -981,6 +981,25 @@ def q_ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension spanning the orders date range
+    (operators/relational.py:calendar_dim): the conformed date spine,
+    generated distributed (sequence explode), ISO conventions pinned
+    cross-engine."""
+    from etl_acordos_spark.operators.relational import calendar_dim
+
+    return calendar_dim(t(spark, sf_dir, "orders"), "o_orderdate")
+
+
+def q_ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit DQ profile of order totals
+    (operators/relational.py:benford_profile) — expected counts and
+    chi-square contributions per leading digit."""
+    from etl_acordos_spark.operators.relational import benford_profile
+
+    return benford_profile(t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def q_ext_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week value growth per event type
     (operators/relational.py:period_growth) — the period-over-period
@@ -1118,6 +1137,37 @@ def _assoc_rules_oracle(min_pair: int = 3, k: int = 20) -> str:
         f" ORDER BY lift DESC, item_a, item_b LIMIT {k}"
     )
 
+
+_CALENDAR_ORACLE = (
+    "WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,"
+    "   max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),"
+    " spine AS (SELECT unnest(generate_series(d0, d1,"
+    "   INTERVAL 1 DAY)) AS cal_date FROM b)"
+    " SELECT CAST(cal_date AS DATE) AS cal_date,"
+    "  CAST(year(cal_date) AS INT) AS year,"
+    "  CAST(quarter(cal_date) AS INT) AS quarter,"
+    "  CAST(month(cal_date) AS INT) AS month,"
+    "  CAST(weekofyear(cal_date) AS INT) AS iso_week,"
+    "  CAST(isodow(cal_date) AS INT) AS iso_dow,"
+    "  CAST(isodow(cal_date) >= 6 AS INT) AS is_weekend"
+    " FROM spine"
+)
+
+_BENFORD_ORACLE = (
+    "WITH counts AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)"
+    "    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,"
+    "   CAST(count(*) AS BIGINT) AS n"
+    "  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),"
+    " tot AS (SELECT sum(n) AS nn FROM counts)"
+    " SELECT digit, n,"
+    "  floor(log10(1.0 + 1.0 / digit) * nn * 10000.0 + 0.5) / 10000.0"
+    "   AS expected_n,"
+    "  floor((n - log10(1.0 + 1.0 / digit) * nn)"
+    "   * (n - log10(1.0 + 1.0 / digit) * nn)"
+    "   / (log10(1.0 + 1.0 / digit) * nn) * 10000.0 + 0.5) / 10000.0"
+    "   AS chi2_term"
+    " FROM counts, tot"
+)
 
 _GROWTH_ORACLE = (
     "WITH weekly AS (SELECT event_type,"
@@ -1733,6 +1783,8 @@ QUERIES: dict[str, QueryDef] = {
     "ext_geo_join": QueryDef(q_ext_geo_join, _geo_join_oracle()),
     "ext_growth": QueryDef(q_ext_growth, _GROWTH_ORACLE),
     "ext_active_users": QueryDef(q_ext_active_users, _ACTIVE_USERS_ORACLE),
+    "ext_calendar_dim": QueryDef(q_ext_calendar_dim, _CALENDAR_ORACLE),
+    "ext_benford": QueryDef(q_ext_benford, _BENFORD_ORACLE),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE
     ),

@@ -2009,3 +2009,37 @@ def test_active_user_stickiness_bounds(spark):
     }
     assert got["2024-01-01"] == (4, 4.0, 1.0)
     assert got["2024-01-08"] == (4, 1.0, 0.25)
+
+
+def test_calendar_dim_spans_range_with_iso_attrs(spark):
+    """The spine covers every day inclusive; 2024-01-06/07 are a
+    weekend (iso_dow 6/7), 2024-01-08 is a Monday in ISO week 2."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import calendar_dim
+
+    df = spark.createDataFrame(
+        [(dt(2024, 1, 3),), (dt(2024, 1, 9),)], ["d"]
+    )
+    rows = {r["cal_date"].isoformat(): r for r in calendar_dim(df, "d").collect()}
+    assert len(rows) == 7
+    assert rows["2024-01-06"]["iso_dow"] == 6 and rows["2024-01-06"]["is_weekend"] == 1
+    assert rows["2024-01-07"]["iso_dow"] == 7 and rows["2024-01-07"]["is_weekend"] == 1
+    assert rows["2024-01-08"]["iso_dow"] == 1 and rows["2024-01-08"]["iso_week"] == 2
+
+
+def test_benford_profile_flags_uniform_data(spark):
+    """Uniform leading digits deviate hard from Benford: digit 1 is
+    under-represented (n < expected), digit 9 over-represented, and
+    counts + exclusions behave (amounts < 1 dropped)."""
+    from etl_acordos_spark.operators.relational import benford_profile
+
+    rows = [(float(d) * 10 + i,) for d in range(1, 10) for i in range(10)]
+    rows += [(0.5,)]  # excluded
+    df = spark.createDataFrame(rows, ["amount"])
+    got = {r["digit"]: r for r in benford_profile(df, "amount").collect()}
+    assert sum(r["n"] for r in got.values()) == 90
+    assert all(got[d]["n"] == 10 for d in range(1, 10))
+    assert got[1]["n"] < got[1]["expected_n"]  # Benford expects ~30%
+    assert got[9]["n"] > got[9]["expected_n"]  # Benford expects ~4.6%
+    assert got[9]["chi2_term"] > 0

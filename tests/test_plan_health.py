@@ -92,6 +92,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_pmi",  # two 1-row corpus-total broadcast joins
     "ext_rfm",  # 1-row date-horizon broadcast join
     "ext_assoc_rules",  # 1-row basket-total broadcast join
+    "ext_benford",  # 1-row digit-total broadcast join
     "ext_dedup_ngram",  # exact all-pairs shingle-Jaccard baseline
     "ext_leakage_split",  # built on the exact all-pairs dup graph
     "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
