@@ -1307,23 +1307,37 @@ def grid_neighbor_join(
         F.floor(F.col(x_col) / cell).cast("long").alias("_cx"),
         F.floor(F.col(y_col) / cell).cast("long").alias("_cy"),
     )
+    # explode a LITERAL 9-offset array and add offsets AFTER the
+    # explode (range_join_binned's pattern) — an inline HOF generator
+    # would re-evaluate per output row (the repo's pinned Generate
+    # landmine), and Column-API references keep exotic column names
+    # resolving identically on both sides
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).cast("long").alias("dx"),
+                F.lit(dy).cast("long").alias("dy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
     probe = (
         points.select(
             F.col(id_col).alias("_ia"),
             F.col(x_col).alias("_xa"),
             F.col(y_col).alias("_ya"),
-            F.explode(
-                F.expr(
-                    f"flatten(transform(sequence(-1, 1), dx ->"
-                    f" transform(sequence(-1, 1), dy ->"
-                    f" struct(CAST(floor({x_col} / {cell!r}) + dx AS LONG)"
-                    f"  AS cx,"
-                    f"  CAST(floor({y_col} / {cell!r}) + dy AS LONG)"
-                    f"  AS cy))))"
-                )
-            ).alias("_c"),
+            F.floor(F.col(x_col) / cell).cast("long").alias("_hx"),
+            F.floor(F.col(y_col) / cell).cast("long").alias("_hy"),
+            F.explode(offsets).alias("_o"),
         )
-        .select("_ia", "_xa", "_ya", "_c.cx", "_c.cy")
+        .select(
+            "_ia",
+            "_xa",
+            "_ya",
+            (F.col("_hx") + F.col("_o.dx")).alias("cx"),
+            (F.col("_hy") + F.col("_o.dy")).alias("cy"),
+        )
     )
     d2 = (F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb")) + (
         F.col("_ya") - F.col("_yb")
@@ -1432,10 +1446,13 @@ def calendar_dim(
     to (no external input, no wall clock: reruns replay).
 
     Returns one row per calendar day: (cal_date, year, quarter, month,
-    iso_week, iso_dow, is_weekend). Built by exploding a `sequence`
-    from a 1-row min/max aggregate — never a driver loop; ISO
-    weekday/week are used because engines disagree on Sunday-based
-    conventions (Spark weekday()+1 == DuckDB isodow).
+    iso_year, iso_week, iso_dow, is_weekend). Built by exploding a
+    `sequence` from a 1-row min/max aggregate — never a driver loop;
+    ISO weekday/week are used because engines disagree on Sunday-based
+    conventions (Spark weekday()+1 == DuckDB isodow), and iso_year is
+    emitted alongside iso_week because (year, iso_week) is a trap:
+    Dec 29-31 can be ISO week 1 of the NEXT iso_year — the correct
+    weekly join key is (iso_year, iso_week).
     """
     bounds = df.agg(
         F.min(F.col(date_col).cast("date")).alias("_d0"),
@@ -1450,6 +1467,9 @@ def calendar_dim(
         F.year("cal_date").cast("int").alias("year"),
         F.quarter("cal_date").cast("int").alias("quarter"),
         F.month("cal_date").cast("int").alias("month"),
+        F.expr("extract(YEAROFWEEK FROM cal_date)")
+        .cast("int")
+        .alias("iso_year"),
         F.weekofyear("cal_date").cast("int").alias("iso_week"),
         iso_dow.alias("iso_dow"),
         (iso_dow >= 6).cast("int").alias("is_weekend"),

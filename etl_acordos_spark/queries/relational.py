@@ -1041,7 +1041,9 @@ def q_ext_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (unit_hash(F.col("c_custkey")) * 10.0).alias("x"),
         (unit_hash(F.col("c_custkey"), XX_PRIME) * 10.0).alias("y"),
     )
-    return grid_neighbor_join(pts, "c_custkey", "x", "y", radius=0.3, cell=1.0)
+    # cell defaults to radius — the tightest covering grid (9·cell²
+    # candidate area per point); a coarser cell only inflates candidates
+    return grid_neighbor_join(pts, "c_custkey", "x", "y", radius=0.3)
 
 
 def q_ext_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,6 +1149,7 @@ _CALENDAR_ORACLE = (
     "  CAST(year(cal_date) AS INT) AS year,"
     "  CAST(quarter(cal_date) AS INT) AS quarter,"
     "  CAST(month(cal_date) AS INT) AS month,"
+    "  CAST(isoyear(cal_date) AS INT) AS iso_year,"
     "  CAST(weekofyear(cal_date) AS INT) AS iso_week,"
     "  CAST(isodow(cal_date) AS INT) AS iso_dow,"
     "  CAST(isodow(cal_date) >= 6 AS INT) AS is_weekend"

@@ -2043,3 +2043,20 @@ def test_benford_profile_flags_uniform_data(spark):
     assert got[1]["n"] < got[1]["expected_n"]  # Benford expects ~30%
     assert got[9]["n"] > got[9]["expected_n"]  # Benford expects ~4.6%
     assert got[9]["chi2_term"] > 0
+
+
+def test_calendar_dim_iso_year_boundary(spark):
+    """Dec 29 2025 falls in ISO week 1 of iso_year 2026 — the exact
+    mis-bucketing (year, iso_week) would cause, which (iso_year,
+    iso_week) avoids."""
+    from datetime import datetime as dt
+
+    from etl_acordos_spark.operators.relational import calendar_dim
+
+    df = spark.createDataFrame(
+        [(dt(2025, 12, 28),), (dt(2026, 1, 2),)], ["d"]
+    )
+    rows = {r["cal_date"].isoformat(): r for r in calendar_dim(df, "d").collect()}
+    r = rows["2025-12-29"]
+    assert r["year"] == 2025 and r["iso_year"] == 2026 and r["iso_week"] == 1
+    assert rows["2025-12-28"]["iso_year"] == 2025
