@@ -71,6 +71,7 @@ HEADLINE = [
     "ext_active_users",
     "ext_calendar_dim",
     "ext_benford",
+    "ext_outlier_iqr",
     "ext_retention",
     "ext_anomaly_zscore",
     "ext_transition_matrix",

@@ -1514,3 +1514,49 @@ def benford_profile(
             (F.floor(chi2 * 10000.0 + 0.5) / 10000.0).alias("chi2_term"),
         )
     )
+
+
+def iqr_outliers(
+    events: DataFrame,
+    type_col: str,
+    value_col: str,
+    id_cols: tuple[str, ...] = ("event_id",),
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey IQR-fence outliers per series: values outside
+    [q1 − k·IQR, q3 + k·IQR] — the robust complement to
+    `zscore_outliers` (quartile fences shrug off the very outliers a
+    mean/stddev fence is dragged by).
+
+    Returns (*id_cols, type, value, lo, hi). One exact-percentile
+    aggregate per series broadcast back over the scan. Fences are
+    grid-floored at 1e-9 BEFORE the comparison: the engines' exact
+    quartile interpolations can differ in the last ULP, so the
+    boundary decision must run against a pinned grid value, not the
+    raw double. Exact percentile is a per-group sort — fine for
+    dimension-cardinality series; at fact-scale series use the
+    mergeable histogram sketch (`histogram_quantile_rollup`) for the
+    fences instead.
+    """
+    g = lambda c: F.floor(c * 1000000000.0 + 0.5) / 1000000000.0  # noqa: E731
+    iqr = F.col("_q3") - F.col("_q1")
+    fences = (
+        events.groupBy(type_col)
+        .agg(
+            F.expr(f"percentile({value_col}, 0.25)").alias("_q1"),
+            F.expr(f"percentile({value_col}, 0.75)").alias("_q3"),
+        )
+        .select(
+            type_col,
+            g(F.col("_q1") - k * iqr).alias("lo"),
+            g(F.col("_q3") + k * iqr).alias("hi"),
+        )
+    )
+    return (
+        events.join(F.broadcast(fences), type_col)
+        .filter(
+            (F.col(value_col) < F.col("lo"))
+            | (F.col(value_col) > F.col("hi"))
+        )
+        .select(*id_cols, type_col, value_col, "lo", "hi")
+    )

@@ -981,6 +981,16 @@ def q_ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outliers per event type
+    (operators/relational.py:iqr_outliers) — the robust complement to
+    `ext_anomaly_zscore`; fences grid-pinned before the boundary
+    compare."""
+    from etl_acordos_spark.operators.relational import iqr_outliers
+
+    return iqr_outliers(read_events(spark, sf_dir), "event_type", "value")
+
+
 def q_ext_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar dimension spanning the orders date range
     (operators/relational.py:calendar_dim): the conformed date spine,
@@ -1139,6 +1149,20 @@ def _assoc_rules_oracle(min_pair: int = 3, k: int = 20) -> str:
         f" ORDER BY lift DESC, item_a, item_b LIMIT {k}"
     )
 
+
+_OUTLIER_IQR_ORACLE = (
+    "WITH f AS (SELECT event_type,"
+    "  floor((quantile_cont(value, 0.25)"
+    "    - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)))"
+    "   * 1000000000.0 + 0.5) / 1000000000.0 AS lo,"
+    "  floor((quantile_cont(value, 0.75)"
+    "    + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)))"
+    "   * 1000000000.0 + 0.5) / 1000000000.0 AS hi"
+    " FROM events GROUP BY event_type)"
+    " SELECT event_id, e.event_type, value, lo, hi"
+    " FROM events e JOIN f USING (event_type)"
+    " WHERE value < lo OR value > hi"
+)
 
 _CALENDAR_ORACLE = (
     "WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,"
@@ -1787,6 +1811,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_growth": QueryDef(q_ext_growth, _GROWTH_ORACLE),
     "ext_active_users": QueryDef(q_ext_active_users, _ACTIVE_USERS_ORACLE),
     "ext_calendar_dim": QueryDef(q_ext_calendar_dim, _CALENDAR_ORACLE),
+    "ext_outlier_iqr": QueryDef(q_ext_outlier_iqr, _OUTLIER_IQR_ORACLE),
     "ext_benford": QueryDef(q_ext_benford, _BENFORD_ORACLE),
     "ext_transition_matrix": QueryDef(
         q_ext_transition_matrix, _TRANSITION_ORACLE

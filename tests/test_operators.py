@@ -2060,3 +2060,17 @@ def test_calendar_dim_iso_year_boundary(spark):
     r = rows["2025-12-29"]
     assert r["year"] == 2025 and r["iso_year"] == 2026 and r["iso_week"] == 1
     assert rows["2025-12-28"]["iso_year"] == 2025
+
+
+def test_iqr_outliers_flags_planted_extreme(spark):
+    """A 100-value uniform series plus one extreme value flags exactly
+    the extreme (fences robust to the outlier itself, unlike a
+    mean/stddev fence it would drag)."""
+    from etl_acordos_spark.operators.relational import iqr_outliers
+
+    rows = [(i, "s", float(i % 10)) for i in range(100)]
+    rows.append((100, "s", 1000.0))
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = iqr_outliers(ev, "event_type", "value").collect()
+    assert [r["event_id"] for r in got] == [100]
+    assert got[0]["hi"] < 1000.0 and got[0]["lo"] <= 0.0
