@@ -79,10 +79,12 @@ def triangle_counts(
     # times in the wedge join — without pinning, Catalyst inlines the
     # whole edge-building subtree (self-join + distinct) into every
     # reference and the fact table is scanned 12×. After the cut each
-    # is an RDD leaf: built once, O(m) ids in executor storage. cache()
-    # underneath keeps repeated invocations cheap (same canonical plan
-    # → hit) — the dedup candidate-table idiom (operators/dedup.py).
-    edges = edges.cache().localCheckpoint(eager=True)
+    # is an RDD leaf: built once, O(m) ids in executor storage. No
+    # cache() underneath: the checkpoint leaf already pins the data for
+    # this invocation, and CacheManager entries would outlive it (they
+    # persist until application stop — cf. the explicit unpersist in
+    # operators/dedup.py:component_labels).
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
@@ -104,7 +106,7 @@ def triangle_counts(
     oriented = e.select(
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("w"),
-    ).cache().localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     o1 = oriented.select(F.col("u").alias("a"), F.col("w").alias("b"))
     o2 = oriented.select(F.col("u").alias("b"), F.col("w").alias("c"))
     o3 = oriented.select(F.col("u").alias("a"), F.col("w").alias("c"))
@@ -157,7 +159,6 @@ def pagerank(
     out = (
         sym.join(deg, "src")
         .select("src", "dst", "_deg")
-        .cache()
         .localCheckpoint(eager=True)
     )
     n = out.select("src").distinct().count()
@@ -236,7 +237,7 @@ def hierarchy_flatten(
         .otherwise(F.lit(1))
         .cast("int")
         .alias("depth"),
-    ).cache().localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     for _ in range(rounds):
         lookup = state.select(
             F.col("node").alias("_n"),

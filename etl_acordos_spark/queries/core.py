@@ -69,8 +69,8 @@ def q_src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`binaryFile` source: the object-store entry point of a
     multimodal lake — raw files read as (path, content) rows, decoded
     downstream. Fixture PNGs (the SAME deterministic gradients as
-    ext_mm_decode, stdlib codec) are materialized once into a
-    PID-scoped scratch dir; the query then reads them back through
+    ext_mm_decode, stdlib codec) are materialized once into a fixed,
+    generator-versioned scratch dir; the query then reads them back via
     spark.read.format("binaryFile"), parses the id out of the
     filename, and reduces each payload to integer-exact features whose
     closed form the SQL oracle replays over generate_series. At scale
@@ -86,10 +86,15 @@ def q_src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
-    # fixed dir (the content is fully deterministic, so every process
-    # reuses it — a PID-scoped name would orphan one dir per run);
-    # concurrent writers are safe via write-to-tmp + atomic os.replace
-    root = os.path.join(scratch_dir(), "binary_src")
+    # fixed SHARED dir (the content is fully deterministic, so every
+    # process reuses it — a PID-scoped name would orphan one dir per
+    # run), but versioned by the generator recipe: files are only
+    # written when absent, so without the version tag a formula/dims
+    # change would silently keep serving stale fixtures and diverge
+    # from the closed-form oracle. Bump the tag whenever the gradient
+    # formula, the dims derivation, or encode_png's output changes.
+    # Concurrent writers are safe via write-to-tmp + atomic os.replace.
+    root = os.path.join(scratch_dir(), "binary_src_xygrad256_8p9_8p7_v1")
     os.makedirs(root, exist_ok=True)
     for d in range(64):
         path = os.path.join(root, f"img_{d:04d}.png")

@@ -496,7 +496,7 @@ def q_ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("avg_quality")
     )
-    card = base.crossJoin(q)
+    card = base.crossJoin(F.broadcast(q))
     return card.unpivot(
         ids=[],
         values=[

@@ -109,6 +109,11 @@ SKIP_PLAN_CHECK = {
     "flow_dag", "flow_retry", "chk_exists", "ddl_infer",
     "ext_stream_windows", "ext_stream_sessions", "ext_stream_stateful",
     "ext_stream_dedup", "ext_stream_join", "ext_stream_upsert",
+    # ext_stream_stream_join's registry callable RUNS the stream and
+    # returns a read of the result table — its "plan" is a scan, so the
+    # generic cartesian check on it was vacuous. The real streaming join
+    # plan is pinned pre-start by
+    # test_stream_stream_join_is_keyed_symmetric_hash below.
     "ext_stream_stream_join", "ext_stream_dedup_index",
     "ext_stream_ann_index", "ext_stream_anomaly",
 }
@@ -249,3 +254,78 @@ def test_pagerank_iterations_broadcast_the_rank_table(spark, sf_oracle):
     df = contract.queries()["ext_pagerank"](spark, sf_oracle)
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_stream_stream_join_is_keyed_symmetric_hash(spark, sf_oracle):
+    """The interval join's PRE-START physical plan (the registry
+    callable runs the stream and returns a store read, so the generic
+    check can't see this) must be a StreamingSymmetricHashJoin keyed on
+    user_id — both streams exchange once with
+    REQUIRED_BY_STATEFUL_OPERATOR — never a nested-loop over the pure
+    time-range predicate (which would buffer every row against every
+    row and have no state-eviction key)."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.streaming.events import (
+        interval_join_streams,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_oracle)
+    j = interval_join_streams(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    plan = plan_of(j)
+    assert "StreamingSymmetricHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("REQUIRED_BY_STATEFUL_OPERATOR") == 2, plan
+
+
+def _graph_edges(spark, sf_oracle):
+    from etl_acordos_spark.operators.graph import co_occurrence_edges
+    from etl_acordos_spark.queries.base import t
+
+    return co_occurrence_edges(
+        t(spark, sf_oracle, "lineitem"), "l_orderkey", "l_partkey"
+    )
+
+
+def test_triangle_count_fallback_plan_and_rows(spark, sf_oracle):
+    """`broadcast_edges=False` is the documented beyond-10^8-edge escape
+    hatch (oriented list no longer fits executor memory): the wedge
+    joins degrade to shuffled equi-joins on vertex ids — still NEVER a
+    cartesian/nested-loop — and the result rows must be identical to
+    the broadcast path's."""
+    from etl_acordos_spark.operators.graph import triangle_counts
+
+    edges = _graph_edges(spark, sf_oracle)
+    fb = triangle_counts(edges, k=20, broadcast_edges=False)
+    plan = plan_of(fb)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the closing sides are equi-keyed: shuffled hash or sort-merge
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    expected = triangle_counts(edges, k=20, broadcast_edges=True)
+    assert sorted(map(tuple, fb.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+
+def test_pagerank_fallback_plan_and_rows(spark, sf_oracle):
+    """`broadcast_ranks=False` is the beyond-executor-memory vertex-set
+    escape hatch: each iteration's rank join degrades to a shuffled
+    equi-join — never cartesian — with rows identical to the broadcast
+    path (the per-iteration grid-floor makes both bit-stable)."""
+    from etl_acordos_spark.operators.graph import pagerank
+
+    edges = _graph_edges(spark, sf_oracle)
+    fb = pagerank(edges, iterations=3, k=20, broadcast_ranks=False)
+    plan = plan_of(fb)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    expected = pagerank(edges, iterations=3, k=20, broadcast_ranks=True)
+    assert sorted(map(tuple, fb.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
