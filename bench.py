@@ -112,6 +112,7 @@ HEADLINE = [
     "ext_stream_upsert",
     "ext_stream_anomaly",
     "ext_dedup_exact",
+    "ext_dedup_url",
     "ext_dedup_near",
     "ext_passage_dedup",
     "ext_dedup_simhash",
@@ -128,6 +129,7 @@ HEADLINE = [
     "ext_quality_score",
     "ext_entropy",
     "ext_lm_score",
+    "ext_lm_bigram",
     "ext_lang_id",
     "ext_fingerprint",
     "ext_pii_redact",
@@ -145,6 +147,7 @@ HEADLINE = [
     "ext_boilerplate",
     "ext_decontaminate",
     "ext_seq_pack",
+    "ext_pack_bfd",
     "ext_cdc_diff",
     "ext_dq_checks",
     "ext_bucketed_join",

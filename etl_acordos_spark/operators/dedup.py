@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -141,6 +141,86 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "content_sha256")
     )
+
+
+#: query params that identify a visit, not a resource — stripped by
+#: canonical_url (the standard web-corpus cleaning list: UTM campaign
+#: tags, affiliate/click ids). Anchored at '^name=' over each param.
+TRACKING_PARAM_RE = "^(utm_[^=]*|ref|fbclid|gclid|mc_[^=]*)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for identity comparison — the map-only
+    normalization every web-corpus dedup runs BEFORE content hashing
+    (CommonCrawl-style pipelines dedup on canonical URL first: it
+    catches the recrawl/mirror duplicates that differ only in tracking
+    decoration, at zero content cost):
+
+    - drop the ``#fragment`` (client-side only),
+    - lowercase the scheme and host (case-insensitive per RFC 3986;
+      the path is NOT lowercased — it is case-sensitive),
+    - strip trailing slashes from the path,
+    - drop tracking query params (:data:`TRACKING_PARAM_RE`), keep the
+      rest sorted so param order can't split identical resources.
+
+    Pure string expressions (no UDF) with an exact DuckDB twin in the
+    ext_dedup_url oracle — keep the two in lockstep."""
+    pre = F.substring_index(url, "#", 1)
+    base = F.substring_index(pre, "?", 1)
+    query = F.when(
+        pre.contains("?"), F.substring_index(pre, "?", -1)
+    ).otherwise(F.lit(""))
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
+    path = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$", 1
+    )
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.concat(
+        F.lower(scheme),
+        F.lit("://"),
+        F.lower(host),
+        F.regexp_replace(path, "/+$", ""),
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, text_col: str, id_col: str
+) -> DataFrame:
+    """Dual URL + content dedup verdict per document — the cheap first
+    pass a web corpus runs before MinHash: a doc is a duplicate if a
+    lower-id doc already claimed its canonical URL (recrawl/mirror) OR
+    its exact content digest (same bytes at a different address).
+
+    Plan shape: canonicalization and sha2 are map-side; the two
+    first-claim decisions are two window-mins keyed on the canonical
+    URL / the 64-hex digest — shuffles carry (id, url, digest), never
+    the document body. Returns every input row with its verdict
+    (keep = first on BOTH axes), so the caller can either filter to
+    the keep-set or audit the drop reasons."""
+    marked = df.select(
+        F.col(id_col),
+        canonical_url(F.col(url_col)).alias("canonical_url"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+    )
+    w_url = Window.partitionBy("canonical_url")
+    w_content = Window.partitionBy("content_sha256")
+    return marked.select(
+        id_col,
+        "canonical_url",
+        (F.col(id_col) != F.min(id_col).over(w_url)).alias("url_dup"),
+        (F.col(id_col) != F.min(id_col).over(w_content)).alias(
+            "content_dup"
+        ),
+    ).withColumn("keep", ~F.col("url_dup") & ~F.col("content_dup"))
 
 
 # ------------------------------------------------------------ MinHash-LSH

@@ -512,7 +512,7 @@ def boilerplate_ngrams(
     return (
         doc_grams.groupBy("gram")
         .agg(F.count("*").alias("n_docs"))
-        .crossJoin(total)
+        .crossJoin(F.broadcast(total))
         .filter(F.col("n_docs") / F.col("n_total") >= min_doc_frac)
         .select(
             "gram",
@@ -552,6 +552,98 @@ def lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.round(-F.avg("logp"), 4).alias("bits_per_token"),
         )
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 3,
+    backoff_alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document surprisal under a corpus-trained bigram LM with
+    stupid backoff — bits/bigram = −mean log2 P(w_i | w_{i−1}), the
+    next step up from :func:`lm_score`'s unigram proxy toward the real
+    KenLM-style perplexity filters (CCNet trains an actual LM; a
+    conditional model separates "common words in impossible order"
+    from genuinely typical prose, which a unigram model cannot).
+
+    ``P(w2 | w1) = c(w1,w2) / c(w1·)`` when the bigram has at least
+    *min_count* corpus occurrences, else stupid backoff
+    ``alpha · c(w2) / N`` (Brants et al. 2007 — no discounting to keep
+    the closed form oracle-exact; alpha 0.4 is the published default).
+    Training on the scored corpus itself means every bigram HAS corpus
+    support, so *min_count* is what makes the backoff path real: rare
+    pairs fall through to the unigram score instead of memorizing
+    themselves.
+
+    Plan shape: one scan tokenizes and explodes positional pairs; the
+    bigram/context/unigram models are three hash aggregates off that
+    stream; corpus total N joins as a 1-row broadcast; the scoring pass
+    left-joins the (min-count-filtered) bigram model and coalesces into
+    the backoff expression, then re-aggregates per document. Shuffles
+    carry word pairs and counts, never document bodies. At 100 TB cap
+    the models to a top-V vocabulary + OOV bucket so the model join
+    stays broadcastable — here the joins are word-keyed shuffles that
+    AQE downgrades to broadcasts while the vocab is dim-sized. The
+    first token of each document has no context and is standard-skipped
+    (documents under 2 tokens drop out entirely, matching the oracle's
+    inner join over an empty bigram set)."""
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tk")
+    )
+    # positional pairs via the map-side HOF idiom (pmi_collocations):
+    # guard size>=2 because sequence(1, 0) would generate DESCENDING
+    bg = toks.filter(F.size("tk") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(tk[i-1] AS w1, tk[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # context totals derive from the bigram table (vocab-sized), not a
+    # second pass over the pair stream
+    cctx = c2.groupBy("w1").agg(F.sum("c2").alias("cc"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    n_total = uni.agg(F.sum("c1").alias("n")).withColumn("_k", F.lit(1))
+    bi_model = (
+        c2.filter(F.col("c2") >= min_count)
+        .join(cctx, "w1")
+        .select(
+            "w1", "w2", F.log2(F.col("c2") / F.col("cc")).alias("logp_bi")
+        )
+    )
+    uni_model = (
+        uni.withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_total), "_k")
+        .select(
+            F.col("w").alias("w2"),
+            F.log2(F.lit(backoff_alpha) * F.col("c1") / F.col("n")).alias(
+                "logp_uni"
+            ),
+        )
+    )
+    scored = (
+        bg.join(bi_model, ["w1", "w2"], "left")
+        .join(uni_model, "w2")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("logp_bi"), F.col("logp_uni")).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.floor(-F.avg("logp") * 10000.0 + 0.5) / 10000.0
+        ).alias("bits_per_bigram"),
     )
 
 
@@ -668,6 +760,79 @@ def pack_chunks(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum(tokens_col).cast("long").alias("n_tokens"),
         )
+    )
+
+
+def pack_best_fit(
+    chunks: DataFrame,
+    id_col: str,
+    chunk_col: str,
+    tokens_col: str,
+    budget: int = 256,
+    shards: int = 8,
+) -> DataFrame:
+    """Best-fit-decreasing bin packing of chunks into fixed-budget
+    packs WITHOUT splitting a chunk across packs — the
+    attention-boundary-preserving alternative to :func:`pack_chunks`'s
+    concat-and-slice (which fills every pack exactly but cuts
+    sequences mid-thought). Token-budget utilization is training-cost
+    money: BFD's fill rate is the measured number, compared against
+    greedy in tests/test_operators.py.
+
+    Within each doc-hash shard, chunks sorted by (tokens DESC, id,
+    chunk) are placed into the fullest open pack that still fits,
+    else a new pack — textbook BFD (≤ 11/9·OPT + 4 bins). Packing is
+    inherently sequential, so it runs per-shard via `applyInPandas`
+    (the sanctioned Python escape hatch): shards are independent, the
+    per-shard state is just the open-pack fill table, and parallelism
+    at 100 TB comes from raising *shards* so each shard's chunk list
+    stays executor-sized — packing quality is per-shard, which is the
+    operating point real loaders use anyway (a global BFD would
+    serialize the corpus). Deterministic: the shard key, the sort, and
+    tie-breaks are all pure functions of the input ids.
+
+    Returns the per-pack manifest (shard, pack_id, n_chunks,
+    n_tokens); pack_id numbers packs in creation order within shard.
+    """
+    import pandas as pd
+
+    id_c, ch_c, tok_c = id_col, chunk_col, tokens_col
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [tok_c, id_c, ch_c], ascending=[False, True, True]
+        )
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        fills: list[int] = []
+        counts: list[int] = []
+        for tok in pdf[tok_c].astype("int64").to_numpy():
+            best, best_fill = -1, -1
+            for i, f in enumerate(fills):
+                if f + tok <= budget and f > best_fill:
+                    best, best_fill = i, f
+            if best < 0:
+                fills.append(int(tok))
+                counts.append(1)
+            else:
+                fills[best] += int(tok)
+                counts[best] += 1
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "pack_id": range(len(fills)),
+                "n_chunks": counts,
+                "n_tokens": fills,
+            }
+        )
+
+    sharded = chunks.select(
+        (F.col(id_col) % shards).cast("int").alias("shard"),
+        F.col(id_col),
+        F.col(chunk_col),
+        F.col(tokens_col),
+    )
+    return sharded.groupBy("shard").applyInPandas(
+        bfd, "shard int, pack_id int, n_chunks bigint, n_tokens bigint"
     )
 
 

@@ -22,6 +22,7 @@ from etl_acordos_spark.operators.dedup import (
     keep_representatives,
     minhash_lsh_pairs,
     simhash_pairs,
+    url_dedup,
 )
 from etl_acordos_spark.operators.multimodal import (
     attach_binary_payload,
@@ -43,6 +44,7 @@ from etl_acordos_spark.operators.simsearch import (
 )
 from etl_acordos_spark.operators.relational import stratified_sample
 from etl_acordos_spark.operators.text import (
+    bigram_lm_score,
     boilerplate_ngrams,
     char_entropy,
     corpus_stats,
@@ -52,6 +54,7 @@ from etl_acordos_spark.operators.text import (
     lang_id,
     lm_score,
     mixture_sample,
+    pack_best_fit,
     pack_chunks,
     pii_redact,
     quality_scores,
@@ -109,6 +112,47 @@ def q_ext_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_shingles=True,
         shingle_n=3,
     )
+
+
+#: deterministic synthetic crawl URL per document — the documents table
+#: carries no URL column, so the query derives one from (source, doc_id)
+#: with the decoration classes real crawls exhibit: host-case variance
+#: (%3), trailing slash (%5), tracking params / param order (%7). The
+#: oracle replays the IDENTICAL derivation; canonicalization must
+#: collapse exactly the decoration and nothing else.
+def _synth_url() -> F.Column:
+    # modulus 35: sources cycle doc_id % 20, so canonical collisions
+    # happen at doc_id ≡ (mod lcm(20,35)=140) — ~3.6 docs per canonical
+    # URL at sf0.01; 140 ≡ 0 (mod 5,7) keeps slash/param class equal
+    # within a group while 140 ≡ 2 (mod 3) varies the HOST CASE, so
+    # the dup signal only fires if lowercasing canonicalizes it away
+    article = (F.col("doc_id") % 35).cast("string")
+    host = F.when(
+        F.col("doc_id") % 3 == 0, F.upper(F.col("source"))
+    ).otherwise(F.col("source"))
+    slash = F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    q7 = F.col("doc_id") % 7
+    query = (
+        F.when(q7 == 1, F.lit("?utm_source=feed&page=2"))
+        .when(q7 == 3, F.lit("?page=2&ref=sidebar"))
+        .when(q7 == 5, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("https://"), host, F.lit(".example.com/articles/"),
+        article, slash, query,
+    )
+
+
+def q_ext_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL + content-hash dual dedup verdict
+    (operators/dedup.py:url_dedup) — the map-only first pass a web
+    corpus runs before MinHash: fragment dropped, scheme/host
+    lowercased, trailing slash stripped, tracking params removed and
+    the rest sorted; first-claim by min doc_id per canonical URL and
+    per sha256 digest."""
+    docs = t(spark, sf_dir, "documents").withColumn("url", _synth_url())
+    return url_dedup(docs, "url", "text", "doc_id")
 
 
 def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,6 +424,16 @@ def q_ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_ext_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under a corpus-trained bigram LM with
+    stupid backoff (operators/text.py:bigram_lm_score) — the
+    conditional-probability step up from ext_lm_score's unigram proxy:
+    bigrams below min_count=3 back off to 0.4 · unigram."""
+    return bigram_lm_score(
+        t(spark, sf_dir, "documents"), "text", "doc_id", min_count=3
+    )
+
+
 def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language identification."""
     return lang_id(t(spark, sf_dir, "documents"), "text", "doc_id")
@@ -441,6 +495,25 @@ def q_ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), "text", "doc_id", window=64, stride=48
     )
     return pack_chunks(
+        chunks,
+        id_col="doc_id",
+        chunk_col="chunk_id",
+        tokens_col="n_chunk_tokens",
+        budget=256,
+        shards=8,
+    )
+
+
+def q_ext_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing packing of ext_doc_chunk's chunks into
+    256-token packs across 8 doc-hash shards WITHOUT splitting chunks
+    (operators/text.py:pack_best_fit) — the boundary-preserving
+    alternative to ext_seq_pack's concat-and-slice; fill rate vs
+    greedy is pinned in tests/test_operators.py."""
+    chunks = doc_chunks(
+        t(spark, sf_dir, "documents"), "text", "doc_id", window=64, stride=48
+    )
+    return pack_best_fit(
         chunks,
         id_col="doc_id",
         chunk_col="chunk_id",
@@ -757,6 +830,137 @@ _NGRAM_TOPK_ORACLE = (
     " SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM bg"
     " GROUP BY ngram ORDER BY n DESC, ngram LIMIT 25"
 )
+
+def _lm_bigram_oracle(min_count: int = 3, alpha: float = 0.4) -> str:
+    """Oracle twin of q_ext_lm_bigram (operators/text.py:
+    bigram_lm_score) with min_count/alpha threaded through. Identical
+    model recurrence: P_bi = c2/cctx gated on min_count, stupid
+    backoff alpha·c1/N, 1e-4 grid-floor on the per-doc mean."""
+    return (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        "  FROM documents WHERE text IS NOT NULL),"
+        " bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2"
+        "  FROM (SELECT doc_id, unnest(range(1, len(tk))) AS i, tk"
+        "        FROM tok WHERE len(tk) >= 2)),"
+        " c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),"
+        " cctx AS (SELECT w1, sum(c2) AS cc FROM c2 GROUP BY 1),"
+        " uni AS (SELECT w, count(*) AS c1"
+        "  FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1),"
+        " tot AS (SELECT sum(c1) AS n FROM uni),"
+        " bim AS (SELECT c2.w1, c2.w2,"
+        "   log2(CAST(c2.c2 AS DOUBLE) / CAST(cctx.cc AS DOUBLE))"
+        "    AS logp_bi"
+        f"  FROM c2 JOIN cctx USING (w1) WHERE c2.c2 >= {min_count})"
+        " SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+        "  floor(-avg(coalesce(b.logp_bi,"
+        f"   log2({alpha} * CAST(u.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE))))"
+        "   * 10000.0 + 0.5) / 10000.0 AS bits_per_bigram"
+        " FROM bg LEFT JOIN bim b ON bg.w1 = b.w1 AND bg.w2 = b.w2"
+        " JOIN uni u ON u.w = bg.w2, tot"
+        " GROUP BY bg.doc_id"
+    )
+
+
+_LM_BIGRAM_ORACLE = _lm_bigram_oracle()
+
+#: twin of q_ext_dedup_url: the synthetic-URL derivation AND the
+#: canonicalization (operators/dedup.py:canonical_url) replayed in
+#: DuckDB — fragment drop, lowercase scheme/host, trailing-slash strip,
+#: tracking params out / survivors sorted. Keep in lockstep with both.
+_DEDUP_URL_ORACLE = (
+    "WITH raw AS (SELECT doc_id, text,"
+    "  'https://'"
+    "   || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END"
+    "   || '.example.com/articles/' || CAST(doc_id % 35 AS VARCHAR)"
+    "   || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
+    "   || CASE WHEN doc_id % 7 = 1 THEN '?utm_source=feed&page=2'"
+    "           WHEN doc_id % 7 = 3 THEN '?page=2&ref=sidebar'"
+    "           WHEN doc_id % 7 = 5 THEN '?utm_campaign=x'"
+    "           ELSE '' END AS url"
+    " FROM documents),"
+    " pq AS (SELECT doc_id, text,"
+    "   split_part(split_part(url, '#', 1), '?', 1) AS base,"
+    "   CASE WHEN contains(split_part(url, '#', 1), '?')"
+    "        THEN split_part(split_part(url, '#', 1), '?', 2)"
+    "        ELSE '' END AS q"
+    "  FROM raw),"
+    " kp AS (SELECT *, list_sort(list_filter(string_split(q, '&'),"
+    "   x -> x <> '' AND NOT regexp_matches(x,"
+    "    '^(utm_[^=]*|ref|fbclid|gclid|mc_[^=]*)='))) AS kept FROM pq),"
+    " canon AS (SELECT doc_id, sha256(text) AS digest,"
+    "   lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    "   || '://'"
+    "   || lower(regexp_extract(base,"
+    "       '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1))"
+    "   || regexp_replace(regexp_extract(base,"
+    "       '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1), '/+$', '')"
+    "   || CASE WHEN len(kept) > 0"
+    "        THEN '?' || array_to_string(kept, '&') ELSE '' END"
+    "    AS canonical_url"
+    "  FROM kp),"
+    " m AS (SELECT doc_id, canonical_url,"
+    "   min(doc_id) OVER (PARTITION BY canonical_url) AS url_min,"
+    "   min(doc_id) OVER (PARTITION BY digest) AS content_min"
+    "  FROM canon)"
+    " SELECT doc_id, canonical_url,"
+    "  doc_id <> url_min AS url_dup,"
+    "  doc_id <> content_min AS content_dup,"
+    "  (doc_id = url_min AND doc_id = content_min) AS keep"
+    " FROM m"
+)
+
+
+def _pack_bfd_oracle(
+    budget: int = 256, shards: int = 8, window: int = 64, stride: int = 48
+) -> str:
+    """Oracle twin of q_ext_pack_bfd: best-fit-decreasing replayed as a
+    single-row-per-shard recursive CTE — state is the (fills, cnts)
+    list pair, each step places the shard's next length-ranked chunk
+    into the fullest bin that fits (list_max over the filtered fills;
+    list_position resolves the FIRST bin at that fill, matching the
+    operator's strict `>` scan). Sequential by nature, so the oracle
+    is depth-n_chunks/shard recursion — verification-scale only."""
+    return (
+        "WITH RECURSIVE tok AS (SELECT doc_id,"
+        "   string_split(text, ' ') AS tok FROM documents),"
+        f" ch AS (SELECT CAST(doc_id % {shards} AS INT) AS shard, doc_id,"
+        f"   CAST(floor((s - 1) / {stride}) AS INTEGER) AS chunk_id,"
+        f"   CAST(len(tok[s : least(s + {window - 1}, len(tok))])"
+        "     AS BIGINT) AS tokn"
+        f"  FROM tok, unnest(generate_series(1, len(tok), {stride}))"
+        "    AS u(s)),"
+        " items AS (SELECT shard, tokn, row_number() OVER ("
+        "   PARTITION BY shard ORDER BY tokn DESC, doc_id, chunk_id)"
+        "    AS rn FROM ch),"
+        " st AS ("
+        "  SELECT shard, 0 AS i, CAST([] AS BIGINT[]) AS fills,"
+        "    CAST([] AS BIGINT[]) AS cnts"
+        "  FROM (SELECT DISTINCT shard FROM items)"
+        "  UNION ALL"
+        "  SELECT st.shard, st.i + 1,"
+        "   CASE WHEN best IS NULL THEN list_append(st.fills, it.tokn)"
+        "        ELSE st.fills[1:pos-1] || [best + it.tokn]"
+        "          || st.fills[pos+1:] END,"
+        "   CASE WHEN best IS NULL THEN list_append(st.cnts, 1::BIGINT)"
+        "        ELSE st.cnts[1:pos-1] || [st.cnts[pos] + 1]"
+        "          || st.cnts[pos+1:] END"
+        "  FROM st"
+        "  JOIN items it ON it.shard = st.shard AND it.rn = st.i + 1,"
+        "  LATERAL (SELECT list_max(list_filter(st.fills,"
+        f"    f -> f + it.tokn <= {budget})) AS best) b,"
+        "  LATERAL (SELECT list_position(st.fills, b.best) AS pos) p),"
+        " fin AS (SELECT shard, fills, cnts, row_number() OVER ("
+        "   PARTITION BY shard ORDER BY i DESC) AS rk"
+        "  FROM st QUALIFY rk = 1)"
+        " SELECT shard,"
+        "  CAST(generate_subscripts(fills, 1) - 1 AS INT) AS pack_id,"
+        "  CAST(unnest(cnts) AS BIGINT) AS n_chunks,"
+        "  CAST(unnest(fills) AS BIGINT) AS n_tokens"
+        " FROM fin"
+    )
+
+
+_PACK_BFD_ORACLE = _pack_bfd_oracle()
 
 _ORACLES: dict[str, str | None] = {
     "ext_dedup_exact": (
@@ -1222,6 +1426,7 @@ _ORACLES: dict[str, str | None] = {
 
 QUERIES: dict[str, QueryDef] = {
     "ext_dedup_exact": QueryDef(q_ext_dedup_exact, _ORACLES["ext_dedup_exact"]),
+    "ext_dedup_url": QueryDef(q_ext_dedup_url, _DEDUP_URL_ORACLE),
     "ext_dedup_jaccard": QueryDef(
         q_ext_dedup_jaccard, _ORACLES["ext_dedup_jaccard"]
     ),
@@ -1256,6 +1461,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_entropy": QueryDef(q_ext_entropy, _ORACLES["ext_entropy"]),
     "ext_lm_score": QueryDef(q_ext_lm_score, _ORACLES["ext_lm_score"]),
+    "ext_lm_bigram": QueryDef(q_ext_lm_bigram, _LM_BIGRAM_ORACLE),
     "ext_mixture_sample": QueryDef(
         q_ext_mixture_sample, _ORACLES["ext_mixture_sample"]
     ),
@@ -1291,6 +1497,7 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_decontaminate, _ORACLES["ext_decontaminate"]
     ),
     "ext_seq_pack": QueryDef(q_ext_seq_pack, _ORACLES["ext_seq_pack"]),
+    "ext_pack_bfd": QueryDef(q_ext_pack_bfd, _PACK_BFD_ORACLE),
     "ext_multimodal": QueryDef(q_ext_multimodal, None),
     "ext_mm_resize": QueryDef(
         q_ext_mm_resize,

@@ -142,3 +142,46 @@ class TestDomainCap:
         a = sorted(map(tuple, domain_cap(docs, 10, "source", "doc_id").collect()))
         b = sorted(map(tuple, domain_cap(docs, 10, "source", "doc_id").collect()))
         assert a == b
+
+
+def test_kmeans_sf001_matches_numpy_lloyd_reference(spark, sf_oracle):
+    """End-to-end pin for the registered ext_kmeans run (k=10, 4 iters,
+    first-k-by-id init): replay Lloyd's in pure numpy with the SAME
+    init, per-iteration 9-dp centroid rounding, and tol early-exit, and
+    require the final ASSIGNMENTS to agree exactly for every vector
+    (VERDICT r5 item 8 — tightens the weakest rows-only key: the
+    distributed partial-sum reduction must not drift the centroids
+    through the 9-dp grid)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(emb, k=10, n_iter=4).collect()
+    }
+
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    C = X[:10].copy()
+
+    def assign(C):
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        return np.argmin(d, axis=1)
+
+    for _ in range(4):
+        a = assign(C)
+        new_C = C.copy()
+        for c in range(10):
+            m = a == c
+            if m.any():
+                new_C[c] = X[m].sum(axis=0) / m.sum()
+        new_C = np.round(new_C, 9)
+        moved = float(np.max(np.abs(new_C - C)))
+        C = new_C
+        if moved < 1e-7:
+            break
+    expect = dict(zip(ids, assign(C).tolist()))
+    assert got == expect

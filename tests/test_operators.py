@@ -2074,3 +2074,145 @@ def test_iqr_outliers_flags_planted_extreme(spark):
     got = iqr_outliers(ev, "event_type", "value").collect()
     assert [r["event_id"] for r in got] == [100]
     assert got[0]["hi"] < 1000.0 and got[0]["lo"] <= 0.0
+
+
+def test_pack_best_fit_validity_and_beats_naive_no_split(spark, sf_oracle):
+    """BFD manifest invariants: conserves chunks and tokens, never
+    overfills a pack, numbers packs contiguously per shard — and per
+    shard uses NO MORE packs than the naive no-split sequential packer
+    (close the pack when the next chunk doesn't fit), the fill-rate
+    claim that justifies the operator over arrival-order packing."""
+    from etl_acordos_spark.operators.text import doc_chunks, pack_best_fit
+
+    chunks = doc_chunks(
+        t(spark, sf_oracle, "documents"), "text", "doc_id",
+        window=64, stride=48,
+    )
+    raw = chunks.select(
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        "doc_id", "chunk_id", "n_chunk_tokens",
+    ).collect()
+    packs = pack_best_fit(
+        chunks, "doc_id", "chunk_id", "n_chunk_tokens",
+        budget=256, shards=8,
+    ).collect()
+    assert sum(p.n_chunks for p in packs) == len(raw)
+    assert sum(p.n_tokens for p in packs) == sum(
+        r.n_chunk_tokens for r in raw
+    )
+    assert all(p.n_tokens <= 256 for p in packs)
+    by_shard: dict[int, list] = {}
+    for p in packs:
+        by_shard.setdefault(p.shard, []).append(p)
+    naive_bins: dict[int, int] = {}
+    for r in raw:
+        naive_bins.setdefault(r.shard, [])
+    arrival: dict[int, list] = {}
+    for r in raw:
+        arrival.setdefault(r.shard, []).append(r)
+    for shard, rows in arrival.items():
+        rows.sort(key=lambda r: (r.doc_id, r.chunk_id))
+        fill, bins = 0, 0
+        for r in rows:
+            if bins == 0 or fill + r.n_chunk_tokens > 256:
+                bins += 1
+                fill = 0
+            fill += r.n_chunk_tokens
+        naive_bins[shard] = bins
+    for shard, ps in by_shard.items():
+        ps.sort(key=lambda p: p.pack_id)
+        assert [p.pack_id for p in ps] == list(range(len(ps))), shard
+        assert len(ps) <= naive_bins[shard], (
+            f"shard {shard}: BFD used {len(ps)} packs, "
+            f"naive no-split used {naive_bins[shard]}"
+        )
+
+
+def test_url_dedup_canonicalization_and_dual_claims(spark):
+    """Canonicalization must collapse exactly the decoration classes —
+    fragment, host case, trailing slash, tracking params, param order —
+    and the dual verdict must claim first-by-id independently on the
+    URL and content axes."""
+    from etl_acordos_spark.operators.dedup import url_dedup
+
+    rows = [
+        (0, "https://A.Example.com/p/1?utm_source=x&page=2#frag", "body-a"),
+        # same canonical as 0: case, slash, param order, tracking junk
+        (1, "https://a.example.com/p/1/?page=2&ref=side", "body-b"),
+        # different page param -> different canonical
+        (2, "https://a.example.com/p/1?page=3", "body-c"),
+        # unrelated URL but identical CONTENT to doc 0
+        (3, "https://other.example.com/q", "body-a"),
+        # pure tracking query == no query at all
+        (4, "https://b.example.com/r?utm_campaign=z", "body-d"),
+        (5, "https://b.example.com/r", "body-e"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    got = {r.doc_id: r for r in url_dedup(df, "url", "text", "doc_id").collect()}
+    assert got[0].canonical_url == "https://a.example.com/p/1?page=2"
+    assert got[1].canonical_url == got[0].canonical_url
+    assert got[2].canonical_url == "https://a.example.com/p/1?page=3"
+    assert got[4].canonical_url == got[5].canonical_url == (
+        "https://b.example.com/r"
+    )
+    assert not got[0].url_dup and not got[0].content_dup and got[0].keep
+    assert got[1].url_dup and not got[1].content_dup and not got[1].keep
+    assert got[2].keep
+    assert not got[3].url_dup and got[3].content_dup and not got[3].keep
+    assert got[4].keep and got[5].url_dup and not got[5].keep
+
+
+def test_bigram_lm_score_matches_python_reference(spark):
+    """The bigram/backoff recurrence replayed in pure Python over a
+    tiny corpus — min-count gating must route rare bigrams through the
+    0.4·unigram backoff and frequent ones through the conditional."""
+    import math
+
+    from etl_acordos_spark.operators.text import bigram_lm_score
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (2, "the cat sat on the mat again"),
+        (3, "dog runs"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.bits_per_bigram)
+        for r in bigram_lm_score(
+            df, "text", "doc_id", min_count=2, backoff_alpha=0.4
+        ).collect()
+    }
+    # python reference
+    from collections import Counter
+
+    uni: Counter = Counter()
+    c2: Counter = Counter()
+    for _, text in corpus:
+        toks = text.split(" ")
+        uni.update(toks)
+        c2.update(zip(toks, toks[1:]))
+    cctx: Counter = Counter()
+    for (w1, _), c in c2.items():
+        cctx[w1] += c
+    n = sum(uni.values())
+    expect = {}
+    for doc_id, text in corpus:
+        toks = text.split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            continue
+        logps = [
+            math.log2(c2[p] / cctx[p[0]])
+            if c2[p] >= 2
+            else math.log2(0.4 * uni[p[1]] / n)
+            for p in pairs
+        ]
+        bits = -sum(logps) / len(logps)
+        expect[doc_id] = (
+            len(pairs),
+            math.floor(bits * 10000.0 + 0.5) / 10000.0,
+        )
+    assert got == expect
+    # 'dog runs' is a hapax bigram -> backoff path -> high surprisal
+    assert got[3][1] > got[0][1]

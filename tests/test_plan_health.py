@@ -82,6 +82,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_mixture_sample",  # 1-row token-budget broadcast join
     "ext_corpus_pipeline",  # ends in the same 1-row budget join
     "ext_lm_score",  # 1-row vocab-total broadcast join
+    "ext_lm_bigram",  # same 1-row corpus-total broadcast join (backoff)
     "ext_ppl_buckets",  # builds on lm_score's 1-row vocab-total join
     "ext_multimodal",  # binary payload demo joins a 1-row key
     "ext_dataset_card",  # 1-row × 1-row stats cross join
