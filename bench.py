@@ -87,8 +87,10 @@ HEADLINE = [
     "ext_quantile_sketch",
     "ext_changepoint",
     "ext_record_linkage",
+    "ext_skyline",
     "ext_triangle_count",
     "ext_ab_test",
+    "ext_ks_test",
     "ext_pagerank",
     "ext_hierarchy",
     "ext_sliding_windows",
@@ -160,12 +162,14 @@ HEADLINE = [
     "ext_quality_filter",
     "ext_mm_decode",
     "ext_mm_audio",
+    "ext_mm_phash",
     "ext_ppl_buckets",
     "ext_shuffle_shard",
     "ext_bpe_train",
     "ext_bpe_apply",
     "ext_dataset_card",
     "ext_heavy_hitters",
+    "ext_cms_sketch",
 ]
 
 
@@ -201,6 +205,12 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("etl-acordos-spark-bench")
+        # the box has 128 GiB; the JVM default (1g) GC-storms once the
+        # headline set passed ~110 keys (broadcast builds started
+        # failing with "Not enough memory to broadcast" mid-run in r6)
+        .config("spark.driver.memory", os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
+        ))
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -230,11 +240,20 @@ def main() -> None:
     # plan pays one-off JVM codegen/compile for its operators — real at
     # single-digit-second scale, irrelevant amortized over a 100 TB job.
     # min-of-2 measures the engine's throughput, not the JIT.
+    # optional per-key progress log (file path in env) — for attributing
+    # a mid-run crash to its key; never stdout/stderr (capture contract)
+    log_path = os.environ.get("SPARK_GRAFT_BENCH_LOG")
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
+        if log_path:
+            with open(log_path, "a") as lf:
+                lf.write(f"start {name}\n")
         timings[name] = round(min(run(name) for _ in range(RUNS)), 4)
+        if log_path:
+            with open(log_path, "a") as lf:
+                lf.write(f"done {name} {timings[name]}\n")
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

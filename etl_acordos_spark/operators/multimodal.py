@@ -300,6 +300,63 @@ def resize_images_nn(
     return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+def image_ahash_dedup(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual-hash (average-hash) image dedup: decode each PNG,
+    nearest-neighbor-downsample to *grid*×*grid* (the SAME floor-index
+    convention as `resize_images_nn`, so an oracle can replay it),
+    set bit i = 1 iff pixel_i > floor(mean of the grid), pack the
+    grid² bits row-major into two 32-bit halves carried as BIGINTs
+    (one signed 64-bit int can't hold bit 63 portably across engines),
+    and claim first-by-id per hash — the image analog of
+    `ext_dedup_exact`: byte-identical re-encodes AND visually-identical
+    re-renders collide, which a byte sha2 misses.
+
+    Map-only decode+hash inside Arrow-batched mapInPandas (payloads
+    never shuffle); the dup verdict is one window-min keyed on the
+    16-byte hash pair — the url_dedup shape. Requires grid² ≤ 64."""
+    import numpy as np
+
+    from etl_acordos_spark.functions.png import decode_png
+
+    if grid * grid > 64:
+        raise ValueError(f"image_ahash_dedup: grid² must be ≤ 64, got {grid}")
+    G = grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for p in pdf["payload"]:
+                src = decode_png(bytes(p))[:, :, 0].astype(np.int64)
+                h, w = src.shape
+                ys = (np.arange(G) * h) // G
+                xs = (np.arange(G) * w) // G
+                cells = src[np.ix_(ys, xs)]
+                mean = int(cells.sum()) // (G * G)
+                bits = (cells > mean).flatten()  # i = y*G + x
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                his.append((val >> 32) & 0xFFFFFFFF)
+                los.append(val & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash_hi": his, "phash_lo": los}
+            )
+
+    from pyspark.sql import Window
+
+    hashed = media.mapInPandas(
+        run, schema="doc_id bigint, phash_hi bigint, phash_lo bigint"
+    )
+    w_hash = Window.partitionBy("phash_hi", "phash_lo")
+    return hashed.select(
+        "doc_id",
+        "phash_hi",
+        "phash_lo",
+        (F.col("doc_id") != F.min("doc_id").over(w_hash)).alias("dup"),
+    )
+
+
 # frames are shipped length-prefixed (4-byte big-endian size + PNG) —
 # the chunked-container shape real video/archive formats use
 VIDEO_FRAME_SCHEMA = (

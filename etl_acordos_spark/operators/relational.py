@@ -492,6 +492,125 @@ def bloom_semi_join(
     )
 
 
+def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the rows not dominated by any
+    other row, where q dominates p iff q's *max_col* ≥ p's and q's
+    *min_col* ≤ p's with at least one strict — the classic
+    Börzsönyi et al. (ICDE'01) operator behind "best price for the
+    size" product/offer queries.
+
+    Spark-first shape: instead of the textbook all-pairs NOT EXISTS
+    (the oracle's formulation — quadratic), the 2-D case is a sweep:
+    a row survives iff (a) no row with the SAME min_col value has a
+    strictly larger max_col, and (b) the running max of max_col over
+    all STRICTLY smaller min_col values stays below its max_col. That
+    is one per-value aggregate, one window over the distinct-value
+    table (tiny — bounded by distinct min_col values), and one
+    value-keyed join back: O(n log n), no self-join, no pair blowup,
+    at any scale. The window runs over the per-value AGGREGATE, so
+    the single-partition window sort touches distinct values only,
+    never the fact rows."""
+    per_val = df.groupBy(min_col).agg(F.max(max_col).alias("_best"))
+    w = Window.orderBy(min_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_val.select(
+        min_col,
+        "_best",
+        F.max("_best").over(w).alias("_prev_best"),
+    )
+    return (
+        df.join(ranked, min_col)
+        .filter(
+            (F.col("_best") == F.col(max_col))
+            & (
+                F.col("_prev_best").isNull()
+                | (F.col("_prev_best") < F.col(max_col))
+            )
+        )
+        .drop("_best", "_prev_best")
+    )
+
+
+def cms_accuracy(
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width_hex: int = 3,
+    k: int = 30,
+) -> DataFrame:
+    """Count-min sketch build + accuracy report (Cormode &
+    Muthukrishnan 2005): hash every value into ``depth`` rows of
+    16^``width_hex`` buckets, estimate a value's count as the MIN of
+    its bucket counts (one-sided: never an underestimate), and report
+    the top-*k* values by EXACT count with their CMS estimate and
+    overestimate — the calibration readout that tells an operator
+    whether the sketch geometry fits the stream before trusting it
+    unverified (companions: ext_approx HLL distinct, ext_heavy_hitters
+    Misra-Gries).
+
+    Everything is deterministic closed-form — bucket ids are hex
+    substrings of md5(salt ':' value), so DuckDB replays the identical
+    sketch — and fully distributed: the build is a map-side explode of
+    ``depth`` salted copies into ONE mergeable (salt, bucket) hash
+    aggregate whose result is depth·width cells no matter the input
+    size; probes join the cell table back broadcast. The exact counts
+    exist for the ACCURACY report (this is a verification query, like
+    ext_approx); a production sketch build is just the `cells`
+    aggregate, one scan, O(depth·width) state."""
+    vals = items.select(F.col(col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    salts = F.array(*[F.lit(i) for i in range(1, depth + 1)])
+    hashed = vals.select(
+        "v", F.explode(salts).alias("salt")
+    ).select(
+        "v",
+        "salt",
+        F.substring(
+            F.md5(F.concat(F.col("salt").cast("string"), F.lit(":"), "v")),
+            1,
+            width_hex,
+        ).alias("bucket"),
+    )
+    cells = hashed.groupBy("salt", "bucket").agg(
+        F.count("*").alias("cell_n")
+    )
+    exact = (
+        vals.groupBy("v")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("v"))
+        .limit(k)
+    )
+    probes = exact.select(
+        "v",
+        "n_exact",
+        F.explode(salts).alias("salt"),
+    ).select(
+        "v",
+        "n_exact",
+        "salt",
+        F.substring(
+            F.md5(F.concat(F.col("salt").cast("string"), F.lit(":"), "v")),
+            1,
+            width_hex,
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["salt", "bucket"])
+        .groupBy("v", "n_exact")
+        .agg(F.min("cell_n").cast("bigint").alias("n_cms"))
+        .select(
+            "v",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            "n_cms",
+            (F.col("n_cms") - F.col("n_exact"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
 def heavy_hitters(
     items: DataFrame,
     col: str,
@@ -857,6 +976,64 @@ def conversion_ztest(
         se > 0, F.floor((p_b - p_a) / se * 1000000.0 + 0.5) / 1000000.0
     )
     return row.select("n_a", "x_a", "n_b", "x_b", z.alias("z"))
+
+
+def ks_test_2samp(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: D = max |F_a(x) − F_b(x)|
+    over the pooled empirical CDFs — the distribution-shift companion
+    to `conversion_ztest` (which only sees a binary outcome) and
+    `psi_drift` (which pre-bins): KS detects ANY shape difference in a
+    continuous metric between two cohorts.
+
+    Plan: one hash aggregate collapses the points to per-distinct-value
+    (count_a, count_b) rows; running sums + grand totals come from two
+    frames of the SAME single-partition window sort over those distinct
+    values; one final max. Only (value, two counts) rows ever shuffle.
+    The single-partition window is bounded by DISTINCT metric values —
+    fine for metrics with bounded cardinality; for an unbounded metric
+    at 100 TB, pre-bin the value (the psi_drift approach) so the
+    distinct set stays window-sized, the standard binned-ECDF
+    trade. Returns ONE row (n_a, n_b, d_stat, reject_05): d_stat
+    grid-floored at 1e-9, reject at alpha=0.05 via the asymptotic
+    critical value 1.358·sqrt((n_a+n_b)/(n_a·n_b))."""
+    pts = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_x")
+    ).filter(F.col("_x").isNotNull())
+    per_val = pts.groupBy("_x").agg(
+        F.sum(F.when(F.col("_g") == 0, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_g") == 1, 1).otherwise(0)).alias("_cb"),
+    )
+    w_run = Window.orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_val.select(
+        F.sum("_ca").over(w_run).alias("_ka"),
+        F.sum("_cb").over(w_run).alias("_kb"),
+        F.sum("_ca").over(w_all).alias("_na"),
+        F.sum("_cb").over(w_all).alias("_nb"),
+    )
+    gap = F.abs(
+        F.col("_ka") / F.col("_na") - F.col("_kb") / F.col("_nb")
+    )
+    row = cum.agg(
+        F.max("_na").cast("bigint").alias("n_a"),
+        F.max("_nb").cast("bigint").alias("n_b"),
+        (F.floor(F.max(gap) * 1000000000.0 + 0.5) / 1000000000.0).alias(
+            "d_stat"
+        ),
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return row.select(
+        "n_a", "n_b", "d_stat", (F.col("d_stat") > crit).alias("reject_05")
+    )
 
 
 def gap_fill_hours(

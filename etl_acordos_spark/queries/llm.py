@@ -575,6 +575,56 @@ def q_ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(words, "word", support=0.01)
 
 
+def q_ext_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy report over corpus words
+    (operators/relational.py:cms_accuracy): depth 4 × 4096 md5-salted
+    buckets, top-30 words by exact count with their CMS estimate and
+    one-sided overestimate — the sketch-calibration companion to
+    ext_approx (HLL) and ext_heavy_hitters (Misra-Gries). Closed-form
+    deterministic, so DuckDB replays the identical sketch."""
+    from etl_acordos_spark.operators.relational import cms_accuracy
+
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    return cms_accuracy(
+        words, "word", depth=4, width_hex=3, k=30
+    ).withColumnRenamed("v", "word")
+
+
+def _cms_sketch_oracle(
+    depth: int = 4, width_hex: int = 3, k: int = 30
+) -> str:
+    """Oracle twin of q_ext_cms_sketch — the identical salted-md5
+    bucket scheme, cell aggregate, and min-over-depth estimate."""
+    salts = ", ".join(str(i) for i in range(1, depth + 1))
+    bucket = (
+        f"substr(md5(CAST(s AS VARCHAR) || ':' || v), 1, {width_hex})"
+    )
+    return (
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS v"
+        "  FROM documents WHERE text IS NOT NULL),"
+        f" hashed AS (SELECT v, s AS salt, {bucket} AS bucket"
+        f"  FROM tok, unnest([{salts}]) AS u(s)),"
+        " cells AS (SELECT salt, bucket, count(*) AS cell_n"
+        "  FROM hashed GROUP BY 1, 2),"
+        " exact AS (SELECT v, count(*) AS n_exact FROM tok"
+        f"  GROUP BY v ORDER BY n_exact DESC, v LIMIT {k}),"
+        " probes AS (SELECT e.v, e.n_exact, s AS salt,"
+        f"   substr(md5(CAST(s AS VARCHAR) || ':' || e.v), 1, {width_hex})"
+        "    AS bucket"
+        f"  FROM exact e, unnest([{salts}]) AS u(s))"
+        " SELECT p.v AS word, CAST(p.n_exact AS BIGINT) AS n_exact,"
+        "  CAST(min(c.cell_n) AS BIGINT) AS n_cms,"
+        "  CAST(min(c.cell_n) - p.n_exact AS BIGINT) AS overestimate"
+        " FROM probes p JOIN cells c USING (salt, bucket)"
+        " GROUP BY p.v, p.n_exact"
+    )
+
+
+_CMS_SKETCH_ORACLE = _cms_sketch_oracle()
+
+
 def q_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-characteristic term per document by TF-IDF (explode → two
     hash aggs → broadcast vocabulary join → windowed top-1)."""
@@ -1487,6 +1537,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_heavy_hitters": QueryDef(
         q_ext_heavy_hitters, _ORACLES["ext_heavy_hitters"]
     ),
+    "ext_cms_sketch": QueryDef(q_ext_cms_sketch, _CMS_SKETCH_ORACLE),
     "ext_leakage_split": QueryDef(
         q_ext_leakage_split, _ORACLES["ext_leakage_split"]
     ),

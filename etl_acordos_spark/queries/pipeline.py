@@ -417,6 +417,22 @@ def q_ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(attach_audio_payload(docs, "doc_id"))
 
 
+def q_ext_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end
+    (operators/multimodal.py:image_ahash_dedup): REAL PNG decode →
+    8×8 NN-downsample → average-hash → first-claim per hash. The
+    gradient fixtures' pixel closed form lets the SQL oracle replay
+    the entire hash (sampled coords, floor mean, bit pack) without
+    touching a byte of PNG."""
+    from etl_acordos_spark.operators.multimodal import (
+        attach_image_payload,
+        image_ahash_dedup,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return image_ahash_dedup(attach_image_payload(docs, "doc_id"))
+
+
 def q_ext_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing: per-language head/middle/tail
     terciles of unigram-LM surprisal (grid-floored exact percentiles,
@@ -608,6 +624,37 @@ _ORACLES: dict[str, str | None] = {
         "  CAST(sum(p) AS BIGINT) AS sum_px"
         " FROM px GROUP BY doc_id, width, height"
     ),
+    # replay of image_ahash_dedup's whole pipeline in closed form:
+    # the fixture pixel at (x, y) of doc d is (x + y + d) % 256 with
+    # w = 8 + d%9, h = 8 + d%7; NN-sample index = (k*dim)//8; mean is
+    # floor-divided; bit i (row-major, i = y*8 + x) packs into two
+    # 32-bit halves (list_sum CAST to BIGINT — HUGEINT would not
+    # pandas-materialize equal)
+    "ext_mm_phash": (
+        "WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w,"
+        "   8 + doc_id % 7 AS h FROM documents),"
+        " px AS (SELECT doc_id, list_transform(generate_series(0, 63),"
+        "   i -> (((i % 8) * w) // 8 + ((i // 8) * h) // 8 + doc_id)"
+        "        % 256) AS p"
+        "  FROM dims),"
+        " m AS (SELECT doc_id, p, list_sum(p) // 64 AS mean FROM px),"
+        " b AS (SELECT doc_id, list_transform(generate_series(0, 63),"
+        "   i -> CASE WHEN p[i + 1] > mean THEN 1::BIGINT"
+        "        ELSE 0::BIGINT END) AS bits FROM m),"
+        " packed AS (SELECT doc_id,"
+        "   CAST(list_sum(list_transform(generate_series(0, 31),"
+        "    i -> bits[i + 33] * (1::BIGINT << i))) AS BIGINT)"
+        "     AS phash_hi,"
+        "   CAST(list_sum(list_transform(generate_series(0, 31),"
+        "    i -> bits[i + 1] * (1::BIGINT << i))) AS BIGINT)"
+        "     AS phash_lo"
+        "  FROM b),"
+        " v AS (SELECT doc_id, phash_hi, phash_lo,"
+        "   min(doc_id) OVER (PARTITION BY phash_hi, phash_lo)"
+        "    AS first_id FROM packed)"
+        " SELECT doc_id, phash_hi, phash_lo,"
+        "  doc_id <> first_id AS dup FROM v"
+    ),
     "ext_passage_dedup": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words"
         "  FROM documents),"
@@ -753,6 +800,7 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_quality_filter, _ORACLES["ext_quality_filter"]
     ),
     "ext_mm_decode": QueryDef(q_ext_mm_decode, _ORACLES["ext_mm_decode"]),
+    "ext_mm_phash": QueryDef(q_ext_mm_phash, _ORACLES["ext_mm_phash"]),
     "ext_mm_audio": QueryDef(q_ext_mm_audio, _ORACLES["ext_mm_audio"]),
     "ext_ppl_buckets": QueryDef(
         q_ext_ppl_buckets, _ORACLES["ext_ppl_buckets"]

@@ -774,6 +774,34 @@ def q_ext_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_label_match(dirty, canon, "dirty_label", "p_name", max_dist=6)
 
 
+def q_ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over part (operators/relational.py:skyline_2d):
+    parts on the (maximize p_size, minimize p_retailprice) Pareto
+    frontier — "largest part for the money". Spark runs the sweep
+    formulation (per-price max + window over distinct prices + one
+    keyed join, O(n log n)); the oracle replays the textbook
+    correlated NOT EXISTS — same rows, quadratic strategy."""
+    from etl_acordos_spark.operators.relational import skyline_2d
+
+    return skyline_2d(
+        t(spark, sf_dir, "part").select(
+            "p_partkey", "p_size", "p_retailprice"
+        ),
+        max_col="p_size",
+        min_col="p_retailprice",
+    ).select("p_partkey", "p_size", "p_retailprice")
+
+
+_SKYLINE_ORACLE = (
+    "SELECT p.p_partkey, p.p_size, p.p_retailprice FROM part p"
+    " WHERE NOT EXISTS (SELECT 1 FROM part q"
+    "  WHERE q.p_retailprice <= p.p_retailprice"
+    "   AND q.p_size >= p.p_size"
+    "   AND (q.p_retailprice < p.p_retailprice"
+    "        OR q.p_size > p.p_size))"
+)
+
+
 def q_ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by triangle participation in the co-purchase graph
     (operators/graph.py): parts are connected iff they share an order;
@@ -817,6 +845,44 @@ def q_ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("converted"),
     )
     return conversion_ztest(users, "variant", "converted")
+
+
+def q_ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test (operators/relational.py:ks_test_2samp):
+    does the event `value` distribution differ between the user_id
+    parity cohorts? The continuous-metric companion to ext_ab_test —
+    one per-value aggregate + one windowed CDF sweep, counts only on
+    the wire."""
+    from etl_acordos_spark.operators.relational import ks_test_2samp
+
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "value"
+    )
+    return ks_test_2samp(ev, "variant", "value")
+
+
+_KS_TEST_ORACLE = (
+    "WITH pts AS (SELECT CAST(user_id % 2 AS INT) AS g, value AS x"
+    "  FROM events WHERE value IS NOT NULL),"
+    " pv AS (SELECT x,"
+    "   count(*) FILTER (WHERE g = 0) AS ca,"
+    "   count(*) FILTER (WHERE g = 1) AS cb"
+    "  FROM pts GROUP BY x),"
+    " cum AS (SELECT"
+    "   sum(ca) OVER (ORDER BY x) AS ka,"
+    "   sum(cb) OVER (ORDER BY x) AS kb,"
+    "   sum(ca) OVER () AS na,"
+    "   sum(cb) OVER () AS nb FROM pv),"
+    " agg AS (SELECT CAST(max(na) AS BIGINT) AS n_a,"
+    "   CAST(max(nb) AS BIGINT) AS n_b,"
+    "   floor(max(abs(ka / CAST(na AS DOUBLE)"
+    "     - kb / CAST(nb AS DOUBLE))) * 1000000000.0 + 0.5)"
+    "    / 1000000000.0 AS d_stat FROM cum)"
+    " SELECT n_a, n_b, d_stat,"
+    "  d_stat > 1.358 * sqrt((n_a + n_b)"
+    "    / (CAST(n_a AS DOUBLE) * n_b)) AS reject_05"
+    " FROM agg"
+)
 
 
 def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1794,6 +1860,8 @@ QUERIES: dict[str, QueryDef] = {
     "ext_gini": QueryDef(q_ext_gini, _GINI_ORACLE),
     "ext_record_linkage": QueryDef(q_ext_record_linkage, _LINKAGE_ORACLE),
     "ext_triangle_count": QueryDef(q_ext_triangle_count, _TRIANGLE_ORACLE),
+    "ext_skyline": QueryDef(q_ext_skyline, _SKYLINE_ORACLE),
+    "ext_ks_test": QueryDef(q_ext_ks_test, _KS_TEST_ORACLE),
     "ext_ab_test": QueryDef(q_ext_ab_test, _AB_TEST_ORACLE),
     "ext_pagerank": QueryDef(q_ext_pagerank, _pagerank_oracle()),
     "ext_gap_fill": QueryDef(q_ext_gap_fill, _GAP_FILL_ORACLE),

@@ -2216,3 +2216,145 @@ def test_bigram_lm_score_matches_python_reference(spark):
     assert got == expect
     # 'dog runs' is a hapax bigram -> backoff path -> high surprisal
     assert got[3][1] > got[0][1]
+
+
+def test_skyline_2d_sweep_matches_brute_force(spark):
+    """The window-sweep skyline must equal the all-pairs domination
+    scan on a frame with the tricky tie classes: equal price /
+    different size, equal size / different price, and exact duplicate
+    points (neither dominates the other -> both kept)."""
+    from etl_acordos_spark.operators.relational import skyline_2d
+
+    rows = [
+        (0, 10, 5.0),   # frontier
+        (1, 10, 5.0),   # duplicate of 0 -> also kept
+        (2, 9, 5.0),    # same price, smaller size -> dominated by 0
+        (3, 10, 6.0),   # same size, dearer -> dominated by 0
+        (4, 20, 9.0),   # frontier (bigger, dearer)
+        (5, 15, 9.5),   # dominated by 4 (bigger AND cheaper exists)
+        (6, 5, 1.0),    # frontier (cheapest)
+        (7, 5, 2.0),    # dominated by 6
+    ]
+    df = spark.createDataFrame(rows, ["pid", "size", "price"])
+    got = {r.pid for r in skyline_2d(df, "size", "price").collect()}
+    brute = set()
+    for p in rows:
+        dominated = any(
+            q[1] >= p[1] and q[2] <= p[2] and (q[1] > p[1] or q[2] < p[2])
+            for q in rows
+        )
+        if not dominated:
+            brute.add(p[0])
+    assert got == brute == {0, 1, 4, 6}
+
+
+def test_cms_accuracy_one_sided_and_matches_python_sketch(spark):
+    """CMS estimates are never below exact counts, and with a
+    deliberately tiny 16-bucket sketch the estimates must equal a pure
+    Python count-min replaying the same md5 bucket scheme (collisions
+    and all)."""
+    import hashlib
+    from collections import Counter
+
+    from etl_acordos_spark.operators.relational import cms_accuracy
+
+    vals = [f"w{i % 37}" for i in range(1000)] + ["hot"] * 200
+    df = spark.createDataFrame([(v,) for v in vals], ["token"])
+    got = {
+        r.v: (r.n_exact, r.n_cms, r.overestimate)
+        for r in cms_accuracy(
+            df, "token", depth=2, width_hex=1, k=15
+        ).collect()
+    }
+    assert len(got) == 15
+    cells: Counter = Counter()
+    for v in vals:
+        for s in (1, 2):
+            b = hashlib.md5(f"{s}:{v}".encode()).hexdigest()[:1]
+            cells[(s, b)] += 1
+    exact = Counter(vals)
+    for v, (n_exact, n_cms, over) in got.items():
+        assert n_exact == exact[v]
+        est = min(
+            cells[(s, hashlib.md5(f"{s}:{v}".encode()).hexdigest()[:1])]
+            for s in (1, 2)
+        )
+        assert n_cms == est
+        assert over == n_cms - n_exact >= 0
+    # 37 values in 16 buckets: collisions guaranteed somewhere
+    assert any(o > 0 for (_, _, o) in got.values())
+
+
+def test_ks_test_detects_planted_shift_and_accepts_identical(spark):
+    """A location-shifted cohort must reject at alpha=0.05; the same
+    distribution split in half must not, and D must match the numpy
+    two-sample statistic."""
+    import numpy as np
+
+    from etl_acordos_spark.operators.relational import ks_test_2samp
+
+    vals_a = [float(i % 100) for i in range(1000)]
+    vals_b = [float((i % 100) + 30) for i in range(1000)]
+    rows = [(0, v) for v in vals_a] + [(1, v) for v in vals_b]
+    df = spark.createDataFrame(rows, ["variant", "value"])
+    r = ks_test_2samp(df, "variant", "value").collect()[0]
+    assert r.n_a == r.n_b == 1000
+    assert r.reject_05
+    # numpy reference over the pooled support
+    xs = sorted(set(vals_a + vals_b))
+    a, b = np.array(sorted(vals_a)), np.array(sorted(vals_b))
+    d_ref = max(
+        abs(
+            np.searchsorted(a, x, side="right") / len(a)
+            - np.searchsorted(b, x, side="right") / len(b)
+        )
+        for x in xs
+    )
+    assert abs(r.d_stat - d_ref) < 1e-6
+
+    # i%2 vs i%50 would correlate parity with value — split by block
+    # instead so both cohorts see the identical 0..49 cycle
+    same = spark.createDataFrame(
+        [(i // 1000, float(i % 50)) for i in range(2000)],
+        ["variant", "value"],
+    )
+    r2 = ks_test_2samp(same, "variant", "value").collect()[0]
+    assert r2.d_stat == 0.0 and not r2.reject_05
+
+
+def test_image_ahash_dedup_claims_rerenders_not_distinct(spark):
+    """Byte-identical payloads AND a re-encode of the same pixels hash
+    equal (first id keeps); a genuinely different pattern gets its own
+    hash. Bit packing must match a pure-Python replay."""
+    import numpy as np
+
+    from etl_acordos_spark.functions.png import encode_png
+    from etl_acordos_spark.operators.multimodal import image_ahash_dedup
+
+    grad = ((np.arange(12)[:, None] + np.arange(16)[None, :]) % 256).astype(
+        np.uint8
+    )
+    other = ((np.arange(12)[:, None] * 7) % 256 * np.ones((1, 16))).astype(
+        np.uint8
+    )
+    rows = [
+        (0, bytearray(encode_png(grad))),
+        (1, bytearray(encode_png(grad))),   # byte-identical
+        (2, bytearray(encode_png(grad.copy()))),  # re-encode, same pixels
+        (3, bytearray(encode_png(other))),  # different pattern
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in image_ahash_dedup(df).collect()}
+    assert not got[0].dup and got[1].dup and got[2].dup
+    assert not got[3].dup
+    # pure-python replay of doc 0's hash
+    ys = (np.arange(8) * 12) // 8
+    xs = (np.arange(8) * 16) // 8
+    cells = grad.astype(int)[np.ix_(ys, xs)]
+    mean = int(cells.sum()) // 64
+    val = 0
+    for i, b in enumerate((cells > mean).flatten()):
+        if b:
+            val |= 1 << i
+    assert got[0].phash_hi == (val >> 32) & 0xFFFFFFFF
+    assert got[0].phash_lo == val & 0xFFFFFFFF

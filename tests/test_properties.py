@@ -406,3 +406,97 @@ def test_pagerank_is_a_distribution(spark, edges):
     ranks = [r["rank"] for r in rows]
     assert all(r > 0 for r in ranks)
     assert abs(sum(ranks) - 1.0) < 1e-5
+
+
+@given(
+    points=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_skyline_sweep_equals_brute_force(spark, points):
+    """The window-sweep 2-D skyline equals the all-pairs domination
+    scan over arbitrary (max, min) point sets — duplicates, full ties,
+    and collinear runs included."""
+    from etl_acordos_spark.operators.relational import skyline_2d
+
+    rows = [(i, a, float(b)) for i, (a, b) in enumerate(points)]
+    df = spark.createDataFrame(rows, ["pid", "up", "down"])
+    got = {r.pid for r in skyline_2d(df, "up", "down").collect()}
+    brute = {
+        p[0]
+        for p in rows
+        if not any(
+            q[1] >= p[1]
+            and q[2] <= p[2]
+            and (q[1] > p[1] or q[2] < p[2])
+            for q in rows
+        )
+    }
+    assert got == brute
+
+
+@given(
+    urls=st.lists(
+        st.from_regex(
+            r"https?://[A-Za-z]{1,6}(\.[A-Za-z]{2,4}){1,2}"
+            r"(/[A-Za-z0-9]{0,5}){0,3}/?"
+            r"(\?(utm_[a-z]{1,4}|ref|page|q)=[A-Za-z0-9]{0,4}"
+            r"(&(utm_[a-z]{1,4}|ref|page|q)=[A-Za-z0-9]{0,4}){0,3})?"
+            r"(#[A-Za-z0-9]{0,6})?",
+            fullmatch=True,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_canonical_url_is_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): canonicalization must
+    be a projection — a second pass can't find more decoration to
+    strip (lowercase host stays lowered, kept params stay sorted,
+    slash stays stripped)."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.dedup import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    once = df.select(canonical_url(F.col("u")).alias("c1"))
+    twice = once.select(
+        "c1", canonical_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c1 == r.c2, r
+
+
+@given(
+    toks=st.lists(
+        st.integers(min_value=1, max_value=64), min_size=1, max_size=60
+    ),
+    budget=st.integers(min_value=64, max_value=256),
+)
+@settings(max_examples=12, deadline=None)
+def test_pack_best_fit_never_overfills_and_conserves(spark, toks, budget):
+    """BFD invariants under arbitrary chunk lengths ≤ budget: no pack
+    exceeds the budget, every chunk lands exactly once, pack ids are
+    contiguous per shard."""
+    from etl_acordos_spark.operators.text import pack_best_fit
+
+    rows = [(i, 0, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_id", "n_tok"])
+    packs = pack_best_fit(
+        df, "doc_id", "chunk_id", "n_tok", budget=budget, shards=4
+    ).collect()
+    assert all(p.n_tokens <= budget for p in packs)
+    assert sum(p.n_chunks for p in packs) == len(toks)
+    assert sum(p.n_tokens for p in packs) == sum(toks)
+    by_shard: dict[int, list] = {}
+    for p in packs:
+        by_shard.setdefault(p.shard, []).append(p.pack_id)
+    for ids in by_shard.values():
+        assert sorted(ids) == list(range(len(ids)))
