@@ -49,7 +49,8 @@ LINE_BYTE_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1650"))
 # stores plus the stream checkpoint, so their wall time is
 # store-maintenance, not query execution; their semantics are pinned
 # by the sequential-fold / batch-ivf equality tests in
-# tests/test_streaming.py.
+# tests/test_streaming.py. ext_stream_cms is excluded for the same
+# store-maintenance reason; its batch twin ext_cms_sketch is benched.
 HEADLINE = [
     "flagship",
     "ext_join_star",
@@ -289,42 +290,40 @@ def main() -> None:
     sys.stdout.write(_line(shown) + "\n")
     sys.stdout.flush()
 
-    # Per-query ratio vs a prior round's bench file (run-to-run variance
-    # audit — VERDICT r2 item 5) goes to a SIDECAR file ONLY — never
-    # stdout OR stderr (see the capture-collision note below).
+    # Sidecar file — ALWAYS written: since the stdout line is byte-
+    # capped to a rotated subset, timings_all here is the only complete
+    # per-key record of this run. Ratios vs a prior round's bench file
+    # (run-to-run variance audit — VERDICT r2 item 5) attach when the
+    # baseline file exists and parses; a missing/unparsed baseline must
+    # not discard the timings. Never echoed to stdout OR stderr: the
+    # driver merges streams and parses the LAST JSON line, so even a
+    # stderr echo would displace the headline payload (r4 evidence).
+    sidecar = {"timings_all": timings, "sf": sf}
     base_path = os.path.join(_REPO_ROOT, BASELINE_BENCH)
-    if os.path.exists(base_path):
-        try:
-            with open(base_path) as f:
-                raw = json.load(f)
-            # driver round files nest the printed line under "parsed"
-            base = raw.get("queries") or (raw.get("parsed") or {}).get(
-                "queries", {}
-            )
-            ratios = {
-                k: round(v / base[k], 3)
-                for k, v in timings.items()
-                if base.get(k)
-            }
-            if ratios:
-                sidecar = {
-                    "baseline_bench": os.path.basename(base_path),
-                    "ratios_vs_baseline": ratios,
-                    # full per-key timings (the stdout line is byte-capped
-                    # to a rotated subset — this is the complete record)
-                    "timings_all": timings,
-                    "sf": sf,
-                }
-                # sidecar goes to the file ONLY: the driver merges
-                # stdout+stderr and parses the LAST JSON line, so even a
-                # stderr echo here would displace the headline payload
-                # (r4 evidence: BENCH_r04.json parsed the ratio table)
-                with open(
-                    os.path.join(_REPO_ROOT, "BENCH_ratios_local.json"), "w"
-                ) as f:
-                    json.dump(sidecar, f, indent=1, sort_keys=True)
-        except (OSError, ValueError, ZeroDivisionError):
-            pass
+    try:
+        with open(base_path) as f:
+            raw = json.load(f)
+        # driver round files nest the printed line under "parsed"
+        base = raw.get("queries") or (raw.get("parsed") or {}).get(
+            "queries", {}
+        )
+        ratios = {
+            k: round(v / base[k], 3)
+            for k, v in timings.items()
+            if base.get(k)
+        }
+        if ratios:
+            sidecar["baseline_bench"] = os.path.basename(base_path)
+            sidecar["ratios_vs_baseline"] = ratios
+    except (OSError, ValueError, ZeroDivisionError):
+        pass
+    try:
+        with open(
+            os.path.join(_REPO_ROOT, "BENCH_ratios_local.json"), "w"
+        ) as f:
+            json.dump(sidecar, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     spark.stop()
 
 

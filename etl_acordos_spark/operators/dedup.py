@@ -163,13 +163,21 @@ def canonical_url(url: Column) -> Column:
     - drop tracking query params (:data:`TRACKING_PARAM_RE`), keep the
       rest sorted so param order can't split identical resources.
 
+    Scheme-less inputs (relative references, protocol-relative
+    ``//host/...``) pass through UNCHANGED: without an authority there
+    is nothing safe to canonicalize, and mapping them all onto one
+    degenerate ``://`` form would merge distinct documents.
+
     Pure string expressions (no UDF) with an exact DuckDB twin in the
-    ext_dedup_url oracle — keep the two in lockstep."""
+    ext_dedup_url oracle — keep the two in lockstep (the oracle omits
+    the scheme-less guard only because its synthetic URLs always carry
+    one)."""
     pre = F.substring_index(url, "#", 1)
     base = F.substring_index(pre, "?", 1)
-    query = F.when(
-        pre.contains("?"), F.substring_index(pre, "?", -1)
-    ).otherwise(F.lit(""))
+    # everything after the FIRST '?' — substring_index(pre, '?', -1)
+    # would take the LAST, diverging from the oracle's split_part(…, 2)
+    # on (legal) queries that contain a second '?'
+    query = F.regexp_extract(pre, r"^[^?]*\?(.*)$", 1)
     scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     host = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
     path = F.regexp_extract(
@@ -181,7 +189,7 @@ def canonical_url(url: Column) -> Column:
             lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
         )
     )
-    return F.concat(
+    canon = F.concat(
         F.lower(scheme),
         F.lit("://"),
         F.lower(host),
@@ -190,6 +198,7 @@ def canonical_url(url: Column) -> Column:
             F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
         ).otherwise(F.lit("")),
     )
+    return F.when(scheme != "", canon).otherwise(url)
 
 
 def url_dedup(

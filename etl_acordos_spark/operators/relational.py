@@ -561,21 +561,51 @@ def cms_accuracy(
     vals = items.select(F.col(col).alias("v")).filter(
         F.col("v").isNotNull()
     )
-    salts = F.array(*[F.lit(i) for i in range(1, depth + 1)])
-    hashed = vals.select(
-        "v", F.explode(salts).alias("salt")
-    ).select(
-        "v",
-        "salt",
-        F.substring(
-            F.md5(F.concat(F.col("salt").cast("string"), F.lit(":"), "v")),
-            1,
-            width_hex,
-        ).alias("bucket"),
+    return cms_report(vals, cms_cells(vals, depth, width_hex), depth,
+                      width_hex, k)
+
+
+def _cms_salts(depth: int) -> Column:
+    return F.array(*[F.lit(i) for i in range(1, depth + 1)])
+
+
+def _cms_bucket(width_hex: int) -> Column:
+    """ONE bucket definition for build and probe: the sketch is only
+    correct if both hash identically, so the expression must not be
+    duplicatable out of sync (the oracle-lockstep hazard class).
+    Expects columns `salt` and `v` in scope."""
+    return F.substring(
+        F.md5(F.concat(F.col("salt").cast("string"), F.lit(":"), "v")),
+        1,
+        width_hex,
     )
-    cells = hashed.groupBy("salt", "bucket").agg(
-        F.count("*").alias("cell_n")
+
+
+def cms_cells(
+    vals: DataFrame, depth: int = 4, width_hex: int = 3
+) -> DataFrame:
+    """The CMS build half: (salt, bucket, cell_n) cell table — one
+    map-side depth-explode into one mergeable hash aggregate. Cells are
+    ADDITIVE (sums), so partial sketches from shards or microbatches
+    merge by summing per (salt, bucket) — see the streaming variant."""
+    hashed = vals.select("v", F.explode(_cms_salts(depth)).alias("salt")).select(
+        "v", "salt", _cms_bucket(width_hex).alias("bucket")
     )
+    return hashed.groupBy("salt", "bucket").agg(
+        F.count("*").cast("bigint").alias("cell_n")
+    )
+
+
+def cms_report(
+    vals: DataFrame,
+    cells: DataFrame,
+    depth: int = 4,
+    width_hex: int = 3,
+    k: int = 30,
+) -> DataFrame:
+    """The CMS probe half: top-k values by exact count with their
+    min-over-depth estimate from *cells* (built batch OR merged from a
+    stream — additivity makes them identical)."""
     exact = (
         vals.groupBy("v")
         .agg(F.count("*").alias("n_exact"))
@@ -585,17 +615,8 @@ def cms_accuracy(
     probes = exact.select(
         "v",
         "n_exact",
-        F.explode(salts).alias("salt"),
-    ).select(
-        "v",
-        "n_exact",
-        "salt",
-        F.substring(
-            F.md5(F.concat(F.col("salt").cast("string"), F.lit(":"), "v")),
-            1,
-            width_hex,
-        ).alias("bucket"),
-    )
+        F.explode(_cms_salts(depth)).alias("salt"),
+    ).select("v", "n_exact", "salt", _cms_bucket(width_hex).alias("bucket"))
     return (
         probes.join(F.broadcast(cells), ["salt", "bucket"])
         .groupBy("v", "n_exact")
@@ -997,7 +1018,14 @@ def ks_test_2samp(
     distinct set stays window-sized, the standard binned-ECDF
     trade. Returns ONE row (n_a, n_b, d_stat, reject_05): d_stat
     grid-floored at 1e-9, reject at alpha=0.05 via the asymptotic
-    critical value 1.358·sqrt((n_a+n_b)/(n_a·n_b))."""
+    critical value 1.358·sqrt((n_a+n_b)/(n_a·n_b)).
+
+    Contract: *group_col* must code the two cohorts as 0 and 1 (the
+    conversion_ztest convention — map labels upstream). A degenerate
+    input (either cohort empty, or labels outside {0, 1} leaving a
+    cohort unpopulated) yields NULL d_stat/reject_05 — the test is
+    undefined, reported as NULL rather than a fabricated verdict,
+    exactly like conversion_ztest's NULL z."""
     pts = df.select(
         F.col(group_col).alias("_g"), F.col(value_col).alias("_x")
     ).filter(F.col("_x").isNotNull())

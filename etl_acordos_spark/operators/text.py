@@ -793,9 +793,11 @@ def pack_best_fit(
 
     Returns the per-pack manifest (shard, pack_id, n_chunks,
     n_tokens); pack_id numbers packs in creation order within shard.
+    A chunk LARGER than the budget cannot be packed without splitting
+    (that's pack_chunks' semantics, not this operator's) — it raises
+    in the executor rather than silently emitting an over-budget pack
+    a loader sized to the budget would truncate.
     """
-    import pandas as pd
-
     id_c, ch_c, tok_c = id_col, chunk_col, tokens_col
 
     def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -806,6 +808,12 @@ def pack_best_fit(
         fills: list[int] = []
         counts: list[int] = []
         for tok in pdf[tok_c].astype("int64").to_numpy():
+            if tok > budget:
+                raise ValueError(
+                    f"pack_best_fit: chunk of {int(tok)} tokens exceeds "
+                    f"the {budget}-token budget — split oversize chunks "
+                    "upstream (doc_chunks) before packing"
+                )
             best, best_fill = -1, -1
             for i, f in enumerate(fills):
                 if f + tok <= budget and f > best_fill:

@@ -930,9 +930,10 @@ _DEDUP_URL_ORACLE = (
     " FROM documents),"
     " pq AS (SELECT doc_id, text,"
     "   split_part(split_part(url, '#', 1), '?', 1) AS base,"
-    "   CASE WHEN contains(split_part(url, '#', 1), '?')"
-    "        THEN split_part(split_part(url, '#', 1), '?', 2)"
-    "        ELSE '' END AS q"
+    # everything after the FIRST '?' (split_part field 2 would stop at
+    # a second '?') — lockstep with operators/dedup.py:canonical_url
+    "   regexp_extract(split_part(url, '#', 1),"
+    "    '^[^?]*\\?(.*)$', 1) AS q"
     "  FROM raw),"
     " kp AS (SELECT *, list_sort(list_filter(string_split(q, '&'),"
     "   x -> x <> '' AND NOT regexp_matches(x,"

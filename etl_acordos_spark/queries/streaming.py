@@ -20,6 +20,7 @@ from etl_acordos_spark.streaming.events import (
     session_stream_agg,
     stateful_user_totals,
     stream_events,
+    streaming_cms_run,
     windowed_stream_agg,
 )
 
@@ -50,6 +51,31 @@ def q_ext_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_stateful_result",
         output_mode="update",
     )
+
+
+def q_ext_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: corpus words delivered as 4
+    microbatches, each batch's cell deltas foreachBatch-summed into a
+    parquet cells store (streaming/events.py:streaming_cms_run);
+    the settled store feeds the same top-30 accuracy report as
+    ext_cms_sketch. CMS additivity makes the streamed sketch
+    bit-identical to the batch build, so this streaming key carries a
+    FULL hash oracle (the ext_cms_sketch SQL verbatim)."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.relational import cms_report
+    from etl_acordos_spark.queries.base import t
+
+    vals = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("v"))
+    )
+    cells = streaming_cms_run(
+        spark, vals, scratch_dir(), depth=4, width_hex=3, n_batches=4
+    )
+    return cms_report(
+        vals, cells, depth=4, width_hex=3, k=30
+    ).withColumnRenamed("v", "word")
 
 
 def q_ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +294,16 @@ def _anomaly_oracle() -> str:
     return _ANOMALY_ORACLE
 
 
+def _stream_cms_oracle() -> str:
+    """The ext_cms_sketch oracle verbatim: CMS cell additivity makes
+    the streamed store equal the batch build bit-for-bit (pinned by
+    tests/test_streaming.py's fold-equality test), so the same SQL
+    checks the streaming key."""
+    from etl_acordos_spark.queries.llm import _cms_sketch_oracle
+
+    return _cms_sketch_oracle()
+
+
 QUERIES: dict[str, QueryDef] = {
     "ext_stream_windows": QueryDef(q_ext_stream_windows, _WINDOWS_ORACLE),
     "ext_stream_dedup": QueryDef(q_ext_stream_dedup, _DEDUP_ORACLE),
@@ -281,4 +317,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_stream_dedup_index": QueryDef(q_ext_stream_dedup_index, None),
     "ext_stream_ann_index": QueryDef(q_ext_stream_ann_index, None),
     "ext_stream_anomaly": QueryDef(q_ext_stream_anomaly, _anomaly_oracle()),
+    # additive cells make the streamed sketch equal the batch build, so
+    # the batch key's SQL oracle applies verbatim — a full hash oracle
+    # on a streaming key (the others above are batch-SQL-of-the-input;
+    # this one hash-checks maintained streaming STATE)
+    "ext_stream_cms": QueryDef(q_ext_stream_cms, _stream_cms_oracle()),
 }

@@ -392,3 +392,82 @@ def incremental_upsert_run(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(lake)
+
+
+def streaming_cms_run(
+    spark: SparkSession,
+    vals: DataFrame,
+    base_dir: str,
+    depth: int = 4,
+    width_hex: int = 3,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Streaming count-min sketch maintenance (foreachBatch): the value
+    stream (one column ``v``), delivered as *n_batches* microbatches,
+    folds each batch's cell-count DELTA into a parquet cells store by
+    summing per (salt, bucket) with an atomic directory swap — the
+    always-on frequency sketch a streaming pipeline keeps next to its
+    ingest.
+
+    CMS cells are ADDITIVE, so the settled store is bit-identical to a
+    batch build over the full stream no matter how values were split
+    across batches — which is what makes this streaming key fully
+    hash-oracle-able (rare: most streaming state is only rows-only
+    checkable). State is O(n_batches · depth · 16^width_hex) rows,
+    still input-size-independent — the whole point of sketching.
+
+    Replay safety: foreachBatch is at-least-once, so summing a delta
+    into a rolling total would DOUBLE-COUNT a replayed batch. Instead
+    each batch's delta lands in its own ``b{batch_id}`` subdirectory
+    with an idempotent OVERWRITE (the dedup_index store convention —
+    a replayed batch rewrites its own prior attempt), and the settled
+    sketch is the per-(salt, bucket) sum over all delta dirs. A
+    long-running stream compacts old delta dirs into one the same way
+    ext_compaction folds small files — additivity makes that merge
+    lossless at any time."""
+    import os
+    import shutil
+
+    from etl_acordos_spark.operators.relational import cms_cells
+
+    run_ns = os.path.join(base_dir, f"stream_cms_{os.getpid()}")
+    src = os.path.join(run_ns, "src")
+    store = os.path.join(run_ns, "cells")
+    ckpt = os.path.join(run_ns, "ckpt")
+    shutil.rmtree(run_ns, ignore_errors=True)
+    os.makedirs(store)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(4, spark.sparkContext.defaultParallelism)),
+        )
+        vals.select("v").repartition(n_batches).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def write_delta(batch: DataFrame, batch_id: int) -> None:
+            cms_cells(
+                batch.filter(F.col("v").isNotNull()), depth, width_hex
+            ).write.mode("overwrite").parquet(
+                os.path.join(store, f"b{batch_id:05d}")
+            )
+
+        (
+            stream.writeStream.foreachBatch(write_delta)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.parquet(os.path.join(store, "b*"))
+        .groupBy("salt", "bucket")
+        .agg(F.sum("cell_n").cast("bigint").alias("cell_n"))
+    )

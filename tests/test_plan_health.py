@@ -117,6 +117,10 @@ SKIP_PLAN_CHECK = {
     # test_stream_stream_join_is_keyed_symmetric_hash below.
     "ext_stream_stream_join", "ext_stream_dedup_index",
     "ext_stream_ann_index", "ext_stream_anomaly",
+    # ext_stream_cms's build runs a full foreachBatch ingest; its
+    # report plan is the SAME shape ext_cms_sketch's generic check
+    # already covers (broadcast cell-probe join)
+    "ext_stream_cms",
 }
 
 

@@ -561,3 +561,39 @@ def test_stream_ann_quantizer_freeze_is_crash_safe(spark, monkeypatch):
     )
     C = M._load_centroids(spark, centroids_dir)
     assert C.shape == (4, 3)
+
+
+def test_stream_cms_store_equals_batch_build_and_replay_idempotent(
+    spark, sf_smoke
+):
+    """CMS additivity end-to-end: the cells store settled from 4
+    microbatch deltas must equal the single-pass batch build
+    cell-for-cell (the property that gives ext_stream_cms its full
+    hash oracle), and a REPLAYED batch (at-least-once delivery:
+    overwrite of its own delta dir) must leave the aggregate
+    unchanged — a rolling-sum store would double-count it."""
+    import os
+    import tempfile
+
+    from etl_acordos_spark.operators.relational import cms_cells
+    from etl_acordos_spark.queries.base import t
+    from etl_acordos_spark.streaming.events import streaming_cms_run
+
+    vals = t(spark, sf_smoke, "documents").select(
+        F.explode(F.split("text", " ")).alias("v")
+    )
+    base = tempfile.mkdtemp(prefix="scms_")
+    streamed = streaming_cms_run(
+        spark, vals, base, depth=2, width_hex=2, n_batches=4
+    )
+    batch = cms_cells(vals, depth=2, width_hex=2)
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+    # replay batch 0: rewrite its delta dir in place (the idempotent
+    # OVERWRITE a re-executed foreachBatch performs)
+    d0 = os.path.join(base, f"stream_cms_{os.getpid()}", "cells", "b00000")
+    delta0 = spark.read.parquet(d0)
+    rows0, schema0 = delta0.collect(), delta0.schema
+    spark.createDataFrame(rows0, schema0).write.mode("overwrite").parquet(d0)
+    assert sorted(map(tuple, streamed.collect())) == a
