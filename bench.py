@@ -41,6 +41,8 @@ LINE_BYTE_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1650"))
 # (ext_dedup_keep / ext_dup_cluster_stats / ext_leakage_split) are
 # verification-scale by
 # design and excluded; their LSH scale paths are benched instead.
+# ext_bitext_mine is the same class (exact all-pairs margin baseline;
+# ext_simsearch_ann is its benched candidate-generation scale path).
 # Write-bound layout maintenance jobs (snk_* sinks, ext_zorder,
 # ext_compaction) are likewise excluded — they measure the local disk,
 # not the engine; their semantics are oracle-/footer-stats-verified in

@@ -305,6 +305,59 @@ def q_ext_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- clustering / semantic
 
 
+def q_ext_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining over the embedding halves
+    (operators/simsearch.py:bitext_margin_pairs): top-50 cross-side
+    pairs by cosine-over-kNN-mean margin (k=4) — the hubness-robust
+    pair miner behind CCMatrix-style parallel-corpus construction.
+    Exact all-pairs verification baseline (QUADRATIC_BY_DESIGN); the
+    LSH-bucketed candidate generation of ext_simsearch_ann is the
+    100 TB path."""
+    from etl_acordos_spark.operators.simsearch import bitext_margin_pairs
+
+    return bitext_margin_pairs(
+        t(spark, sf_dir, "embeddings"), k=4, n=50
+    )
+
+
+def _bitext_oracle(k: int = 4, n: int = 50) -> str:
+    """Oracle twin of q_ext_bitext_mine — identical cosine fold
+    (list_dot_product ≡ the Spark zip_with/aggregate fold), identical
+    positive-filter, kNN-mean, and grid-floors."""
+    cos = (
+        "floor(list_dot_product(va, vb)"
+        " / (sqrt(list_dot_product(va, va))"
+        "  * sqrt(list_dot_product(vb, vb)))"
+        " * 1000000000.0 + 0.5) / 1000000000.0"
+    )
+    return (
+        "WITH a AS (SELECT vec_id AS a_id,"
+        "   CAST(embedding AS DOUBLE[]) AS va"
+        "  FROM embeddings WHERE vec_id % 2 = 0),"
+        " b AS (SELECT vec_id AS b_id,"
+        "   CAST(embedding AS DOUBLE[]) AS vb"
+        "  FROM embeddings WHERE vec_id % 2 = 1),"
+        f" p0 AS (SELECT a_id, b_id, {cos} AS cosine FROM a, b),"
+        " p AS (SELECT * FROM p0 WHERE cosine > 0),"
+        " ra AS (SELECT a_id, cosine, row_number() OVER ("
+        "   PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn FROM p),"
+        f" ka AS (SELECT a_id, avg(cosine) AS ma FROM ra WHERE rn <= {k}"
+        "  GROUP BY a_id),"
+        " rb AS (SELECT b_id, cosine, row_number() OVER ("
+        "   PARTITION BY b_id ORDER BY cosine DESC, a_id) AS rn FROM p),"
+        f" kb AS (SELECT b_id, avg(cosine) AS mb FROM rb WHERE rn <= {k}"
+        "  GROUP BY b_id)"
+        " SELECT p.a_id, p.b_id, p.cosine,"
+        "  floor(p.cosine / ((ka.ma + kb.mb) / 2.0) * 1000000.0 + 0.5)"
+        "   / 1000000.0 AS margin"
+        " FROM p JOIN ka USING (a_id) JOIN kb USING (b_id)"
+        f" ORDER BY margin DESC, a_id, b_id LIMIT {n}"
+    )
+
+
+_BITEXT_ORACLE = _bitext_oracle()
+
+
 def q_ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means assignment over embeddings (k=10, 4 iterations,
     deterministic init = first k by vec_id). Rows-only: iterative, not
@@ -1539,6 +1592,7 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_heavy_hitters, _ORACLES["ext_heavy_hitters"]
     ),
     "ext_cms_sketch": QueryDef(q_ext_cms_sketch, _CMS_SKETCH_ORACLE),
+    "ext_bitext_mine": QueryDef(q_ext_bitext_mine, _BITEXT_ORACLE),
     "ext_leakage_split": QueryDef(
         q_ext_leakage_split, _ORACLES["ext_leakage_split"]
     ),

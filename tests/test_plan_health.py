@@ -72,6 +72,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_dedup_jaccard",
     "ext_dedup_contain",
     "ext_dedup_embed",
+    "ext_bitext_mine",  # exact all-pairs margin-mining baseline
     "ext_simsearch",  # exact top-k baseline: scan × 1 broadcast query row
     "ext_simsearch_ann",  # exact re-rank joins the 1-row query vector
     "ext_simsearch_ivf",
