@@ -500,3 +500,41 @@ def test_pack_best_fit_never_overfills_and_conserves(spark, toks, budget):
         by_shard.setdefault(p.shard, []).append(p.pack_id)
     for ids in by_shard.values():
         assert sorted(ids) == list(range(len(ids)))
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=12), min_size=5, max_size=80
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_cms_one_sided_and_matches_python_sketch(spark, vals):
+    """Count-min over arbitrary small-alphabet streams: estimates are
+    NEVER below exact counts and equal a pure-Python replay of the
+    same salted-md5 bucket scheme — collisions included (width 16
+    forces them)."""
+    import hashlib
+    from collections import Counter
+
+    from etl_acordos_spark.operators.relational import cms_accuracy
+
+    tokens = [f"t{v}" for v in vals]
+    df = spark.createDataFrame([(t,) for t in tokens], ["tok"])
+    got = {
+        r.v: (r.n_exact, r.n_cms)
+        for r in cms_accuracy(
+            df, "tok", depth=2, width_hex=1, k=20
+        ).collect()
+    }
+    cells: Counter = Counter()
+    for t in tokens:
+        for s in (1, 2):
+            cells[(s, hashlib.md5(f"{s}:{t}".encode()).hexdigest()[:1])] += 1
+    exact = Counter(tokens)
+    for v, (n_exact, n_cms) in got.items():
+        assert n_exact == exact[v]
+        assert n_cms >= n_exact
+        assert n_cms == min(
+            cells[(s, hashlib.md5(f"{s}:{v}".encode()).hexdigest()[:1])]
+            for s in (1, 2)
+        )
