@@ -503,21 +503,48 @@ def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
     (the oracle's formulation — quadratic), the 2-D case is a sweep:
     a row survives iff (a) no row with the SAME min_col value has a
     strictly larger max_col, and (b) the running max of max_col over
-    all STRICTLY smaller min_col values stays below its max_col. That
-    is one per-value aggregate, one window over the distinct-value
-    table (tiny — bounded by distinct min_col values), and one
-    value-keyed join back: O(n log n), no self-join, no pair blowup,
-    at any scale. The window runs over the per-value AGGREGATE, so
-    the single-partition window sort touches distinct values only,
-    never the fact rows."""
+    all STRICTLY smaller min_col values stays below its max_col.
+
+    The running max is a DISTRIBUTED prefix scan, never a global
+    single-partition window: the distinct-value aggregate is
+    range-partitioned on min_col (ascending ranges land on ascending
+    partition ids; values are distinct post-aggregate so no tie can
+    straddle a boundary), each partition computes its local
+    strictly-preceding running max, and the cross-partition carry is a
+    window over ONE ROW PER PARTITION (bounded by
+    spark.sql.shuffle.partitions) broadcast back. So even a min_col
+    with billions of distinct values (continuous prices at 100 TB)
+    scans as ordinary partitioned work — O(n log n) total, no
+    self-join, no pair blowup. Range-partition boundaries are sampled
+    (not rerun-stable), but the prefix max is associative and
+    membership-invariant, so the RESULT is deterministic. One
+    value-keyed join hands each fact row its verdict."""
     per_val = df.groupBy(min_col).agg(F.max(max_col).alias("_best"))
-    w = Window.orderBy(min_col).rowsBetween(
+    ranged = per_val.repartitionByRange(F.col(min_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(min_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_run", F.max("_best").over(w_local))
+    # one row per partition; the seed window is partition-count-sized
+    w_seed = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    ranked = per_val.select(
+    seeds = (
+        ranged.groupBy("_pid")
+        .agg(F.max("_best").alias("_pmax"))
+        .withColumn("_carry", F.max("_pmax").over(w_seed))
+        .select("_pid", "_carry")
+    )
+    ranked = local.join(F.broadcast(seeds), "_pid").select(
         min_col,
         "_best",
-        F.max("_best").over(w).alias("_prev_best"),
+        # greatest() skips NULLs: first value of the first partition
+        # has neither a local run nor a carry and stays NULL
+        F.greatest("_run", "_carry").alias("_prev_best"),
     )
     return (
         df.join(ranked, min_col)
