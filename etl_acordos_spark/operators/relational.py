@@ -1370,6 +1370,56 @@ def funnel_latency(
     )
 
 
+def global_row_number(
+    df: DataFrame, order_cols: list[Column], rn_name: str = "_grn"
+) -> DataFrame:
+    """Distributed row_number over a TOTAL order without a global
+    single-partition window: range-partition on the order (the order
+    must be unique — include a tiebreak column, so no key can straddle
+    a range boundary), take the local row_number per partition, and
+    add the one-row-per-partition cumulative offsets back as a
+    broadcast. Range boundaries are sampled (not rerun-stable), but
+    rank is membership-invariant, so the assigned numbers are
+    deterministic. The offset window is bounded by the partition
+    count — skyline_2d's prefix-scan shape, generalized to ranking."""
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_gp", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_gp").orderBy(*order_cols)
+    local = ranged.withColumn("_glrn", F.row_number().over(w_local))
+    w_off = Window.orderBy("_gp").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("_gp")
+        .agg(F.count("*").alias("_gn"))
+        .withColumn(
+            "_goff", F.coalesce(F.sum("_gn").over(w_off), F.lit(0))
+        )
+        .select("_gp", "_goff")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_gp")
+        .withColumn(rn_name, (F.col("_glrn") + F.col("_goff")).cast("long"))
+        .drop("_gp", "_glrn", "_goff")
+    )
+
+
+def _ntile_from_rank(rn: Column, n: Column, buckets: int) -> Column:
+    """Spark's exact ntile semantics from a 1-based global rank and
+    the total count: buckets as even as possible, LARGER buckets
+    first — rows 1..r·(q+1) land in the r size-(q+1) buckets, the rest
+    in size-q buckets (q = n div buckets, r = n mod buckets)."""
+    q = F.floor(n / buckets)
+    r = n % buckets
+    cutoff = r * (q + 1)
+    return (
+        F.when(rn <= cutoff, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - 1 - cutoff) / q) + 1)
+        .cast("int")
+    )
+
+
 def rfm_segments(
     orders: DataFrame,
     customer_col: str,
@@ -1382,13 +1432,17 @@ def rfm_segments(
     CRM mart materializes.
 
     Returns (customer, recency_days, frequency, monetary, r, f, m,
-    rfm_score) with each dimension scored 1..buckets by `ntile`
-    (5 = most recent / most frequent / highest spend), ties broken by
-    customer id so bucket assignment is engine-deterministic, score =
-    r·100 + f·10 + m. One per-customer aggregate, a 1-row global
-    max-date broadcast (recency anchor = the data's own horizon, not
-    wall-clock now — reruns replay), then three window passes over the
-    (small) per-customer frame.
+    rfm_score) with each dimension scored 1..buckets with exact
+    `ntile` semantics (5 = most recent / most frequent / highest
+    spend), ties broken by customer id so bucket assignment is
+    engine-deterministic, score = r·100 + f·10 + m. One per-customer
+    aggregate, a 1-row global max-date broadcast (recency anchor = the
+    data's own horizon, not wall-clock now — reruns replay), then
+    three DISTRIBUTED rankings: each dimension's ntile is derived
+    closed-form from a `global_row_number` prefix-scan rank + the
+    1-row customer count — a billion-customer table never passes
+    through a single-partition window sort (the oracle still writes
+    plain ntile: identical assignment by construction).
     """
     anchor = orders.agg(F.max(F.col(date_col)).alias("_d_max"))
     per_cust = (
@@ -1402,26 +1456,34 @@ def rfm_segments(
             F.round(F.sum(amount_col), 2).alias("monetary"),
         )
     )
-    r = F.ntile(buckets).over(
-        Window.orderBy(F.desc("recency_days"), F.asc(customer_col))
-    )
-    f = F.ntile(buckets).over(
-        Window.orderBy(F.asc("frequency"), F.asc(customer_col))
-    )
-    m = F.ntile(buckets).over(
-        Window.orderBy(F.asc("monetary"), F.asc(customer_col))
-    )
-    return per_cust.select(
+    n_total = per_cust.agg(F.count("*").alias("_n_cust"))
+    scored = per_cust.join(F.broadcast(n_total))
+    n = F.col("_n_cust")
+    for name, order in (
+        ("r", [F.desc("recency_days"), F.asc(customer_col)]),
+        ("f", [F.asc("frequency"), F.asc(customer_col)]),
+        ("m", [F.asc("monetary"), F.asc(customer_col)]),
+    ):
+        # pin before each ranking: repartitionByRange SAMPLES its input
+        # to pick boundaries, and without the cut each sampling pass
+        # re-executes the whole upstream (the orders aggregate, then
+        # every prior ranking stage) — measured 3.5× the query at sf0.1
+        scored = scored.localCheckpoint(eager=True)
+        scored = global_row_number(scored, order, rn_name="_rnk")
+        scored = scored.withColumn(
+            name, _ntile_from_rank(F.col("_rnk"), n, buckets)
+        ).drop("_rnk")
+    return scored.select(
         customer_col,
         "recency_days",
         "frequency",
         "monetary",
-        r.alias("r"),
-        f.alias("f"),
-        m.alias("m"),
-    ).withColumn(
-        "rfm_score",
-        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int"),
+        "r",
+        "f",
+        "m",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int")
+        .alias("rfm_score"),
     )
 
 

@@ -2395,3 +2395,40 @@ def test_pack_best_fit_rejects_oversize_chunk(spark):
         pack_best_fit(
             df, "doc_id", "chunk_id", "n_tok", budget=256, shards=2
         ).collect()
+
+
+def test_global_row_number_and_ntile_match_window_forms(spark):
+    """The distributed prefix-scan rank + closed-form ntile must equal
+    Spark's own row_number/ntile window results for any bucket count —
+    including n < buckets (every row its own bucket) and heavy ties
+    broken by the id column."""
+    from pyspark.sql import Window as W
+
+    from etl_acordos_spark.operators.relational import (
+        _ntile_from_rank,
+        global_row_number,
+    )
+
+    rows = [(i, (i * 7) % 13) for i in range(137)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    order = [F.asc("v"), F.asc("id")]
+    got = global_row_number(df, order, rn_name="rn")
+    n = df.count()
+    for b in (5, 4, 137, 200):
+        g = {
+            r.id: (r.rn, _b)
+            for r in got.withColumn(
+                "_b", _ntile_from_rank(F.col("rn"), F.lit(n), b)
+            ).collect()
+            for _b in [r["_b"]]
+        }
+        w = W.orderBy(*order)
+        want = {
+            r.id: (r.rn, r.b)
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.ntile(b).over(w).alias("b"),
+            ).collect()
+        }
+        assert g == want, f"buckets={b}"
