@@ -202,6 +202,38 @@ def rotate_never_benched_first(keys: list[str]) -> list[str]:
     return sorted(keys, key=lambda k: (last_round.get(k, -1), idx[k]))
 
 
+def build_contract_line(timings: dict[str, float], sf: float | None) -> str:
+    """The driver-facing stdout line: a never-benched-first rotated
+    subset of *timings* filled until the serialized line would exceed
+    LINE_BYTE_BUDGET. `value` stays the total over ALL keys run;
+    `shown`/`ran` make the subset explicit. Module-level so the
+    contract tests exercise THIS code, not a replica."""
+    order = rotate_never_benched_first(list(timings))
+    shown: dict[str, float] = {}
+
+    def _line(qmap: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": qmap,
+                "sf": sf,
+                "shown": len(qmap),
+                "ran": len(timings),
+            },
+            separators=(",", ":"),
+        )
+
+    for k in order:
+        candidate = dict(shown)
+        candidate[k] = timings[k]
+        if len(_line(candidate)) > LINE_BYTE_BUDGET:
+            break
+        shown = candidate
+    return _line(shown)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -261,35 +293,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     # The contract line is stdout's FIRST AND ONLY line, compact, and
-    # byte-capped: the driver keeps only the tail of stdout, so the
-    # printed per-query map is a never-benched-first rotation filled
-    # until the serialized line would exceed LINE_BYTE_BUDGET. `value`
-    # stays the total over ALL headline keys run this invocation;
-    # `shown`/`ran` make the subset explicit. Full timings → sidecar.
-    order = rotate_never_benched_first([k for k in HEADLINE if k in timings])
-    shown: dict[str, float] = {}
-
-    def _line(qmap: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": qmap,
-                "sf": sf,
-                "shown": len(qmap),
-                "ran": len(timings),
-            },
-            separators=(",", ":"),
-        )
-
-    for k in order:
-        candidate = dict(shown)
-        candidate[k] = timings[k]
-        if len(_line(candidate)) > LINE_BYTE_BUDGET:
-            break
-        shown = candidate
-    sys.stdout.write(_line(shown) + "\n")
+    # byte-capped: the driver keeps only the tail of stdout. Full
+    # timings → sidecar.
+    sys.stdout.write(build_contract_line(timings, sf) + "\n")
     sys.stdout.flush()
 
     # Sidecar file — ALWAYS written: since the stdout line is byte-

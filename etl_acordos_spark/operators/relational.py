@@ -518,10 +518,20 @@ def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
     self-join, no pair blowup. Range-partition boundaries are sampled
     (not rerun-stable), but the prefix max is associative and
     membership-invariant, so the RESULT is deterministic. One
-    value-keyed join hands each fact row its verdict."""
+    value-keyed join hands each fact row its verdict.
+
+    The eager checkpoint after the range exchange is LOAD-BEARING: the
+    partitioned frame feeds both the local window and the seeds
+    aggregate, and without the pin each branch samples its own
+    boundaries — `_pid` could mean different value ranges in the two
+    branches and the carry max would cover the wrong prefix (see
+    global_row_number). It also keeps the sampling job from
+    re-executing the per-value aggregate."""
     per_val = df.groupBy(min_col).agg(F.max(max_col).alias("_best"))
-    ranged = per_val.repartitionByRange(F.col(min_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        per_val.repartitionByRange(F.col(min_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = (
         Window.partitionBy("_pid")
@@ -1381,9 +1391,21 @@ def global_row_number(
     broadcast. Range boundaries are sampled (not rerun-stable), but
     rank is membership-invariant, so the assigned numbers are
     deterministic. The offset window is bounded by the partition
-    count — skyline_2d's prefix-scan shape, generalized to ranking."""
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "_gp", F.spark_partition_id()
+    count — skyline_2d's prefix-scan shape, generalized to ranking.
+
+    The eager checkpoint after the range exchange is LOAD-BEARING, not
+    an optimization: the partitioned frame feeds both the local window
+    and the offsets aggregate, and without the pin each branch would
+    run its own boundary-sampling pass — two samplings of a shuffle
+    output (fetch-order nondeterministic) can pick DIFFERENT
+    boundaries, making `_gp` mean different ranges in the two branches
+    and corrupting every rank. The pin also stops the sampling job
+    from re-executing the upstream plan (the repartitionByRange
+    landmine rfm_segments documents)."""
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_gp", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = Window.partitionBy("_gp").orderBy(*order_cols)
     local = ranged.withColumn("_glrn", F.row_number().over(w_local))
@@ -1464,11 +1486,11 @@ def rfm_segments(
         ("f", [F.asc("frequency"), F.asc(customer_col)]),
         ("m", [F.asc("monetary"), F.asc(customer_col)]),
     ):
-        # pin before each ranking: repartitionByRange SAMPLES its input
-        # to pick boundaries, and without the cut each sampling pass
-        # re-executes the whole upstream (the orders aggregate, then
-        # every prior ranking stage) — measured 3.5× the query at sf0.1
-        scored = scored.localCheckpoint(eager=True)
+        # global_row_number pins its range-partitioned frame with an
+        # eager checkpoint, so each ranking stage executes its upstream
+        # (the orders aggregate, then prior stages) exactly once —
+        # without a pin the boundary-sampling pass replays it all
+        # (measured 3.5× the query at sf0.1)
         scored = global_row_number(scored, order, rn_name="_rnk")
         scored = scored.withColumn(
             name, _ntile_from_rank(F.col("_rnk"), n, buckets)

@@ -138,8 +138,6 @@ def bitext_margin_pairs(
     1e-6; ties at the top-n boundary break by (a_id, b_id).
 
     Returns (a_id, b_id, cosine, margin) — the top-*n* mined pairs."""
-    from pyspark.sql import Window
-
     vecs = df.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v")
     )
@@ -149,6 +147,9 @@ def bitext_margin_pairs(
     b = vecs.filter(F.col("id") % 2 == 1).select(
         F.col("id").alias("b_id"), F.col("v").alias("vb")
     )
+    # pin the quadratic stage: it feeds BOTH kNN-mean aggregates and
+    # the final margin join — without the cut the all-pairs fold runs
+    # 3× (a join node is not an exchange, so nothing is reused)
     pairs = (
         a.crossJoin(b)
         .withColumn(
@@ -158,7 +159,14 @@ def bitext_margin_pairs(
         )
         .filter(F.col("cosine") > 0)
         .select("a_id", "b_id", "cosine")
+        .localCheckpoint(eager=True)
     )
+    # kNN means as EXACT integer sums: the 1e-9-floored cosine recovers
+    # its integer numerator via round(c·1e9); summing longs is
+    # order-independent, so the mean — and therefore the margin floor —
+    # cannot flip on a summation-order ulp between engines (the repo's
+    # exact-sums-for-averages convention)
+    c_int = F.round(F.col("cosine") * 1000000000.0).cast("long")
     w_a = Window.partitionBy("a_id").orderBy(
         F.desc("cosine"), F.asc("b_id")
     )
@@ -169,14 +177,17 @@ def bitext_margin_pairs(
         pairs.withColumn("_rn", F.row_number().over(w_a))
         .filter(F.col("_rn") <= k)
         .groupBy("a_id")
-        .agg(F.avg("cosine").alias("ma"))
+        .agg(F.sum(c_int).alias("_sa"), F.count("*").alias("_ca"))
     )
     mean_b = (
         pairs.withColumn("_rn", F.row_number().over(w_b))
         .filter(F.col("_rn") <= k)
         .groupBy("b_id")
-        .agg(F.avg("cosine").alias("mb"))
+        .agg(F.sum(c_int).alias("_sb"), F.count("*").alias("_cb"))
     )
+    denom = (
+        F.col("_sa") / F.col("_ca") + F.col("_sb") / F.col("_cb")
+    ) / 2.0 / 1000000000.0
     return (
         pairs.join(mean_a, "a_id")
         .join(mean_b, "b_id")
@@ -185,12 +196,7 @@ def bitext_margin_pairs(
             "b_id",
             "cosine",
             (
-                F.floor(
-                    F.col("cosine")
-                    / ((F.col("ma") + F.col("mb")) / 2.0)
-                    * 1000000.0
-                    + 0.5
-                )
+                F.floor(F.col("cosine") / denom * 1000000.0 + 0.5)
                 / 1000000.0
             ).alias("margin"),
         )

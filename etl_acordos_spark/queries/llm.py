@@ -323,13 +323,16 @@ def q_ext_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bitext_oracle(k: int = 4, n: int = 50) -> str:
     """Oracle twin of q_ext_bitext_mine — identical cosine fold
     (list_dot_product ≡ the Spark zip_with/aggregate fold), identical
-    positive-filter, kNN-mean, and grid-floors."""
+    positive-filter and grid-floors, and the same EXACT-integer kNN
+    means (sum of round(cosine·1e9) longs — order-independent, so no
+    summation-order ulp can flip the margin floor)."""
     cos = (
         "floor(list_dot_product(va, vb)"
         " / (sqrt(list_dot_product(va, va))"
         "  * sqrt(list_dot_product(vb, vb)))"
         " * 1000000000.0 + 0.5) / 1000000000.0"
     )
+    c_int = "CAST(round(cosine * 1000000000.0) AS BIGINT)"
     return (
         "WITH a AS (SELECT vec_id AS a_id,"
         "   CAST(embedding AS DOUBLE[]) AS va"
@@ -341,15 +344,16 @@ def _bitext_oracle(k: int = 4, n: int = 50) -> str:
         " p AS (SELECT * FROM p0 WHERE cosine > 0),"
         " ra AS (SELECT a_id, cosine, row_number() OVER ("
         "   PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn FROM p),"
-        f" ka AS (SELECT a_id, avg(cosine) AS ma FROM ra WHERE rn <= {k}"
-        "  GROUP BY a_id),"
+        f" ka AS (SELECT a_id, sum({c_int}) AS sa,"
+        f"   count(*) AS ca FROM ra WHERE rn <= {k} GROUP BY a_id),"
         " rb AS (SELECT b_id, cosine, row_number() OVER ("
         "   PARTITION BY b_id ORDER BY cosine DESC, a_id) AS rn FROM p),"
-        f" kb AS (SELECT b_id, avg(cosine) AS mb FROM rb WHERE rn <= {k}"
-        "  GROUP BY b_id)"
+        f" kb AS (SELECT b_id, sum({c_int}) AS sb,"
+        f"   count(*) AS cb FROM rb WHERE rn <= {k} GROUP BY b_id)"
         " SELECT p.a_id, p.b_id, p.cosine,"
-        "  floor(p.cosine / ((ka.ma + kb.mb) / 2.0) * 1000000.0 + 0.5)"
-        "   / 1000000.0 AS margin"
+        "  floor(p.cosine / ((CAST(ka.sa AS DOUBLE) / ka.ca"
+        "    + CAST(kb.sb AS DOUBLE) / kb.cb) / 2.0 / 1000000000.0)"
+        "   * 1000000.0 + 0.5) / 1000000.0 AS margin"
         " FROM p JOIN ka USING (a_id) JOIN kb USING (b_id)"
         f" ORDER BY margin DESC, a_id, b_id LIMIT {n}"
     )

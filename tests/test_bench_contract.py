@@ -23,21 +23,23 @@ def test_headline_keys_are_registered_and_unique():
 def test_rotation_fronts_never_benched_keys():
     """Keys absent from every driver-parsed BENCH_r*.json must come
     before every previously-recorded key, preserving HEADLINE order
-    within each class."""
+    within each class. Tolerates malformed BENCH files exactly like
+    the production scan (which try/excepts them)."""
     order = bench.rotate_never_benched_first(list(bench.HEADLINE))
     assert sorted(order) == sorted(bench.HEADLINE)
     import os
     import re
 
-    benched: dict[str, int] = {}
+    benched: set[str] = set()
     for path in os.listdir(bench._REPO_ROOT):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", path)
-        if not m:
+        if not re.fullmatch(r"BENCH_r(\d+)\.json", path):
             continue
-        with open(os.path.join(bench._REPO_ROOT, path)) as f:
-            parsed = json.load(f).get("parsed") or {}
-        for k in parsed.get("queries") or {}:
-            benched[k] = max(benched.get(k, 0), int(m.group(1)))
+        try:
+            with open(os.path.join(bench._REPO_ROOT, path)) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        benched |= set(parsed.get("queries") or {})
     seen_benched = False
     for k in order:
         if k in benched:
@@ -49,36 +51,13 @@ def test_rotation_fronts_never_benched_keys():
 
 
 def test_contract_line_fits_capture_budget():
-    """Simulate the emission loop with worst-case float widths: the
-    serialized line must stay under LINE_BYTE_BUDGET and still carry a
-    meaningful number of keys."""
+    """The REAL emission code (bench.build_contract_line) with
+    worst-case float widths: the serialized line must stay under
+    LINE_BYTE_BUDGET and still carry a meaningful number of keys."""
     timings = {k: 123.4567 for k in bench.HEADLINE}
-    order = bench.rotate_never_benched_first(list(bench.HEADLINE))
-    shown: dict[str, float] = {}
-
-    def line(qmap: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": qmap,
-                "sf": 0.1,
-                "shown": len(qmap),
-                "ran": len(timings),
-            },
-            separators=(",", ":"),
-        )
-
-    for k in order:
-        candidate = dict(shown)
-        candidate[k] = timings[k]
-        if len(line(candidate)) > bench.LINE_BYTE_BUDGET:
-            break
-        shown = candidate
-    payload = line(shown)
+    payload = bench.build_contract_line(timings, 0.1)
     assert len(payload) <= bench.LINE_BYTE_BUDGET
-    assert len(shown) >= 40, f"only {len(shown)} keys fit the budget"
     parsed = json.loads(payload)
-    assert parsed["shown"] == len(shown)
     assert parsed["ran"] == len(bench.HEADLINE)
+    assert parsed["shown"] == len(parsed["queries"]) >= 40
+    assert parsed["value"] == round(sum(timings.values()), 4)

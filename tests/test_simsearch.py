@@ -1,3 +1,8 @@
+"""Similarity-search operator tests that don't fit the recall suites —
+currently the bitext margin-mining semantics (`operators/simsearch.py:
+bitext_margin_pairs`)."""
+
+from __future__ import annotations
 
 
 def test_bitext_margin_demotes_hub_promotes_isolated_pair(spark):
@@ -5,7 +10,9 @@ def test_bitext_margin_demotes_hub_promotes_isolated_pair(spark):
     everything on the other side) gets margins ~1 because its kNN mean
     is as high as any one cosine, while a genuinely isolated matching
     pair scores a high margin. A raw-cosine ranking would put the hub
-    pairs first."""
+    pairs first. Mines with n large enough that hub pairs are
+    GUARANTEED in the result, so the near-1 assertion can't pass
+    vacuously on an empty set."""
     import numpy as np
 
     from etl_acordos_spark.operators.simsearch import bitext_margin_pairs
@@ -35,10 +42,15 @@ def test_bitext_margin_demotes_hub_promotes_isolated_pair(spark):
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
     )
-    mined = bitext_margin_pairs(df, k=4, n=5).collect()
+    # mine EVERYTHING (n >= all positive pairs) so hub rows are present
+    mined = bitext_margin_pairs(df, k=4, n=10_000).collect()
     top = mined[0]
     assert (top.a_id, top.b_id) == (0, 1), mined[:3]
     # raw cosine of the hub's best pair can rival the isolated pair's,
-    # but its margin must sit near 1 (its kNN mean is just as high)
+    # but its margins must sit near 1 (its kNN mean is just as high)
     hub_margins = [r.margin for r in mined if r.a_id == 2]
-    assert all(m < top.margin for m in hub_margins)
+    assert len(hub_margins) >= 4  # the hub really is in the mined set
+    # relative, not absolute: a lucky background vector can still align
+    # with the hub (measured 1.32 here), but the isolated pair's margin
+    # (1.77) must clear the hub's best by a wide gap
+    assert max(hub_margins) < 0.8 * top.margin
