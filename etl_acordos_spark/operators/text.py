@@ -1546,12 +1546,15 @@ def pmi_collocations(
     collocations ("New York") from merely-frequent pairs, the step
     after raw n-gram counting in vocabulary/tokenizer analysis.
 
-    One scan: the tokenized corpus is pinned
-    (``cache().localCheckpoint``, the repo's shared-subtree idiom) so
-    the unigram and bigram aggregates both read the SAME materialized
+    One scan: the tokenized corpus is pinned (eager
+    ``localCheckpoint``, the repo's shared-subtree idiom) so the
+    unigram and bigram aggregates both read the SAME materialized
     token arrays instead of each re-scanning and re-splitting the
     corpus (the pin trades ~input-sized executor storage for 2× the
-    scan+HOF cost — drop it only if storage is tighter than CPU). Both
+    scan+HOF cost — drop it only if storage is tighter than CPU; no
+    cache() underneath — the checkpoint leaf already pins this
+    invocation, and CacheManager entries would leak until app stop,
+    cf. the graph.py round-6 fix). Both
     corpus totals derive from the count tables, never from a second
     pass over the raw streams; they join as 1-row broadcasts. The
     unigram table joins back onto the min-count-filtered bigrams keyed
@@ -1564,14 +1567,12 @@ def pmi_collocations(
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.split(F.col(text_col), " ").alias("tk"))
-        .cache()
         .localCheckpoint(eager=True)
     )
     unigrams = (
         toks.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c_w"))
-        .cache()
         .localCheckpoint(eager=True)
     )
     nt = unigrams.agg(F.sum("c_w").alias("_nt"))
