@@ -159,30 +159,55 @@ def rotate_unchecked_first(
     keys: list[str],
     hoist: tuple[str, ...] = ("ext_approx", "flagship"),
 ) -> list[str]:
-    """Order *keys* so never-driver-verified ones come first.
+    """Order *keys* so never-driver-verified ones come first, then
+    keys whose implementation changed since their last green round.
 
     The driver's per-round CORRECTNESS check caps at the first 50
-    registry keys, so the order IS the verification schedule: each round
-    the keys without a green row in any committed CORRECTNESS_r*.json
-    (see `driver_green_keys`) are front-loaded — in their canonical
-    module order — and already-green keys rotate behind them (still
-    guarded every round by tests/test_oracle_parity.py). *hoist* keys
-    jump the unchecked queue entirely (previously-ERR repairs / the
-    flagship) while unchecked, then rotate back like everything else.
-    With this, cumulative hard-signal coverage grows by up to 50 keys
-    per round with no manual reordering. A key promoted from rows-only
-    to a full oracle counts as unchecked again (its historical rows-only
-    green is superseded — see `driver_green_keys`).
+    registry keys, so the order IS the verification schedule. Buckets,
+    front to back:
+
+    1. *hoist* keys while unchecked (previously-ERR repairs / flagship);
+    2. never-green keys — no green row in any committed
+       CORRECTNESS_r*.json (see `driver_green_keys`); a key promoted
+       from rows-only to a full oracle re-enters here;
+    3. green keys whose chased source *segments* differ from the
+       committed verification manifest (directly edited since their
+       last driver check — the `ext_rfm` round-6 hole this closes);
+    4. green keys with stale/missing file-level deps in the manifest
+       (conservative invalidation);
+    5. stable green keys, in canonical module order (still guarded
+       every round by tests/test_oracle_parity.py).
+
+    Buckets 3–4 come from `manifest.classify_changed`, which compares
+    static per-key fingerprints of the worktree against
+    ``verification_manifest.json`` (refreshed each round from the
+    driver-verified commit). A missing manifest degrades to the pure
+    never-verified rotation.
     """
+    from etl_acordos_spark.queries.manifest import classify_changed
+
     oracle_keys = {
         name for name, qd in all_queries().items() if qd.oracle is not None
     }
     oracle_keys.add("flagship")
     green = driver_green_keys(oracle_keys)
+    try:
+        seg_changed, dep_changed = classify_changed(keys)
+    except Exception:  # never let rotation break the driver's import
+        seg_changed, dep_changed = set(), set()
     front = [k for k in hoist if k in keys and k not in green]
     unchecked = [k for k in keys if k not in green and k not in front]
-    checked = [k for k in keys if k in green and k not in front]
-    return front + unchecked + checked
+    edited = [
+        k for k in keys if k in green and k in seg_changed and k not in front
+    ]
+    stale = [
+        k
+        for k in keys
+        if k in green and k in dep_changed and k not in seg_changed and k not in front
+    ]
+    moved = set(front) | set(edited) | set(stale)
+    checked = [k for k in keys if k in green and k not in moved]
+    return front + unchecked + edited + stale + checked
 
 
 def all_queries() -> dict[str, QueryDef]:

@@ -1,0 +1,163 @@
+"""Change-aware verification rotation (round-6 VERDICT item 1).
+
+``ext_rfm`` was rewritten in round 6 *after* its round-5 driver green
+and rotated out of the r6 window — a verified-looking key running
+unverified code. These tests pin the fix: per-key static source
+fingerprints (queries/manifest.py) re-front any green key whose chased
+implementation changed since the commit the driver verified it on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+import __spark_entry__ as contract
+from etl_acordos_spark.queries import base, manifest
+from etl_acordos_spark.queries.base import driver_green_keys
+
+DRIVER_CAP = 50
+
+REPO = manifest.repo_root()
+
+
+def _patched_provider(overrides: dict[str, str]) -> manifest.Provider:
+    wt = manifest.worktree_provider(REPO)
+
+    def read(relpath: str) -> str | None:
+        if relpath in overrides:
+            return overrides[relpath]
+        return wt(relpath)
+
+    return read
+
+
+def test_fingerprints_cover_every_registry_key() -> None:
+    fps = manifest.compute_fingerprints()
+    assert set(fps) == set(base.all_queries())
+    for key, fp in fps.items():
+        assert set(fp) == {"seg", "dep"} and len(fp["seg"]) == 64, key
+
+
+def test_committed_manifest_matches_registry_keys() -> None:
+    m = manifest.load_manifest()
+    assert m is not None, "verification_manifest.json must be committed"
+    # every manifest entry is (or was) a registry key; every currently
+    # green registry key has an entry (new keys gain one after their
+    # first driver green)
+    green = driver_green_keys() & set(base.all_queries())
+    missing = green - set(m)
+    assert not missing, f"green keys without manifest entry: {sorted(missing)}"
+
+
+def test_deep_helper_edit_changes_fingerprint() -> None:
+    """The round-6 hole, reproduced in miniature: touching the body of
+    a transitively-reached operator helper (rfm_segments lives two hops
+    from the registry entry) must change ext_rfm's fingerprint."""
+    rel = "etl_acordos_spark/operators/relational.py"
+    src = open(os.path.join(REPO, rel), encoding="utf-8").read()
+    assert "def rfm_segments" in src
+    # inject a no-op statement at the top of the function body
+    lines = src.splitlines(keepends=True)
+    for i, line in enumerate(lines):
+        if line.startswith("def rfm_segments("):
+            # find the line after the signature's closing paren / docstring
+            j = i
+            while not lines[j].rstrip().endswith(":"):
+                j += 1
+            lines.insert(j + 1, "    _touched = 1\n")
+            break
+    else:  # pragma: no cover
+        pytest.fail("rfm_segments not found")
+    patched = "".join(lines)
+
+    before = manifest.compute_fingerprints(manifest.worktree_provider(REPO))
+    after = manifest.compute_fingerprints(_patched_provider({rel: patched}))
+    assert before["ext_rfm"]["seg"] != after["ext_rfm"]["seg"]
+    # and an unrelated key in a different family is untouched
+    assert before["ext_dedup_exact"] == after["ext_dedup_exact"]
+
+
+def test_unrelated_same_module_edit_keeps_fingerprint() -> None:
+    """Appending a new function to a queries module must not invalidate
+    existing keys in that module (file-level hashing would)."""
+    rel = "etl_acordos_spark/queries/llm.py"
+    src = open(os.path.join(REPO, rel), encoding="utf-8").read()
+    patched = src + "\n\ndef _round7_scratch():\n    return 42\n"
+    before = manifest.compute_fingerprints(manifest.worktree_provider(REPO))
+    after = manifest.compute_fingerprints(_patched_provider({rel: patched}))
+    assert before["ext_dedup_exact"] == after["ext_dedup_exact"]
+    assert before["ext_simsearch"] == after["ext_simsearch"]
+
+
+def test_oracle_dict_entry_narrowing() -> None:
+    """Editing one _ORACLES entry invalidates only keys that use it."""
+    rel = "etl_acordos_spark/queries/llm.py"
+    src = open(os.path.join(REPO, rel), encoding="utf-8").read()
+    # nudge the exact-dedup oracle's SQL text (unique in the file)
+    needle = '"SELECT min(doc_id) AS doc_id, sha256(text) AS content_sha256"'
+    assert src.count(needle) == 1
+    patched = src.replace(
+        needle,
+        '"SELECT min(doc_id) AS doc_id,  sha256(text) AS content_sha256"',
+        1,
+    )
+    before = manifest.compute_fingerprints(manifest.worktree_provider(REPO))
+    after = manifest.compute_fingerprints(_patched_provider({rel: patched}))
+    assert before["ext_dedup_exact"]["seg"] != after["ext_dedup_exact"]["seg"]
+    assert before["ext_dedup_jaccard"] == after["ext_dedup_jaccard"]
+
+
+def test_changed_keys_enter_driver_window() -> None:
+    """Every green key the manifest marks changed must land inside the
+    driver's 50-key window ahead of stable green keys."""
+    keys = list(contract.queries())
+    seg_changed, dep_changed = manifest.classify_changed(keys)
+    green = driver_green_keys()
+    changed_green = (seg_changed | dep_changed) & green
+    window = set(keys[:DRIVER_CAP])
+    never_green = [k for k in keys if k not in green]
+    # changed keys fill the window right after the never-green bucket;
+    # only a >50-key flood may push any outside
+    budget = max(DRIVER_CAP - len(never_green), 0)
+    if len(changed_green) <= budget:
+        assert changed_green <= window, (
+            f"changed keys outside window: {sorted(changed_green - window)}"
+        )
+
+
+def test_rotation_fronts_seg_changed_before_stable(monkeypatch) -> None:
+    """Directly pin bucket order with synthetic classification."""
+    keys = ["a", "b", "c", "d"]
+    monkeypatch.setattr(base, "driver_green_keys", lambda *_: {"a", "b", "c", "d"})
+    import etl_acordos_spark.queries.manifest as mf
+
+    monkeypatch.setattr(mf, "classify_changed", lambda _k: ({"c"}, {"b"}))
+    out = base.rotate_unchecked_first(keys, hoist=())
+    assert out == ["c", "b", "a", "d"]
+
+
+def test_ext_rfm_is_refronted_this_round() -> None:
+    """The concrete round-7 acceptance: ext_rfm (rewritten r6, last
+    green r5) sits in the driver window until a fresh green lands."""
+    m = manifest.load_manifest()
+    cur = manifest.current_fingerprints()
+    if m and m.get("ext_rfm") == cur.get("ext_rfm"):
+        pytest.skip("ext_rfm re-verified; manifest refreshed")
+    keys = list(contract.queries())
+    assert keys.index("ext_rfm") < DRIVER_CAP
+
+
+def test_refresh_updates_only_green_keys(tmp_path, monkeypatch) -> None:
+    """refresh() fingerprints at the driver-verified commit and touches
+    only keys green in the correctness file."""
+    rows = {
+        "ext_dedup_exact": {"hash_match": True, "spark_rows": 3, "err": None},
+        "ext_rfm": {"hash_match": None, "spark_rows": None, "err": "boom"},
+    }
+    assert manifest._green_keys_in("/nonexistent") == set()
+    p = tmp_path / "CORRECTNESS_r42.json"
+    p.write_text(json.dumps(rows))
+    assert manifest._green_keys_in(str(p)) == {"ext_dedup_exact"}
