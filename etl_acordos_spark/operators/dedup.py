@@ -158,7 +158,9 @@ def canonical_url(url: Column) -> Column:
 
     - drop the ``#fragment`` (client-side only),
     - lowercase the scheme and host (case-insensitive per RFC 3986;
-      the path is NOT lowercased — it is case-sensitive),
+      the path is NOT lowercased — it is case-sensitive — and neither
+      is any ``user:pass@`` userinfo ahead of the last ``@`` in the
+      authority, also case-sensitive per RFC 3986),
     - strip trailing slashes from the path,
     - drop tracking query params (:data:`TRACKING_PARAM_RE`), keep the
       rest sorted so param order can't split identical resources.
@@ -179,7 +181,12 @@ def canonical_url(url: Column) -> Column:
     # on (legal) queries that contain a second '?'
     query = F.regexp_extract(pre, r"^[^?]*\?(.*)$", 1)
     scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    host = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
+    auth = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
+    # lowercase only the host (after the LAST '@'); userinfo keeps case
+    host = F.concat(
+        F.regexp_extract(auth, r"^(.*@)", 1),
+        F.lower(F.regexp_replace(auth, r"^.*@", "")),
+    )
     path = F.regexp_extract(
         base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$", 1
     )
@@ -192,7 +199,7 @@ def canonical_url(url: Column) -> Column:
     canon = F.concat(
         F.lower(scheme),
         F.lit("://"),
-        F.lower(host),
+        host,
         F.regexp_replace(path, "/+$", ""),
         F.when(
             F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
@@ -214,7 +221,12 @@ def url_dedup(
     URL / the 64-hex digest — shuffles carry (id, url, digest), never
     the document body. Returns every input row with its verdict
     (keep = first on BOTH axes), so the caller can either filter to
-    the keep-set or audit the drop reasons."""
+    the keep-set or audit the drop reasons.
+
+    NULL guard: a missing body or URL is NOT a duplicate of other
+    missing ones — without it, ``Window.partitionBy`` groups all NULL
+    digests/URLs into one partition and every NULL-keyed doc after the
+    first gets flagged. NULL keys always pass as keepers."""
     marked = df.select(
         F.col(id_col),
         canonical_url(F.col(url_col)).alias("canonical_url"),
@@ -225,10 +237,14 @@ def url_dedup(
     return marked.select(
         id_col,
         "canonical_url",
-        (F.col(id_col) != F.min(id_col).over(w_url)).alias("url_dup"),
-        (F.col(id_col) != F.min(id_col).over(w_content)).alias(
-            "content_dup"
-        ),
+        (
+            F.col("canonical_url").isNotNull()
+            & (F.col(id_col) != F.min(id_col).over(w_url))
+        ).alias("url_dup"),
+        (
+            F.col("content_sha256").isNotNull()
+            & (F.col(id_col) != F.min(id_col).over(w_content))
+        ).alias("content_dup"),
     ).withColumn("keep", ~F.col("url_dup") & ~F.col("content_dup"))
 
 

@@ -1082,8 +1082,12 @@ def ks_test_2samp(
         F.sum("_ca").over(w_all).alias("_na"),
         F.sum("_cb").over(w_all).alias("_nb"),
     )
+    # try_divide: an empty cohort (_na/_nb = 0) must null-propagate to
+    # NULL d_stat, not throw under ANSI mode — lockstep with the
+    # oracle's NULLIF(na, 0) guard
     gap = F.abs(
-        F.col("_ka") / F.col("_na") - F.col("_kb") / F.col("_nb")
+        F.try_divide(F.col("_ka"), F.col("_na"))
+        - F.try_divide(F.col("_kb"), F.col("_nb"))
     )
     row = cum.agg(
         F.max("_na").cast("bigint").alias("n_a"),
@@ -1093,8 +1097,10 @@ def ks_test_2samp(
         ),
     )
     crit = F.lit(1.358) * F.sqrt(
-        (F.col("n_a") + F.col("n_b"))
-        / (F.col("n_a").cast("double") * F.col("n_b"))
+        F.try_divide(
+            F.col("n_a") + F.col("n_b"),
+            F.col("n_a").cast("double") * F.col("n_b"),
+        )
     )
     return row.select(
         "n_a", "n_b", "d_stat", (F.col("d_stat") > crit).alias("reject_05")

@@ -995,25 +995,32 @@ _DEDUP_URL_ORACLE = (
     " kp AS (SELECT *, list_sort(list_filter(string_split(q, '&'),"
     "   x -> x <> '' AND NOT regexp_matches(x,"
     "    '^(utm_[^=]*|ref|fbclid|gclid|mc_[^=]*)='))) AS kept FROM pq),"
+    # authority lowering in lockstep with canonical_url: only the host
+    # after the LAST '@' is lowercased; userinfo keeps case (RFC 3986)
     " canon AS (SELECT doc_id, sha256(text) AS digest,"
     "   lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     "   || '://'"
-    "   || lower(regexp_extract(base,"
-    "       '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1))"
+    "   || regexp_extract(regexp_extract(base,"
+    "       '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1), '^(.*@)', 1)"
+    "   || lower(regexp_replace(regexp_extract(base,"
+    "       '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1), '^.*@', ''))"
     "   || regexp_replace(regexp_extract(base,"
     "       '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1), '/+$', '')"
     "   || CASE WHEN len(kept) > 0"
     "        THEN '?' || array_to_string(kept, '&') ELSE '' END"
     "    AS canonical_url"
     "  FROM kp),"
-    " m AS (SELECT doc_id, canonical_url,"
+    " m AS (SELECT doc_id, canonical_url, digest,"
     "   min(doc_id) OVER (PARTITION BY canonical_url) AS url_min,"
     "   min(doc_id) OVER (PARTITION BY digest) AS content_min"
     "  FROM canon)"
+    # NULL guard in lockstep with operators/dedup.py:url_dedup — a
+    # missing body/URL is never a duplicate of other missing ones
     " SELECT doc_id, canonical_url,"
-    "  doc_id <> url_min AS url_dup,"
-    "  doc_id <> content_min AS content_dup,"
-    "  (doc_id = url_min AND doc_id = content_min) AS keep"
+    "  (canonical_url IS NOT NULL AND doc_id <> url_min) AS url_dup,"
+    "  (digest IS NOT NULL AND doc_id <> content_min) AS content_dup,"
+    "  ((canonical_url IS NULL OR doc_id = url_min)"
+    "   AND (digest IS NULL OR doc_id = content_min)) AS keep"
     " FROM m"
 )
 

@@ -873,14 +873,18 @@ _KS_TEST_ORACLE = (
     "   sum(cb) OVER (ORDER BY x) AS kb,"
     "   sum(ca) OVER () AS na,"
     "   sum(cb) OVER () AS nb FROM pv),"
+    # NULLIF keeps a degenerate one-empty-cohort input NULL like the
+    # Spark side (Spark's `/` null-propagates on x/0; DuckDB's IEEE
+    # doubles would yield inf/NaN and fabricate a divergence)
     " agg AS (SELECT CAST(max(na) AS BIGINT) AS n_a,"
     "   CAST(max(nb) AS BIGINT) AS n_b,"
-    "   floor(max(abs(ka / CAST(na AS DOUBLE)"
-    "     - kb / CAST(nb AS DOUBLE))) * 1000000000.0 + 0.5)"
+    "   floor(max(abs(ka / CAST(NULLIF(na, 0) AS DOUBLE)"
+    "     - kb / CAST(NULLIF(nb, 0) AS DOUBLE))) * 1000000000.0 + 0.5)"
     "    / 1000000000.0 AS d_stat FROM cum)"
     " SELECT n_a, n_b, d_stat,"
     "  d_stat > 1.358 * sqrt((n_a + n_b)"
-    "    / (CAST(n_a AS DOUBLE) * n_b)) AS reject_05"
+    "    / (CAST(NULLIF(n_a, 0) AS DOUBLE) * NULLIF(n_b, 0)))"
+    "   AS reject_05"
     " FROM agg"
 )
 

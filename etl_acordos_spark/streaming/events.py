@@ -405,9 +405,11 @@ def streaming_cms_run(
     """Streaming count-min sketch maintenance (foreachBatch): the value
     stream (one column ``v``), delivered as *n_batches* microbatches,
     folds each batch's cell-count DELTA into a parquet cells store by
-    summing per (salt, bucket) with an atomic directory swap — the
-    always-on frequency sketch a streaming pipeline keeps next to its
-    ingest.
+    summing per (salt, bucket) with an idempotent per-batch overwrite
+    (``mode("overwrite")`` is delete-then-write, NOT an atomic rename —
+    a crash mid-write leaves a partial delta dir that the replayed
+    batch rewrites on restart) — the always-on frequency sketch a
+    streaming pipeline keeps next to its ingest.
 
     CMS cells are ADDITIVE, so the settled store is bit-identical to a
     batch build over the full stream no matter how values were split
