@@ -32,27 +32,51 @@ BASELINE_BENCH = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r01.json")
 #: it. Printing stays under the cap; FULL timings go to the sidecar.
 LINE_BYTE_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1650"))
 
+# Every registry key is either timed (HEADLINE below, or the
+# auto-computed auxiliary tier — anything not named here) or excluded
+# with a reason in EXCLUDED. tests/test_bench_contract.py pins that
+# the three sets tile the registry exactly.
+EXCLUDED: dict[str, str] = {
+    # Exact all-pairs oracle baselines: verification-scale by design
+    # (QUADRATIC_BY_DESIGN in tests/test_plan_health.py); their LSH /
+    # candidate-generation scale paths are benched instead
+    # (ext_dedup_near, ext_dedup_simhash, ext_simsearch_ann).
+    "ext_dedup_jaccard": "all-pairs oracle baseline; LSH path benched",
+    "ext_dedup_embed": "all-pairs oracle baseline; LSH path benched",
+    "ext_dedup_ngram": "all-pairs oracle baseline; LSH path benched",
+    "ext_dedup_contain": "all-pairs oracle baseline; LSH path benched",
+    "ext_dedup_keep": "built on the exact-pair graph for oracle-ability",
+    "ext_dup_cluster_stats": "built on the exact-pair graph",
+    "ext_leakage_split": "built on the exact-pair graph",
+    "ext_bitext_mine": "all-pairs margin baseline; ann path benched",
+    # Write-bound layout/maintenance jobs: wall time measures the local
+    # disk, not the engine; semantics oracle-/footer-stats-verified in
+    # the test suite.
+    "snk_parquet": "write-bound sink",
+    "snk_dbapi_upsert": "write-bound sink",
+    "snk_dbapi_append": "write-bound sink",
+    "snk_partitioned": "write-bound partitioned rewrite of orders",
+    "ext_zorder": "write-bound layout rewrite",
+    "ext_compaction": "write-bound layout rewrite",
+    "flow_dag": "writes three parquet layers; medallion transforms "
+    "benched via flagship",
+    # Streaming store maintenance: per-microbatch parquet commits +
+    # stream checkpoints; semantics pinned by the sequential-fold /
+    # batch-equality tests in tests/test_streaming.py. Batch twins
+    # (ext_cms_sketch, ext_simsearch_ivf) are benched.
+    "ext_stream_dedup_index": "store maintenance; batch dedup benched",
+    "ext_stream_ann_index": "store maintenance; batch IVF benched",
+    "ext_stream_cms": "store maintenance; batch CMS benched",
+}
+
 # Heavy/representative subset of the §2 registry: star join, hash agg,
 # window functions, time windows, JSON, set ops, the LLM-pipeline family
-# (dedup, similarity search, text analysis). The exact all-pairs oracle
-# baselines (ext_dedup_jaccard / ext_dedup_embed / ext_dedup_ngram /
-# ext_dedup_contain) and
-# the keys built on the exact-pair graph for oracle-ability
-# (ext_dedup_keep / ext_dup_cluster_stats / ext_leakage_split) are
-# verification-scale by
-# design and excluded; their LSH scale paths are benched instead.
-# ext_bitext_mine is the same class (exact all-pairs margin baseline;
-# ext_simsearch_ann is its benched candidate-generation scale path).
-# Write-bound layout maintenance jobs (snk_* sinks, ext_zorder,
-# ext_compaction) are likewise excluded — they measure the local disk,
-# not the engine; their semantics are oracle-/footer-stats-verified in
-# the test suite. ext_stream_dedup_index and ext_stream_ann_index are
-# excluded for the same reason: per-microbatch they commit parquet
-# stores plus the stream checkpoint, so their wall time is
-# store-maintenance, not query execution; their semantics are pinned
-# by the sequential-fold / batch-ivf equality tests in
-# tests/test_streaming.py. ext_stream_cms is excluded for the same
-# store-maintenance reason; its batch twin ext_cms_sketch is benched.
+# (dedup, similarity search, text analysis). Keys in neither HEADLINE
+# nor EXCLUDED (interchange sources, reference-parity scalar fns, the
+# remaining compute keys) run as the auxiliary tier after HEADLINE —
+# same timing protocol, same sidecar, so every key gets a recorded
+# number; only the stdout `value` stays the HEADLINE total for
+# round-over-round comparability.
 HEADLINE = [
     "flagship",
     "ext_join_star",
@@ -124,6 +148,7 @@ HEADLINE = [
     "ext_simsearch",
     "ext_simsearch_ann",
     "ext_simsearch_pq",
+    "ext_simsearch_ivfpq",
     "ext_hybrid_rrf",
     "ext_quantize_embed",
     "ext_kmeans",
@@ -202,20 +227,30 @@ def rotate_never_benched_first(keys: list[str]) -> list[str]:
     return sorted(keys, key=lambda k: (last_round.get(k, -1), idx[k]))
 
 
-def build_contract_line(timings: dict[str, float], sf: float | None) -> str:
+def build_contract_line(
+    timings: dict[str, float],
+    sf: float | None,
+    headline_total: float | None = None,
+) -> str:
     """The driver-facing stdout line: a never-benched-first rotated
     subset of *timings* filled until the serialized line would exceed
-    LINE_BYTE_BUDGET. `value` stays the total over ALL keys run;
-    `shown`/`ran` make the subset explicit. Module-level so the
-    contract tests exercise THIS code, not a replica."""
+    LINE_BYTE_BUDGET. `value` is *headline_total* (round-over-round
+    comparable HEADLINE-only sum; defaults to the sum over all
+    timings); `shown`/`ran` make the subset explicit. Module-level so
+    the contract tests exercise THIS code, not a replica."""
     order = rotate_never_benched_first(list(timings))
     shown: dict[str, float] = {}
+    value = (
+        headline_total
+        if headline_total is not None
+        else sum(timings.values())
+    )
 
     def _line(qmap: dict[str, float]) -> str:
         return json.dumps(
             {
                 "metric": "headline_total",
-                "value": round(sum(timings.values()), 4),
+                "value": round(value, 4),
                 "unit": "sec",
                 "queries": qmap,
                 "sf": sf,
@@ -279,7 +314,10 @@ def main() -> None:
     # a mid-run crash to its key; never stdout/stderr (capture contract)
     log_path = os.environ.get("SPARK_GRAFT_BENCH_LOG")
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    auxiliary = [
+        k for k in qs if k not in set(HEADLINE) and k not in EXCLUDED
+    ]
+    for name in HEADLINE + auxiliary:
         if name not in qs:
             continue
         if log_path:
@@ -292,10 +330,15 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    headline_total = sum(
+        v for k, v in timings.items() if k in set(HEADLINE)
+    )
     # The contract line is stdout's FIRST AND ONLY line, compact, and
     # byte-capped: the driver keeps only the tail of stdout. Full
     # timings → sidecar.
-    sys.stdout.write(build_contract_line(timings, sf) + "\n")
+    sys.stdout.write(
+        build_contract_line(timings, sf, headline_total) + "\n"
+    )
     sys.stdout.flush()
 
     # Sidecar file — ALWAYS written: since the stdout line is byte-
@@ -306,7 +349,12 @@ def main() -> None:
     # not discard the timings. Never echoed to stdout OR stderr: the
     # driver merges streams and parses the LAST JSON line, so even a
     # stderr echo would displace the headline payload (r4 evidence).
-    sidecar = {"timings_all": timings, "sf": sf}
+    sidecar = {
+        "timings_all": timings,
+        "sf": sf,
+        "headline_total": round(headline_total, 4),
+        "excluded": EXCLUDED,
+    }
     base_path = os.path.join(_REPO_ROOT, BASELINE_BENCH)
     try:
         with open(base_path) as f:

@@ -61,3 +61,32 @@ def test_contract_line_fits_capture_budget():
     assert parsed["ran"] == len(bench.HEADLINE)
     assert parsed["shown"] == len(parsed["queries"]) >= 40
     assert parsed["value"] == round(sum(timings.values()), 4)
+
+
+def test_every_registry_key_timed_or_named_excluded():
+    """VERDICT r6 item 3: no silent bench gaps. HEADLINE, the
+    auto-computed auxiliary tier, and the named EXCLUDED reasons must
+    tile the registry exactly — a new key is benched by default unless
+    someone writes down why not."""
+    import __spark_entry__ as contract
+
+    qs = set(contract.queries())
+    headline = set(bench.HEADLINE)
+    excluded = set(bench.EXCLUDED)
+    assert not headline & excluded, sorted(headline & excluded)
+    assert excluded <= qs, f"EXCLUDED keys not registered: {sorted(excluded - qs)}"
+    auxiliary = qs - headline - excluded
+    assert qs == headline | auxiliary | excluded
+    for key, reason in bench.EXCLUDED.items():
+        assert isinstance(reason, str) and len(reason) >= 10, key
+
+
+def test_contract_value_is_headline_total_only():
+    """With an auxiliary tier running after HEADLINE, the stdout
+    `value` must stay the HEADLINE-only sum (round-over-round
+    comparable); `ran` counts everything timed."""
+    timings = {"a": 1.0, "b": 2.0, "aux": 10.0}
+    line = bench.build_contract_line(timings, 0.1, headline_total=3.0)
+    parsed = json.loads(line)
+    assert parsed["value"] == 3.0
+    assert parsed["ran"] == 3
