@@ -76,7 +76,8 @@ def word_shingles(tok_col: str = "tok", n: int = 3) -> Column:
 
 
 def hashed_word_shingles(
-    tok_col: str = "tok", n: int = 3, distinct: bool = True
+    tok_col: str = "tok", n: int = 3, distinct: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> Column:
     """Word n-gram shingles, emitted directly as 64-bit hashes
     (`xxhash64` over the n token tuple) — never materializing the
@@ -87,19 +88,47 @@ def hashed_word_shingles(
     contribute their whole text as one shingle. ``distinct=False``
     keeps every positional occurrence (one hash per window position) —
     the span-duplication profile's contract
-    (operators/text.py:span_dup_profile)."""
-    args = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+    (operators/text.py:span_dup_profile).
+
+    *hash_fn* — ``"xxhash64"`` (default, fastest: JVM hash over the
+    raw token tuple) or ``"md5"``: the first 60 bits (15 hex chars) of
+    md5 over the JOINED shingle string. md5 produces identical output
+    in DuckDB, which is what makes the whole MinHash chain
+    hash-oracle-able cross-engine (the CMS-sketch precedent,
+    queries/llm.py) — one md5 per shingle, so the cost stays
+    per-shingle, not per-permutation. A unit test pins that both
+    families verify the same near-dup pairs (the hash family is
+    orthogonal to the banding/bucketing/verify logic)."""
+    if hash_fn == "xxhash64":
+        args = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+        gram = f"xxhash64({args})"
+        whole = f"xxhash64(array_join({tok_col}, ' '))"
+    elif hash_fn == "md5":
+        gram = (
+            f"cast(conv(substr(md5(array_join(slice({tok_col}, i, {n}),"
+            f" ' ')), 1, 15), 16, 10) as bigint)"
+        )
+        whole = (
+            f"cast(conv(substr(md5(array_join({tok_col}, ' ')), 1, 15),"
+            " 16, 10) as bigint)"
+        )
+    else:
+        raise ValueError(
+            f"hashed_word_shingles: hash_fn must be 'xxhash64' or 'md5',"
+            f" got {hash_fn!r}"
+        )
     inner = (
         f"CASE WHEN size({tok_col}) >= {n} THEN"
         f" transform(sequence(1, size({tok_col}) - {n - 1}),"
-        f"  i -> xxhash64({args}))"
-        f" ELSE array(xxhash64(array_join({tok_col}, ' '))) END"
+        f"  i -> {gram})"
+        f" ELSE array({whole}) END"
     )
     return F.expr(f"array_distinct({inner})" if distinct else inner)
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc, sh) hashed-shingle sets — the map-only scan every MinHash
     stage starts from. Called on the full table to build signatures, and
@@ -114,7 +143,7 @@ def shingle_sets(
     repartition guard apply it to the raw scan themselves."""
     return prepare_tokens(df, text_col, id_col).select(
         F.col(id_col).alias("doc"),
-        hashed_word_shingles("tok", shingle_n).alias("sh"),
+        hashed_word_shingles("tok", shingle_n, hash_fn=hash_fn).alias("sh"),
     )
 
 
@@ -259,6 +288,7 @@ def minhash_bands(
     bands: int = 16,
     shingle_n: int = 3,
     pin: str = "cache",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Shared MinHash signature machinery: returns the band table
     ``(doc, band_idx, band_val)``. The per-doc band-value arrays are
@@ -294,7 +324,9 @@ def minhash_bands(
             f"minhash_bands: pin must be 'cache' or 'checkpoint', got {pin!r}"
         )
     rows_per_band = num_perm // bands
-    base = shingle_sets(ensure_parallelism(df), text_col, id_col, shingle_n)
+    base = shingle_sets(
+        ensure_parallelism(df), text_col, id_col, shingle_n, hash_fn
+    )
     # fixed per-permutation multipliers/offsets (seeded ⇒ deterministic
     # across runs and engines), drawn from [1, p) / [0, p)
     p = (1 << 31) - 1  # Mersenne prime
@@ -305,6 +337,21 @@ def minhash_bands(
     add_arr = "array(" + ", ".join(f"{b}L" for b in add) + ")"
     # hs and sig are let-bound (not projection aliases): each is computed
     # once per row, then looped over — see let_bound's docstring.
+    # band packing: xxhash64 compresses each slice to one long (the
+    # production wire format); md5 mode joins the slice values into the
+    # exact string instead — collision-free AND reproducible verbatim
+    # in DuckDB (no second hash to replicate)
+    if hash_fn == "md5":
+        pack = (
+            f"j -> array_join(transform(slice(sig,"
+            f" j * {rows_per_band} + 1, {rows_per_band}),"
+            f" v -> cast(v as string)), ',')"
+        )
+    else:
+        pack = (
+            f"j -> xxhash64(slice(sig, j * {rows_per_band} + 1,"
+            f" {rows_per_band}))"
+        )
     band_expr = let_bound(
         f"transform(sh, x -> pmod(x, {p}L))",
         "hs",
@@ -312,8 +359,7 @@ def minhash_bands(
             f"zip_with({mult_arr}, {add_arr},"
             f" (pa, pb) -> array_min(transform(hs, h -> pmod(pa * h + pb, {p}L))))",
             "sig",
-            f"transform(sequence(0, {bands - 1}),"
-            f" j -> xxhash64(slice(sig, j * {rows_per_band} + 1, {rows_per_band})))",
+            f"transform(sequence(0, {bands - 1}), {pack})",
         ),
     )
     # CACHE the per-doc band-value ARRAYS, then explode the cached
@@ -343,9 +389,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding +
     exact-Jaccard verification.
+
+    *hash_fn* selects the base shingle hash family (see
+    `hashed_word_shingles`): ``"xxhash64"`` for production,
+    ``"md5"`` for the cross-engine-verifiable chain the registry key
+    runs (every stage — shingle hash, Carter-Wegman permutations,
+    band keys, Jaccard verify — then has an exact DuckDB twin).
 
     hash-shingle (n-gram hashes computed straight from the token array —
     no shingle strings ever materialize) → derive the num_perm
@@ -376,7 +429,9 @@ def minhash_lsh_pairs(
     for O(candidates) rows, and the resulting slice is small enough to
     cache for both join sides.
     """
-    bandtab = minhash_bands(df, text_col, id_col, num_perm, bands, shingle_n)
+    bandtab = minhash_bands(
+        df, text_col, id_col, num_perm, bands, shingle_n, hash_fn=hash_fn
+    )
     bucket_ok = (
         bandtab.groupBy("band_idx", "band_val")
         .count()
@@ -416,7 +471,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
     cand_sets = shingle_sets(
-        df.join(cand_ids, [id_col], "left_semi"), text_col, id_col, shingle_n
+        df.join(cand_ids, [id_col], "left_semi"),
+        text_col,
+        id_col,
+        shingle_n,
+        hash_fn,
     ).cache()
     sets_a = cand_sets.select(
         F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")

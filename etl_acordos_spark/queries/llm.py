@@ -38,6 +38,7 @@ from etl_acordos_spark.operators.simsearch import (
     cosine_pairs,
     exact_topk,
     ivf_topk,
+    ivfpq_topk,
     pq_topk,
     quantize_int8,
     rrf_fuse,
@@ -158,15 +159,24 @@ def q_ext_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (3-word shingles, 64 perms, 16 bands,
     verify Jaccard ≥ 0.5). Map-only signatures; shuffle only on band
-    buckets. Rows-only: LSH candidate generation is probabilistic by
-    design (recall is unit-tested against the exact baseline instead)."""
+    buckets.
+
+    Runs the ``md5`` hash family so the ENTIRE chain — shingle hash,
+    seeded Carter-Wegman permutations, band keys, bucket-size cap,
+    exact-Jaccard verify — is replayed verbatim by the DuckDB oracle
+    (`_dedup_near_oracle`): LSH is seeded-deterministic, not random,
+    so the full pipeline is hash-checkable (round-7 promotion from
+    rows-only; the CMS-sketch md5 precedent). The production
+    ``xxhash64`` family is pinned equivalent by
+    tests/test_operators.py::test_minhash_hash_families_agree."""
     return minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"),
+        t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
         "text",
         "doc_id",
         num_perm=64,
         bands=16,
         threshold=0.5,
+        hash_fn="md5",
     )
 
 
@@ -300,6 +310,18 @@ def q_ext_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (approximate by design; recall unit-tested against
     exact_topk)."""
     return pq_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_ext_simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite approximate top-10 for vec_id=0
+    (operators/simsearch.py:ivfpq_topk): 16 coarse cells prune the
+    scan to the 4 probed ones, residual product quantization (16×32)
+    compresses the survivors, ADC scores codes, exact cosine re-ranks
+    the 80-id shortlist — the standard billion-scale layout (Faiss
+    IndexIVFPQ). Rows-only (approximate by design; recall
+    unit-tested against exact_topk at floors ≥ the IVF and PQ
+    singles)."""
+    return ivfpq_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
 # ---------------------------------------------------- clustering / semantic
@@ -834,6 +856,74 @@ _COSINE = (
     "round(list_dot_product(a.v, b.v) /"
     " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
 )
+
+
+def _dedup_near_oracle(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> str:
+    """Exact DuckDB twin of q_ext_dedup_near's md5-family MinHash-LSH
+    chain (operators/dedup.py:minhash_bands / minhash_lsh_pairs):
+
+    - shingles: distinct word n-grams as strings (the md5 family hashes
+      the JOINED shingle string, so the oracle can build it verbatim);
+    - base hash: first 15 hex chars of md5 → 60-bit BIGINT (DuckDB
+      casts '0x…' strings natively; Spark uses conv(…, 16, 10));
+    - permutations: the SAME seeded Carter-Wegman constants
+      (random.Random(0x5EED), lockstep with minhash_bands) — (a·h+b)
+      mod p over h mod p, p = 2^31−1; all intermediates < 2^62 so
+      BIGINT arithmetic is exact in both engines;
+    - band keys: the comma-joined signature slice strings;
+    - bucket cap, candidate self-join, exact-Jaccard verify over the
+      base-hash sets — identical predicates, identical rounding.
+
+    Depth: the oracle self-joins candidates like the engine does, but
+    materializes per-(doc, perm) minima relationally — fine at
+    verification scale, which is the point of an oracle."""
+    import random as _random
+
+    p = (1 << 31) - 1
+    rng = _random.Random(0x5EED)
+    mult = [rng.randrange(1, p) for _ in range(num_perm)]
+    add = [rng.randrange(0, p) for _ in range(num_perm)]
+    rows = num_perm // bands
+    return (
+        "WITH tok AS (SELECT doc_id AS doc, string_split(text, ' ') AS tok"
+        "  FROM documents WHERE text IS NOT NULL),"
+        f" sh AS (SELECT doc, list_distinct(CASE WHEN len(tok) >= {shingle_n}"
+        f"   THEN list_transform(range(1, len(tok) - {shingle_n - 2}),"
+        f"     i -> array_to_string(tok[i:i+{shingle_n - 1}], ' '))"
+        "   ELSE [array_to_string(tok, ' ')] END) AS shs FROM tok),"
+        " hs AS (SELECT doc,"
+        "   ('0x' || substr(md5(s), 1, 15))::BIGINT AS h"
+        "  FROM sh, unnest(shs) AS u(s)),"
+        f" perms AS (SELECT unnest([{', '.join(map(str, mult))}]) AS pa,"
+        f"   unnest([{', '.join(map(str, add))}]) AS pb,"
+        f"   unnest(range({num_perm})) AS perm),"
+        f" sig AS (SELECT doc, perm, min((pa * (h % {p}) + pb) % {p}) AS s"
+        "  FROM hs CROSS JOIN perms GROUP BY doc, perm),"
+        f" bandv AS (SELECT doc, CAST(perm // {rows} AS INT) AS band_idx,"
+        "   array_to_string(list(CAST(s AS VARCHAR) ORDER BY perm), ',')"
+        f"    AS band_val FROM sig GROUP BY doc, perm // {rows}),"
+        " ok AS (SELECT band_idx, band_val FROM bandv"
+        f"  GROUP BY 1, 2 HAVING count(*) <= {max_bucket_size}),"
+        " ent AS (SELECT b.* FROM bandv b JOIN ok USING (band_idx, band_val)),"
+        " cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b"
+        "  FROM ent a JOIN ent b ON a.band_idx = b.band_idx"
+        "   AND a.band_val = b.band_val AND a.doc < b.doc),"
+        " hset AS (SELECT doc, list_distinct(list(h)) AS hs FROM hs"
+        "  GROUP BY doc)"
+        " SELECT doc_a, doc_b, jaccard FROM ("
+        "  SELECT c.doc_a, c.doc_b,"
+        "   round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"
+        "     / len(list_distinct(a.hs || b.hs)), 4) AS jaccard"
+        "  FROM cand c JOIN hset a ON c.doc_a = a.doc"
+        "   JOIN hset b ON c.doc_b = b.doc)"
+        f" WHERE jaccard >= {threshold}"
+    )
 
 #: shared recursive-CTE prefix: exact-pair dup graph (round(j,4) >= 0.9,
 #: the Spark jaccard_pairs convention) → reachability closure → per-node
@@ -1551,7 +1641,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_dedup_contain": QueryDef(
         q_ext_dedup_contain, _ORACLES["ext_dedup_contain"]
     ),
-    "ext_dedup_near": QueryDef(q_ext_dedup_near, None),
+    "ext_dedup_near": QueryDef(q_ext_dedup_near, _dedup_near_oracle()),
     "ext_dedup_simhash": QueryDef(q_ext_dedup_simhash, None),
     "ext_dedup_keep": QueryDef(q_ext_dedup_keep, _ORACLES["ext_dedup_keep"]),
     "ext_dup_cluster_stats": QueryDef(
@@ -1566,6 +1656,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, None),
     "ext_simsearch_ivf": QueryDef(q_ext_simsearch_ivf, None),
     "ext_simsearch_pq": QueryDef(q_ext_simsearch_pq, None),
+    "ext_simsearch_ivfpq": QueryDef(q_ext_simsearch_ivfpq, None),
     "ext_kmeans": QueryDef(q_ext_kmeans, None),
     "ext_semdedup": QueryDef(q_ext_semdedup, _ORACLES["ext_semdedup"]),
     "ext_domain_cap": QueryDef(q_ext_domain_cap, _ORACLES["ext_domain_cap"]),

@@ -50,6 +50,28 @@ def test_minhash_recall_vs_exact(spark, sf_oracle):
     assert lsh <= exact
 
 
+def test_minhash_hash_families_agree(spark, sf_oracle):
+    """The md5 family (what the hash-oracled registry key runs) and the
+    xxhash64 production family must verify the same near-dup pairs with
+    the same Jaccard values — the hash family is orthogonal to the
+    banding/bucketing/verify logic, so the DuckDB oracle on the md5
+    chain vouches for the production chain too (round-7 promotion of
+    ext_dedup_near from rows-only)."""
+    docs = t(spark, sf_oracle, "documents")
+    xx = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    md = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", hash_fn="md5"
+        ).collect()
+    }
+    assert xx, "expected near-dup pairs in the corpus"
+    assert xx == md
+
+
 def test_simhash_finds_near_identical_docs(spark, sf_oracle):
     """Hamming≤3 pairs must be a subset of high-Jaccard pairs and the
     join must not explode to all-pairs."""
@@ -161,6 +183,40 @@ def test_pq_recall_vs_exact_topk(spark, sf_oracle):
     approx = {vec_id for vec_id, _ in a}
     assert len(approx) == 10
     assert len(exact & approx) >= 7, f"recall too low: {len(exact & approx)}/10"
+
+
+def test_ivfpq_recall_vs_exact_topk(spark, sf_oracle):
+    """IVF-PQ composite (round-7 VERDICT item 5): recall floors at
+    least as tight as both singles (IVF >= 5, PQ >= 7 above). Measured
+    8/10 at sf0.01 with the default 4/16 probes and refine=8 — the IVF
+    pruning ceiling (neighbors outside probed cells are unreachable by
+    construction); the floor leaves margin for testdata regeneration.
+    Also deterministic end-to-end (fixed training prefix, fixed Lloyd
+    rounds, shared residual codebooks)."""
+    from etl_acordos_spark.operators.simsearch import ivfpq_topk
+
+    emb = t(spark, sf_oracle, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = {
+        r["vec_id"]
+        for r in exact_topk(emb, list(qvec), k=10, exclude_id=0).collect()
+    }
+    a = [tuple(r) for r in ivfpq_topk(emb, query_id=0, k=10).collect()]
+    b = [tuple(r) for r in ivfpq_topk(emb, query_id=0, k=10).collect()]
+    assert a == b, "IVF-PQ result not deterministic"
+    approx = {vec_id for vec_id, _ in a}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 7, f"recall too low: {len(exact & approx)}/10"
+
+
+def test_ivfpq_missing_query_id_raises(spark, sf_oracle):
+    import pytest
+
+    from etl_acordos_spark.operators.simsearch import ivfpq_topk
+
+    emb = t(spark, sf_oracle, "embeddings")
+    with pytest.raises(ValueError, match="not found"):
+        ivfpq_topk(emb, query_id=10**9, k=10)
 
 
 def test_char_entropy_closed_forms(spark):
