@@ -492,6 +492,91 @@ def minhash_lsh_pairs(
     )
 
 
+def paragraph_near_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    words_per_para: int = 30,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Paragraph-granular near-dedup — the between-passage-and-doc
+    granularity real corpus pipelines run (RefinedWeb/Dolma drop
+    near-duplicate paragraphs, not just exact spans): split every
+    document into consecutive ``words_per_para``-word paragraph units
+    (this corpus has no newline markers, so fixed word windows stand in
+    for paragraphs — the `passage_dedup` convention one level up), run
+    the SAME seeded MinHash-LSH chain as `minhash_lsh_pairs` over the
+    paragraph units, drop every unit that has a verified near-duplicate
+    at a lower (doc, paragraph-index) key, and reassemble documents
+    from their surviving units.
+
+    Keep rule: a unit survives iff NO earlier unit (ordered by doc id,
+    then position) verifies as its near-duplicate — pairwise dominance,
+    not cluster-representative selection, so both engines can express
+    it without a reachability closure (`ext_dedup_keep` covers the
+    cluster variant at doc granularity).
+
+    Scale shape (100 TB): paragraph chunking is map-side Catalyst HOFs;
+    everything after inherits `minhash_lsh_pairs`'s discipline — band
+    tables carry (unit key, band idx, band val), candidate pairs are
+    key pairs, only verified-candidate units re-hash shingles. The
+    rebuild folds surviving units back with one doc-keyed aggregate
+    (ids + positions on the wire, unit text only in the final join).
+    Unit keys pack as ``doc_id * 2^20 + paragraph_idx`` so the whole
+    chain reuses the single-column machinery; the packing is exact for
+    doc_id < 2^43 and docs under 2^20 paragraphs (a 30 M-word doc) —
+    both asserted cheaply by the key construction staying a bigint.
+
+    Returns ``(id_col, text, n_paras)``; documents whose every
+    paragraph was dominated disappear entirely."""
+    n = words_per_para
+    chunk_expr = (
+        f"transform(sequence(1, size(w), {n}),"
+        f" s -> array_join(slice(w, s, {n}), ' '))"
+    )
+    paras = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
+        .select(id_col, F.posexplode(F.expr(chunk_expr)).alias("pidx", "para"))
+        .select(
+            id_col,
+            "pidx",
+            "para",
+            (F.col(id_col) * (1 << 20) + F.col("pidx")).alias("pkey"),
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        paras.select("pkey", "para"),
+        "para",
+        "pkey",
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        hash_fn=hash_fn,
+    )
+    # minhash_lsh_pairs emits doc_a < doc_b on the packed key, which is
+    # exactly (doc, pidx) lexicographic — doc_b is always the later unit
+    dominated = pairs.select(F.col("doc_b").alias("pkey")).distinct()
+    survivors = paras.join(dominated, "pkey", "left_anti")
+    return (
+        survivors.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pidx", "para"))
+                ).getField("para"),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_paras"),
+        )
+    )
+
+
 def incremental_minhash_dedup(
     corpus: DataFrame,
     batch: DataFrame,

@@ -180,6 +180,21 @@ def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_dedup_para(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular near-dedup (operators/dedup.py:
+    paragraph_near_dedup): 30-word paragraph units, the seeded
+    MinHash-LSH chain over units, earlier-key dominance drop, document
+    rebuild — the between-passage-and-doc granularity
+    (ext_passage_dedup is the exact-span variant, ext_dedup_near the
+    whole-doc one). md5 hash family, so the DuckDB oracle replays the
+    full chain including the rebuild."""
+    from etl_acordos_spark.operators.dedup import paragraph_near_dedup
+
+    return paragraph_near_dedup(
+        t(spark, sf_dir, "documents"), "text", "doc_id", hash_fn="md5"
+    )
+
+
 def q_ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit, Hamming ≤ 3) via pigeonhole
     16-bit-chunk join."""
@@ -858,15 +873,17 @@ _COSINE = (
 )
 
 
-def _dedup_near_oracle(
+def _minhash_md5_ctes(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
 ) -> str:
-    """Exact DuckDB twin of q_ext_dedup_near's md5-family MinHash-LSH
-    chain (operators/dedup.py:minhash_bands / minhash_lsh_pairs):
+    """Shared DuckDB CTE chain replaying the md5-family MinHash-LSH
+    pipeline (operators/dedup.py:minhash_bands / minhash_lsh_pairs)
+    from a unit table ``u(doc, utext)`` to verified near-dup pairs
+    ``pairsq(doc_a, doc_b, jaccard)``:
 
     - shingles: distinct word n-grams as strings (the md5 family hashes
       the JOINED shingle string, so the oracle can build it verbatim);
@@ -880,9 +897,10 @@ def _dedup_near_oracle(
     - bucket cap, candidate self-join, exact-Jaccard verify over the
       base-hash sets — identical predicates, identical rounding.
 
-    Depth: the oracle self-joins candidates like the engine does, but
-    materializes per-(doc, perm) minima relationally — fine at
-    verification scale, which is the point of an oracle."""
+    Consumers prepend their unit CTE (docs for `ext_dedup_near`,
+    word-window paragraphs for `ext_dedup_para`) and select off
+    ``pairsq``. Depth: the oracle materializes per-(doc, perm) minima
+    relationally — fine at verification scale, which is the point."""
     import random as _random
 
     p = (1 << 31) - 1
@@ -891,15 +909,14 @@ def _dedup_near_oracle(
     add = [rng.randrange(0, p) for _ in range(num_perm)]
     rows = num_perm // bands
     return (
-        "WITH tok AS (SELECT doc_id AS doc, string_split(text, ' ') AS tok"
-        "  FROM documents WHERE text IS NOT NULL),"
+        " tok AS (SELECT doc, string_split(utext, ' ') AS tok FROM u),"
         f" sh AS (SELECT doc, list_distinct(CASE WHEN len(tok) >= {shingle_n}"
         f"   THEN list_transform(range(1, len(tok) - {shingle_n - 2}),"
         f"     i -> array_to_string(tok[i:i+{shingle_n - 1}], ' '))"
         "   ELSE [array_to_string(tok, ' ')] END) AS shs FROM tok),"
         " hs AS (SELECT doc,"
         "   ('0x' || substr(md5(s), 1, 15))::BIGINT AS h"
-        "  FROM sh, unnest(shs) AS u(s)),"
+        "  FROM sh, unnest(shs) AS un(s)),"
         f" perms AS (SELECT unnest([{', '.join(map(str, mult))}]) AS pa,"
         f"   unnest([{', '.join(map(str, add))}]) AS pb,"
         f"   unnest(range({num_perm})) AS perm),"
@@ -915,14 +932,50 @@ def _dedup_near_oracle(
         "  FROM ent a JOIN ent b ON a.band_idx = b.band_idx"
         "   AND a.band_val = b.band_val AND a.doc < b.doc),"
         " hset AS (SELECT doc, list_distinct(list(h)) AS hs FROM hs"
-        "  GROUP BY doc)"
-        " SELECT doc_a, doc_b, jaccard FROM ("
+        "  GROUP BY doc),"
+        " pairsq AS (SELECT doc_a, doc_b, jaccard FROM ("
         "  SELECT c.doc_a, c.doc_b,"
         "   round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"
         "     / len(list_distinct(a.hs || b.hs)), 4) AS jaccard"
         "  FROM cand c JOIN hset a ON c.doc_a = a.doc"
         "   JOIN hset b ON c.doc_b = b.doc)"
-        f" WHERE jaccard >= {threshold}"
+        f" WHERE jaccard >= {threshold})"
+    )
+
+
+def _dedup_near_oracle() -> str:
+    """Doc-granularity consumer of `_minhash_md5_ctes` — the exact
+    twin of q_ext_dedup_near."""
+    return (
+        "WITH u AS (SELECT doc_id AS doc, text AS utext FROM documents"
+        "  WHERE text IS NOT NULL),"
+        + _minhash_md5_ctes()
+        + " SELECT doc_a, doc_b, jaccard FROM pairsq"
+    )
+
+
+def _dedup_para_oracle(words_per_para: int = 30) -> str:
+    """Paragraph-granularity consumer of `_minhash_md5_ctes` — the
+    exact twin of q_ext_dedup_para (operators/dedup.py:
+    paragraph_near_dedup): split docs into word windows, near-dedup the
+    windows, drop every window dominated by an earlier (packed-key)
+    near-duplicate, rebuild documents from survivors."""
+    n = words_per_para
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w"
+        "  FROM documents WHERE text IS NOT NULL),"
+        " paras AS (SELECT doc_id, CAST(i AS INT) AS pidx,"
+        f"   array_to_string(w[1 + {n} * i : {n} + {n} * i], ' ') AS para,"
+        f"   doc_id * {1 << 20} + i AS pkey"
+        f"  FROM w, unnest(range(0, (len(w) + {n - 1}) // {n})) AS t(i)),"
+        " u AS (SELECT pkey AS doc, para AS utext FROM paras),"
+        + _minhash_md5_ctes()
+        + ", dom AS (SELECT DISTINCT doc_b AS pkey FROM pairsq)"
+        " SELECT doc_id, array_to_string(list(para ORDER BY pidx), ' ')"
+        "   AS text, count(*) AS n_paras"
+        " FROM paras p WHERE NOT EXISTS"
+        "  (SELECT 1 FROM dom d WHERE d.pkey = p.pkey)"
+        " GROUP BY doc_id"
     )
 
 #: shared recursive-CTE prefix: exact-pair dup graph (round(j,4) >= 0.9,
@@ -1642,6 +1695,7 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_dedup_contain, _ORACLES["ext_dedup_contain"]
     ),
     "ext_dedup_near": QueryDef(q_ext_dedup_near, _dedup_near_oracle()),
+    "ext_dedup_para": QueryDef(q_ext_dedup_para, _dedup_para_oracle()),
     "ext_dedup_simhash": QueryDef(q_ext_dedup_simhash, None),
     "ext_dedup_keep": QueryDef(q_ext_dedup_keep, _ORACLES["ext_dedup_keep"]),
     "ext_dup_cluster_stats": QueryDef(

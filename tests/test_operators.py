@@ -2488,3 +2488,55 @@ def test_global_row_number_and_ntile_match_window_forms(spark):
             ).collect()
         }
         assert g == want, f"buckets={b}"
+
+
+def test_paragraph_near_dedup_drops_dominated_units(spark):
+    """Round-7 ext_dedup_para semantics on a handcrafted corpus: a
+    repeated paragraph survives only at its first (doc, position) key;
+    a unique paragraph always survives; a doc whose every unit is
+    dominated disappears; rebuild preserves unit order."""
+    from etl_acordos_spark.operators.dedup import paragraph_near_dedup
+
+    para_a = " ".join(f"alpha{i}" for i in range(10))
+    para_b = " ".join(f"beta{i}" for i in range(10))
+    para_c = " ".join(f"gamma{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{para_a} {para_b}"),   # first occurrence of A and B
+            (2, f"{para_c} {para_a}"),   # C unique, A dominated by doc 1
+            (3, para_b),                 # fully dominated -> disappears
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_near_dedup(
+            df, "text", "doc_id", words_per_para=10
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == f"{para_a} {para_b}" and out[1]["n_paras"] == 2
+    assert out[2]["text"] == para_c and out[2]["n_paras"] == 1
+
+
+def test_paragraph_near_dedup_hash_families_agree(spark, sf_oracle):
+    """md5 (oracle family) and xxhash64 (production family) rebuild
+    near-identical documents. NOT exact equality: a borderline pair in
+    the banding transition zone (J just below the 16×4 S-curve knee)
+    can collide under one hash family and not the other — observed at
+    exactly one 30-word unit on this corpus — so the pin is ≥98%
+    agreement, which still catches any logic (vs hash-luck) drift."""
+    from etl_acordos_spark.operators.dedup import paragraph_near_dedup
+
+    docs = t(spark, sf_oracle, "documents")
+    md = {
+        (r["doc_id"], r["text"], r["n_paras"])
+        for r in paragraph_near_dedup(docs, "text", "doc_id", hash_fn="md5").collect()
+    }
+    xx = {
+        (r["doc_id"], r["text"], r["n_paras"])
+        for r in paragraph_near_dedup(docs, "text", "doc_id").collect()
+    }
+    assert md and xx
+    agree = len(md & xx) / len(md | xx)
+    assert agree >= 0.98, f"families diverge beyond hash luck: {agree:.3f}"
