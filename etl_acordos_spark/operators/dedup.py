@@ -816,6 +816,7 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via 64-bit SimHash + pigeonhole chunk join.
 
@@ -827,12 +828,36 @@ def simhash_pairs(
     (pigeonhole), so the join keys on (chunk_idx, chunk_value) — never
     all-pairs. The exploded chunk table (four ints per doc) is cached:
     both self-join sides read it.
+
+    *hash_fn* — ``"xxhash64"`` (default) or ``"md5"``: the token hash
+    becomes the full 64 bits of md5's first 16 hex chars, assembled as
+    two 32-bit halves (``hi << 32 | lo`` — shifts/ORs are pure bit ops,
+    so the sign bit landing in bit 63 never trips ANSI overflow). Only
+    the token-hash expression changes; the vote loop, chunk extraction
+    (masked after arithmetic shift, sign-safe), pigeonhole join, and
+    hamming are the SAME code — which is what lets the DuckDB oracle
+    (UBIGINT on its side, identical bit patterns) replay the registry
+    key bit-for-bit (`ext_dedup_simhash`'s round-7 promotion from
+    rows-only, same scheme as the MinHash md5 family).
     """
+    if hash_fn == "xxhash64":
+        tok_hash = "xxhash64(x)"
+    elif hash_fn == "md5":
+        tok_hash = (
+            "transform(array(md5(x)), m ->"
+            " shiftleft(cast(conv(substr(m, 1, 8), 16, 10) as bigint), 32)"
+            " | cast(conv(substr(m, 9, 8), 16, 10) as bigint))[0]"
+        )
+    else:
+        raise ValueError(
+            f"simhash_pairs: hash_fn must be 'xxhash64' or 'md5',"
+            f" got {hash_fn!r}"
+        )
     tok = prepare_tokens(ensure_parallelism(df), text_col, id_col)
     # hs is let-bound so every token string is hashed once, not once per
     # bit (a projection alias would be inlined into the 64-bit loop).
     simhash_expr = let_bound(
-        "transform(array_distinct(tok), x -> xxhash64(x))",
+        f"transform(array_distinct(tok), x -> {tok_hash})",
         "hs",
         "aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> acc +"
         " CASE WHEN aggregate(hs,"

@@ -197,8 +197,21 @@ def q_ext_dedup_para(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit, Hamming ≤ 3) via pigeonhole
-    16-bit-chunk join."""
-    return simhash_pairs(t(spark, sf_dir, "documents"), "text", "doc_id")
+    16-bit-chunk join. Runs the md5 token-hash family so the whole
+    pipeline — per-bit votes, sign packing, chunk extraction, hamming —
+    is replayed bit-for-bit by the DuckDB oracle (round-7 promotion
+    from rows-only; UBIGINT carries the unsigned view of the same 64
+    bit patterns). Unlike MinHash (whose exact-Jaccard verify is
+    hash-independent), the signature IS the decision statistic, so the
+    hamming<=3 pair set legitimately varies by family; the
+    family-invariant logic (token-identical docs at hamming 0) is
+    pinned for BOTH families by unit test."""
+    return simhash_pairs(
+        t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "text",
+        "doc_id",
+        hash_fn="md5",
+    )
 
 
 def q_ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,6 +953,40 @@ def _minhash_md5_ctes(
         "  FROM cand c JOIN hset a ON c.doc_a = a.doc"
         "   JOIN hset b ON c.doc_b = b.doc)"
         f" WHERE jaccard >= {threshold})"
+    )
+
+
+def _dedup_simhash_oracle(max_hamming: int = 3) -> str:
+    """Exact DuckDB twin of q_ext_dedup_simhash's md5-family SimHash
+    (operators/dedup.py:simhash_pairs): token hash = first 16 md5 hex
+    chars as UBIGINT (identical bit pattern to Spark's signed-BIGINT
+    hi<<32|lo assembly), per-bit ±1 votes over distinct tokens, sign
+    packing, 16-bit pigeonhole chunks, hamming via bit_count(xor).
+    The engine dedups pairs with a first-matching-chunk predicate (no
+    distinct shuffle); the oracle's DISTINCT yields the same set."""
+    return (
+        "WITH tok AS (SELECT doc_id AS doc,"
+        "   list_distinct(string_split(text, ' ')) AS toks"
+        "  FROM documents WHERE text IS NOT NULL),"
+        " th AS (SELECT doc, ('0x' || substr(md5(x), 1, 16))::UBIGINT AS h"
+        "  FROM tok, unnest(toks) AS u(x)),"
+        " votes AS (SELECT doc, i,"
+        "   sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v"
+        "  FROM th, unnest(range(64)) AS b(i) GROUP BY doc, i),"
+        # 1::UBIGINT << 63 overflows DuckDB's shift; go through HUGEINT
+        " sim AS (SELECT doc,"
+        "   CAST(sum(CASE WHEN v > 0 THEN (1::HUGEINT << i)"
+        "     ELSE 0::HUGEINT END) AS UBIGINT) AS s"
+        "  FROM votes GROUP BY doc),"
+        " chunks AS (SELECT doc, s, c,"
+        "   CAST((s >> (16 * c)) & 65535 AS BIGINT) AS cv"
+        "  FROM sim, unnest(range(4)) AS t(c)),"
+        " pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,"
+        "   CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming"
+        "  FROM chunks a JOIN chunks b"
+        "   ON a.c = b.c AND a.cv = b.cv AND a.doc < b.doc"
+        f"  WHERE bit_count(xor(a.s, b.s)) <= {max_hamming})"
+        " SELECT doc_a, doc_b, hamming FROM pairs"
     )
 
 
@@ -1696,7 +1743,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_dedup_near": QueryDef(q_ext_dedup_near, _dedup_near_oracle()),
     "ext_dedup_para": QueryDef(q_ext_dedup_para, _dedup_para_oracle()),
-    "ext_dedup_simhash": QueryDef(q_ext_dedup_simhash, None),
+    "ext_dedup_simhash": QueryDef(
+        q_ext_dedup_simhash, _dedup_simhash_oracle()
+    ),
     "ext_dedup_keep": QueryDef(q_ext_dedup_keep, _ORACLES["ext_dedup_keep"]),
     "ext_dup_cluster_stats": QueryDef(
         q_ext_dup_cluster_stats, _ORACLES["ext_dup_cluster_stats"]

@@ -2540,3 +2540,72 @@ def test_paragraph_near_dedup_hash_families_agree(spark, sf_oracle):
     assert md and xx
     agree = len(md & xx) / len(md | xx)
     assert agree >= 0.98, f"families diverge beyond hash luck: {agree:.3f}"
+
+
+def test_simhash_hash_families_agree_on_invariants(spark, sf_oracle):
+    """SimHash's signature IS the decision statistic, so the hamming<=3
+    pair SET is legitimately family-dependent: swapping the (unbiased)
+    token hash resamples every per-bit vote, and this corpus has a
+    dense hamming continuum at the cliff (measured Jaccard agreement
+    between the xxhash64 and md5 pair sets is ~0.25 — unlike MinHash,
+    whose verify step is exact Jaccard and therefore hash-independent).
+    What IS family-invariant: documents with IDENTICAL distinct token
+    sets get identical signatures, so every such pair must appear at
+    hamming 0 in BOTH families — the logic pin that survives a family
+    swap."""
+    from etl_acordos_spark.operators.dedup import simhash_pairs
+
+    docs = t(spark, sf_oracle, "documents")
+    # ground truth: pairs with identical distinct-token SETS
+    sets_ = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("st"),
+    )
+    same = {
+        (r.a, r.b)
+        for r in sets_.alias("x")
+        .join(sets_.alias("y"), F.expr("x.st = y.st AND x.doc_id < y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    }
+    assert same, "expected identical-token-set doc pairs in the corpus"
+    for fam in ("xxhash64", "md5"):
+        zero = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_pairs(docs, "text", "doc_id", hash_fn=fam)
+            .filter("hamming = 0")
+            .collect()
+        }
+        missing = same - zero
+        assert not missing, f"{fam}: token-identical pairs not at hamming 0: {sorted(missing)[:5]}"
+
+
+def test_simhash_md5_family_matches_duckdb_bits(spark):
+    """Bit-exactness of the md5 token hash assembly on a tiny corpus:
+    the Spark signed hi<<32|lo BIGINT and DuckDB's UBIGINT md5 prefix
+    are the same 64 bit patterns, so chunk values and hamming agree."""
+    import duckdb
+
+    from etl_acordos_spark.operators.dedup import simhash_pairs
+    from etl_acordos_spark.queries.llm import _dedup_simhash_oracle
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+        (3, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (4, "totally different words here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        tuple(r)
+        for r in simhash_pairs(df, "text", "doc_id", hash_fn="md5").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{s}')" for i, s in rows)
+        + ") AS t(doc_id, text)"
+    )
+    want = sorted(tuple(r) for r in con.execute(_dedup_simhash_oracle()).fetchall())
+    assert got == want
+    assert (1, 3, 0) in got  # the exact dup at hamming 0
