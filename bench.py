@@ -128,6 +128,7 @@ HEADLINE = [
     "ext_agg_stats",
     "ext_approx",
     "ext_hll_sketch",
+    "ext_hll_md5",
     "ext_cube",
     "ext_udf_scalar",
     "ext_udaf_grouped",

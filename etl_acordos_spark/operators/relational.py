@@ -569,6 +569,100 @@ def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
     )
 
 
+#: md5-HLL geometry: 3 hex chars of bucket (m = 4096 registers,
+#: ~1.6% relative error), 13 hex chars (52 bits) of rank field
+HLL_B_HEX = 3
+HLL_RANK_HEX = 13
+HLL_M = 16**HLL_B_HEX
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+#: constants injected as DOUBLE literals so both engines fold the same
+#: float (a plain decimal literal would parse as DECIMAL in DuckDB and
+#: overflow its multiply)
+HLL_C = repr(_HLL_ALPHA * HLL_M * HLL_M * 2.0**53)
+HLL_P53 = repr(2.0**53)
+
+
+def hll_md5_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog registers over an md5-derived hash — the
+    engine-independent twin of `hll_sketch_agg` (q_ext_hll_sketch keeps
+    the native Datasketches demo; this one is hash-oracle-able because
+    every step is deterministic string/integer math both engines share):
+
+    - bucket = first HLL_B_HEX hex chars of md5(value) (12 bits,
+      m = 4096);
+    - rank = leading-zero bits of the next 52-bit field + 1, computed
+      from HEX DIGITS (strip leading '0's, case on the first nonzero
+      digit) — no floats, no engine-specific bit intrinsics;
+    - register = max(rank) per (group, bucket).
+
+    Registers are the MERGEABLE sketch state: max() per bucket unions
+    sketches, which is what lets a stored register table answer any
+    slice combination without re-scanning facts (same pitch as the
+    Datasketches key, now with a closed form DuckDB replays exactly).
+    Scale shape: one map-side md5 + string ops per row, then a single
+    map-side-combinable max aggregate on (group, bucket) — the shuffle
+    carries at most |groups|·4096 rows regardless of input size."""
+    rank_expr = (
+        f"CASE WHEN rh = repeat('0', {HLL_RANK_HEX}) THEN 53"
+        f" ELSE 4 * ({HLL_RANK_HEX} - length(fd0))"
+        "  + CASE WHEN substr(fd0, 1, 1) = '1' THEN 3"
+        "         WHEN substr(fd0, 1, 1) IN ('2','3') THEN 2"
+        "         WHEN substr(fd0, 1, 1) IN ('4','5','6','7') THEN 1"
+        "         ELSE 0 END + 1 END"
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.md5(F.col(value_col).cast("string")).alias("_h"),
+        )
+        .select(
+            *group_cols,
+            F.expr(
+                f"cast(conv(substr(_h, 1, {HLL_B_HEX}), 16, 10) as int)"
+            ).alias("bucket"),
+            F.expr(
+                f"substr(_h, {HLL_B_HEX + 1}, {HLL_RANK_HEX})"
+            ).alias("rh"),
+        )
+        .select(
+            *group_cols,
+            "bucket",
+            "rh",
+            F.expr("regexp_replace(rh, '^0+', '')").alias("fd0"),
+        )
+        .select(*group_cols, "bucket", F.expr(rank_expr).alias("r"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("mr"))
+    )
+
+
+def hll_md5_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a register table into per-group cardinality estimates —
+    the standard HLL estimator with the small-range (linear-counting)
+    correction, kept cross-engine exact: register sums use
+    2^(53-rank) as DECIMAL(38,0) (exact integer arithmetic — float
+    reassociation across buckets would diverge between engines), and
+    the one unavoidable float division/ln is grid-floored to 4 dp."""
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), 53 - mr)"
+                " as decimal(38,0))"
+            )
+        ).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    raw = f"{HLL_C} / (cast(_s as double) + ({HLL_M} - _nb) * {HLL_P53})"
+    est = (
+        f"cast(floor(CASE WHEN {raw} <= 2.5 * {HLL_M} AND _nb < {HLL_M}"
+        f" THEN {HLL_M} * ln({HLL_M} / cast({HLL_M} - _nb as double))"
+        f" ELSE {raw} END * 10000 + 0.5) / 10000 as double)"
+    )
+    return agg.select(*group_cols, F.expr(est).alias("approx_distinct"))
+
+
 def cms_accuracy(
     items: DataFrame,
     col: str,

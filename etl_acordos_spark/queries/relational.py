@@ -383,6 +383,96 @@ def q_ext_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch with a CLOSED FORM both engines
+    share (operators/relational.py:hll_md5_registers/_estimate) — the
+    hash-oracle-able companion to ext_hll_sketch's native Datasketches
+    demo: per-(year, month) HLL registers over md5(o_custkey), then
+    per-year and grand-total distinct-customer estimates computed
+    purely by MERGING registers (max per bucket) — never re-scanning
+    orders. Register sums are exact DECIMAL integers; the single float
+    division (and the small-range ln correction) is grid-floored, so
+    the DuckDB oracle replays the whole sketch bit-for-bit. Accuracy
+    vs exact is ~0.1–1.7% at m=4096 (unit-tested bound)."""
+    from etl_acordos_spark.operators.relational import (
+        hll_md5_estimate,
+        hll_md5_registers,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("ano"),
+        F.month("o_orderdate").alias("mes"),
+        "o_custkey",
+    )
+    regs = hll_md5_registers(orders, ["ano", "mes"], "o_custkey")
+    per_ano = hll_md5_estimate(
+        regs.groupBy("ano", "bucket").agg(F.max("mr").alias("mr")),
+        ["ano"],
+    )
+    total = hll_md5_estimate(
+        regs.groupBy("bucket")
+        .agg(F.max("mr").alias("mr"))
+        .withColumn("ano", F.lit(None).cast("int")),
+        ["ano"],
+    )
+    return (
+        per_ano.unionByName(total)
+        .withColumnRenamed("approx_distinct", "approx_clientes")
+        .orderBy(F.col("ano").asc_nulls_last())
+    )
+
+
+def _hll_md5_oracle() -> str:
+    """Exact DuckDB twin of q_ext_hll_md5 — identical bucket/rank hex
+    math, exact DECIMAL register sums, same grid-floored estimator."""
+    from etl_acordos_spark.operators.relational import (
+        HLL_B_HEX,
+        HLL_C,
+        HLL_M,
+        HLL_P53,
+        HLL_RANK_HEX,
+    )
+
+    rank = (
+        f"CASE WHEN rh = repeat('0', {HLL_RANK_HEX}) THEN 53"
+        f" ELSE 4 * ({HLL_RANK_HEX} - length(fd0))"
+        "  + CASE WHEN substr(fd0, 1, 1) = '1' THEN 3"
+        "         WHEN substr(fd0, 1, 1) IN ('2','3') THEN 2"
+        "         WHEN substr(fd0, 1, 1) IN ('4','5','6','7') THEN 1"
+        "         ELSE 0 END + 1 END"
+    )
+    raw = f"{HLL_C} / (CAST(s AS DOUBLE) + ({HLL_M} - nb) * {HLL_P53})"
+    est = (
+        f"floor(CASE WHEN {raw} <= 2.5 * {HLL_M} AND nb < {HLL_M}"
+        f" THEN {HLL_M} * ln({HLL_M} / CAST({HLL_M} - nb AS DOUBLE))"
+        f" ELSE {raw} END * 10000 + 0.5) / 10000"
+    )
+    return (
+        "WITH h AS (SELECT CAST(year(o_orderdate) AS INT) AS ano,"
+        "   month(o_orderdate) AS mes,"
+        "   md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),"
+        " f AS (SELECT ano, mes,"
+        f"   ('0x' || substr(h, 1, {HLL_B_HEX}))::INT AS bucket,"
+        f"   substr(h, {HLL_B_HEX + 1}, {HLL_RANK_HEX}) AS rh FROM h),"
+        " g AS (SELECT ano, mes, bucket, rh,"
+        "   regexp_replace(rh, '^0+', '') AS fd0 FROM f),"
+        f" r AS (SELECT ano, mes, bucket, {rank} AS r FROM g),"
+        " regs AS (SELECT ano, mes, bucket, max(r) AS mr FROM r"
+        "  GROUP BY 1, 2, 3),"
+        " pa AS (SELECT ano, bucket, max(mr) AS mr FROM regs GROUP BY 1, 2),"
+        " ta AS (SELECT CAST(NULL AS INT) AS ano, bucket, max(mr) AS mr"
+        "  FROM regs GROUP BY 2),"
+        " ea AS (SELECT ano,"
+        "   sum(CAST((1::BIGINT << (53 - mr)) AS DECIMAL(38,0))) AS s,"
+        "   count(*) AS nb FROM pa GROUP BY ano),"
+        " et AS (SELECT ano,"
+        "   sum(CAST((1::BIGINT << (53 - mr)) AS DECIMAL(38,0))) AS s,"
+        "   count(*) AS nb FROM ta GROUP BY ano)"
+        f" SELECT ano, {est} AS approx_clientes FROM ea"
+        f" UNION ALL SELECT ano, {est} AS approx_clientes FROM et"
+    )
+
+
 # ---------------------------------------------------------------- windows
 
 
@@ -1838,6 +1928,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_agg_stats": QueryDef(q_ext_agg_stats, _ORACLES["ext_agg_stats"]),
     "ext_approx": QueryDef(q_ext_approx, None),
     "ext_hll_sketch": QueryDef(q_ext_hll_sketch, None),
+    "ext_hll_md5": QueryDef(q_ext_hll_md5, _hll_md5_oracle()),
     "ext_topk": QueryDef(q_ext_topk, _ORACLES["ext_topk"]),
     "ext_window_running": QueryDef(
         q_ext_window_running, _ORACLES["ext_window_running"]
