@@ -525,11 +525,13 @@ def paragraph_near_dedup(
     tables carry (unit key, band idx, band val), candidate pairs are
     key pairs, only verified-candidate units re-hash shingles. The
     rebuild folds surviving units back with one doc-keyed aggregate
-    (ids + positions on the wire, unit text only in the final join).
+    (unit text crosses the wire once, in that rebuild shuffle).
     Unit keys pack as ``doc_id * 2^20 + paragraph_idx`` so the whole
     chain reuses the single-column machinery; the packing is exact for
-    doc_id < 2^43 and docs under 2^20 paragraphs (a 30 M-word doc) —
-    both asserted cheaply by the key construction staying a bigint.
+    0 ≤ doc_id < 2^43 and docs under 2^20 paragraphs (a 30 M-word
+    doc). Both bounds are ENFORCED in the key expression itself (a
+    raise_error branch — colliding packed keys would silently alias
+    units of neighboring documents and corrupt the dominance rule).
 
     Returns ``(id_col, text, n_paras)``; documents whose every
     paragraph was dominated disappear entirely."""
@@ -546,7 +548,27 @@ def paragraph_near_dedup(
             id_col,
             "pidx",
             "para",
-            (F.col(id_col) * (1 << 20) + F.col("pidx")).alias("pkey"),
+            # the raise lives INSIDE the used column so no optimizer
+            # pass can prune the bounds check away
+            F.when(
+                (F.col(id_col) < 0)
+                | (F.col(id_col) >= (1 << 43))
+                | (F.col("pidx") >= (1 << 20)),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "paragraph_near_dedup: packed key out of "
+                            "range (need 0 <= doc_id < 2^43 and "
+                            "paragraph_idx < 2^20), got doc_id="
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(" pidx="),
+                        F.col("pidx").cast("string"),
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(F.col(id_col) * (1 << 20) + F.col("pidx"))
+            .alias("pkey"),
         )
     )
     pairs = minhash_lsh_pairs(

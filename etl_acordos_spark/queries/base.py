@@ -184,14 +184,16 @@ def rotate_unchecked_first(
     driver-verified commit). A missing manifest degrades to the pure
     never-verified rotation.
     """
-    from etl_acordos_spark.queries.manifest import classify_changed
-
     oracle_keys = {
         name for name, qd in all_queries().items() if qd.oracle is not None
     }
     oracle_keys.add("flagship")
     green = driver_green_keys(oracle_keys)
     try:
+        # import inside the guard: a broken manifest module must degrade
+        # to the pure never-verified rotation, not fail the driver import
+        from etl_acordos_spark.queries.manifest import classify_changed
+
         seg_changed, dep_changed = classify_changed(keys)
     except Exception:  # never let rotation break the driver's import
         seg_changed, dep_changed = set(), set()

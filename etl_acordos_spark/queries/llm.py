@@ -167,8 +167,9 @@ def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`_dedup_near_oracle`): LSH is seeded-deterministic, not random,
     so the full pipeline is hash-checkable (round-7 promotion from
     rows-only; the CMS-sketch md5 precedent). The production
-    ``xxhash64`` family is pinned equivalent by
-    tests/test_operators.py::test_minhash_hash_families_agree."""
+    ``xxhash64`` family is pinned near-identical (identical verify
+    values; candidate sets may differ on borderline banding-zone pairs)
+    by tests/test_operators.py::test_minhash_hash_families_agree."""
     return minhash_lsh_pairs(
         t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
         "text",

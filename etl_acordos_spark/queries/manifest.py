@@ -240,11 +240,17 @@ class _Fingerprinter:
                 names.add(sub.id)
             elif isinstance(sub, ast.ImportFrom) and sub.module and sub.level == 0:
                 # function-local package import (the dominant style in
-                # queries/*.py bodies)
+                # queries/*.py bodies). Guard with `visited` like every
+                # other chase — mutually-local-importing functions would
+                # otherwise recurse without bound.
                 rel = _module_to_relpath(sub.module)
                 if rel:
                     target = self.module(rel)
                     for alias in sub.names:
+                        key = (rel, alias.name)
+                        if key in visited:
+                            continue
+                        visited.add(key)
                         if target is None:
                             filedeps.add(rel)
                         elif alias.name in target.symbols:
@@ -307,13 +313,19 @@ class _Fingerprinter:
         for sub in ast.walk(entry):
             if isinstance(sub, ast.Name):
                 names.add(sub.id)
-        # narrow dict-subscript oracles to the single entry
+        # narrow dict-subscript oracles to the single entry — but still
+        # chase every Name inside the narrowed value (an oracle built as
+        # _DUP_GRAPH_CTES + "..." must invalidate when the shared CTE
+        # constant changes; hashing only the segment text would not)
         if isinstance(entry, ast.Call):
             for arg in list(entry.args) + [kw.value for kw in entry.keywords]:
                 narrowed = self._oracle_value_node(mod, arg)
                 if narrowed is not arg:
                     segs.add((mod.relpath, "<oracle>", _sha(mod.segment(narrowed))))
                     names.discard(arg.value.id)  # type: ignore[union-attr]
+                    for sub in ast.walk(narrowed):
+                        if isinstance(sub, ast.Name):
+                            names.add(sub.id)
         self._chase_names(mod, names, segs, filedeps, visited)
         seg_hash = _sha("\n".join(f"{m}:{a}:{h}" for m, a, h in sorted(segs)))
         dep_parts = []

@@ -161,3 +161,31 @@ def test_refresh_updates_only_green_keys(tmp_path, monkeypatch) -> None:
     p = tmp_path / "CORRECTNESS_r42.json"
     p.write_text(json.dumps(rows))
     assert manifest._green_keys_in(str(p)) == {"ext_dedup_exact"}
+
+
+def test_shared_oracle_constant_edit_invalidates_consumers() -> None:
+    """Round-7 review regression: an oracle passed as `_ORACLES[...]`
+    whose dict value is (or concatenates) a shared module constant must
+    chase that constant — editing _DUP_GRAPH_CTES or _JACCARD_PAIRS has
+    to invalidate every key built on it, else a rewritten dup-graph
+    oracle ships green keys unverified (the exact hole this module
+    exists to close)."""
+    rel = "etl_acordos_spark/queries/llm.py"
+    src = open(os.path.join(REPO, rel), encoding="utf-8").read()
+    needle = '"WITH RECURSIVE s AS (SELECT doc_id,"'
+    assert src.count(needle) == 1, "oracle CTE anchor moved"
+    patched = src.replace(
+        needle, '"WITH RECURSIVE s AS (SELECT  doc_id,"', 1
+    )
+    before = manifest.compute_fingerprints(manifest.worktree_provider(REPO))
+    after = manifest.compute_fingerprints(_patched_provider({rel: patched}))
+    for key in ("ext_dedup_keep", "ext_dup_cluster_stats", "ext_leakage_split"):
+        assert before[key]["seg"] != after[key]["seg"], key
+    # and a bare-Name dict value chases too
+    needle2 = '" WHERE jaccard >= 0.9"'
+    assert src.count(needle2) == 1
+    patched2 = src.replace(
+        needle2, '" WHERE jaccard  >= 0.9"', 1
+    )
+    after2 = manifest.compute_fingerprints(_patched_provider({rel: patched2}))
+    assert before["ext_dedup_jaccard"]["seg"] != after2["ext_dedup_jaccard"]["seg"]

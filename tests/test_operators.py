@@ -52,11 +52,16 @@ def test_minhash_recall_vs_exact(spark, sf_oracle):
 
 def test_minhash_hash_families_agree(spark, sf_oracle):
     """The md5 family (what the hash-oracled registry key runs) and the
-    xxhash64 production family must verify the same near-dup pairs with
-    the same Jaccard values — the hash family is orthogonal to the
-    banding/bucketing/verify logic, so the DuckDB oracle on the md5
-    chain vouches for the production chain too (round-7 promotion of
-    ext_dedup_near from rows-only)."""
+    xxhash64 production family verify near-identical pair sets. The
+    VERIFY step is hash-independent (exact Jaccard over shingle sets),
+    but CANDIDATE generation is not: a pair whose Jaccard sits in the
+    16x4 banding S-curve's transition zone can be band-caught under one
+    family and missed under the other, so exact set equality is not
+    guaranteed by construction (currently both families find the
+    identical 25 pairs on this corpus; testdata regeneration could
+    legitimately add a borderline pair). Pin: >=90% pair-set agreement,
+    and IDENTICAL exact-Jaccard values on the intersection — a logic
+    bug (broken banding, wrong verify) lands far below both."""
     docs = t(spark, sf_oracle, "documents")
     xx = {
         (r.doc_a, r.doc_b): r.jaccard
@@ -69,7 +74,9 @@ def test_minhash_hash_families_agree(spark, sf_oracle):
         ).collect()
     }
     assert xx, "expected near-dup pairs in the corpus"
-    assert xx == md
+    both = set(xx) & set(md)
+    assert len(both) / len(set(xx) | set(md)) >= 0.90
+    assert all(xx[k] == md[k] for k in both), "verify values diverge"
 
 
 def test_simhash_finds_near_identical_docs(spark, sf_oracle):

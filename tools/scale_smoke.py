@@ -61,17 +61,38 @@ DEFAULT_KEYS = [
     "ext_lm_bigram",
 ]
 
-#: per-table key columns to offset per copy (key + copy * (max+1));
-#: region/nation are fixed dims and are copied verbatim (not tiled)
+#: per-table key columns to offset per copy, each mapped to the KEY
+#: FAMILY whose stride it must share. Foreign keys take the REFERENCED
+#: table's PK stride — offsetting o_custkey by max(o_custkey)+1 while
+#: c_custkey uses max(c_custkey)+1 would mis-join every copy whenever a
+#: dimension's max key goes unreferenced by the fact (spec TPC-H: every
+#: third custkey places no orders, so the two maxes differ by 1 and
+#: copy>=1 orders join the WRONG customer). region/nation are fixed
+#: dims, copied verbatim (not tiled).
 KEYED = {
-    "customer": ["c_custkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "part": ["p_partkey"],
-    "supplier": ["s_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "customer": {"c_custkey": "custkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "part": {"p_partkey": "partkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "events": {"event_id": "eventkey", "user_id": "userkey"},
+    "documents": {"doc_id": "dockey"},
+    "embeddings": {"vec_id": "veckey"},
+}
+#: key family -> (owning table, PK column) the stride is computed from
+FAMILY_PK = {
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "eventkey": ("events", "event_id"),
+    "userkey": ("events", "user_id"),
+    "dockey": ("documents", "doc_id"),
+    "veckey": ("embeddings", "vec_id"),
 }
 FIXED_DIMS = ["region", "nation"]
 
@@ -80,7 +101,11 @@ def build_scaled_dir(spark) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    stamp = os.path.join(OUT_DIR, f"_built_{COPIES}x")
+    # v2: FK offsets share the referenced PK's stride (a v1 dir built
+    # with per-table maxes would mis-join if dimension maxes were
+    # unreferenced by the fact; this repo's testdata happens to align,
+    # so the recorded v1 exponents stand)
+    stamp = os.path.join(OUT_DIR, f"_built_{COPIES}x_v2")
     if os.path.exists(stamp):
         return
     copies = spark.range(COPIES).select(F.col("id").alias("_copy"))
@@ -88,14 +113,17 @@ def build_scaled_dir(spark) -> None:
         spark.read.parquet(os.path.join(SRC_DIR, f"{name}.parquet")).write.mode(
             "overwrite"
         ).parquet(os.path.join(OUT_DIR, f"{name}.parquet"))
+    strides = {}
+    for family, (owner, pk) in FAMILY_PK.items():
+        df = spark.read.parquet(os.path.join(SRC_DIR, f"{owner}.parquet"))
+        strides[family] = int(df.agg(F.max(pk)).head()[0]) + 1
     for name, keys in KEYED.items():
         df = spark.read.parquet(os.path.join(SRC_DIR, f"{name}.parquet"))
-        offsets = {
-            k: int(df.agg(F.max(k)).head()[0]) + 1 for k in keys
-        }
         tiled = df.crossJoin(F.broadcast(copies))
-        for k, off in offsets.items():
-            tiled = tiled.withColumn(k, F.col(k) + F.col("_copy") * off)
+        for k, family in keys.items():
+            tiled = tiled.withColumn(
+                k, F.col(k) + F.col("_copy") * strides[family]
+            )
         if name == "embeddings":
             # jittered copies: near but not bit-equal (test_scale_paths
             # convention) so ANN/dedup structure stays realistic
