@@ -67,6 +67,7 @@ EXCLUDED: dict[str, str] = {
     "ext_stream_dedup_index": "store maintenance; batch dedup benched",
     "ext_stream_ann_index": "store maintenance; batch IVF benched",
     "ext_stream_cms": "store maintenance; batch CMS benched",
+    "ext_stream_hll": "store maintenance; batch HLL (ext_hll_md5) benched",
 }
 
 # Heavy/representative subset of the §2 registry: star join, hash agg,

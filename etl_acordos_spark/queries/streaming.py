@@ -21,6 +21,7 @@ from etl_acordos_spark.streaming.events import (
     stateful_user_totals,
     stream_events,
     streaming_cms_run,
+    streaming_hll_run,
     windowed_stream_agg,
 )
 
@@ -76,6 +77,46 @@ def q_ext_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_report(
         vals, cells, depth=4, width_hex=3, k=30
     ).withColumnRenamed("v", "word")
+
+
+def q_ext_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog register store: (year, month, custkey)
+    order rows delivered as 4 microbatches, each batch's md5-HLL
+    registers landed in per-batch delta dirs and max-merged into the
+    settled store (streaming/events.py:streaming_hll_run); the settled
+    registers feed the same per-year + grand-total estimate rollup as
+    ext_hll_md5. Max-mergeability makes the streamed registers equal
+    the batch build bit-for-bit, so this streaming key carries the
+    batch key's FULL hash oracle — streaming STATE hash-checked, the
+    ext_stream_cms pattern with idempotent (not just additive) merge."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.relational import hll_md5_estimate
+    from etl_acordos_spark.queries.base import t
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("ano"),
+        F.month("o_orderdate").alias("mes"),
+        "o_custkey",
+    )
+    regs = streaming_hll_run(
+        spark, orders, ["ano", "mes"], "o_custkey", scratch_dir()
+    )
+    per_ano = hll_md5_estimate(
+        regs.groupBy("ano", "bucket").agg(F.max("mr").alias("mr")),
+        ["ano"],
+    )
+    total = hll_md5_estimate(
+        regs.groupBy("bucket")
+        .agg(F.max("mr").alias("mr"))
+        .withColumn("ano", F.lit(None).cast("int")),
+        ["ano"],
+    )
+    return (
+        per_ano.unionByName(total)
+        .withColumnRenamed("approx_distinct", "approx_clientes")
+        .orderBy(F.col("ano").asc_nulls_last())
+    )
 
 
 def q_ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,6 +335,15 @@ def _anomaly_oracle() -> str:
     return _ANOMALY_ORACLE
 
 
+def _stream_hll_oracle() -> str:
+    """The ext_hll_md5 oracle verbatim: register max-mergeability makes
+    the streamed store equal the batch build bit-for-bit (pinned by the
+    fold-equality test in tests/test_streaming.py)."""
+    from etl_acordos_spark.queries.relational import _hll_md5_oracle
+
+    return _hll_md5_oracle()
+
+
 def _stream_cms_oracle() -> str:
     """The ext_cms_sketch oracle verbatim: CMS cell additivity makes
     the streamed store equal the batch build bit-for-bit (pinned by
@@ -322,4 +372,5 @@ QUERIES: dict[str, QueryDef] = {
     # on a streaming key (the others above are batch-SQL-of-the-input;
     # this one hash-checks maintained streaming STATE)
     "ext_stream_cms": QueryDef(q_ext_stream_cms, _stream_cms_oracle()),
+    "ext_stream_hll": QueryDef(q_ext_stream_hll, _stream_hll_oracle()),
 }

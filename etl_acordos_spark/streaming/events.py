@@ -473,3 +473,80 @@ def streaming_cms_run(
         .groupBy("salt", "bucket")
         .agg(F.sum("cell_n").cast("bigint").alias("cell_n"))
     )
+
+
+def streaming_hll_run(
+    spark: SparkSession,
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    base_dir: str,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Streaming HyperLogLog register maintenance (foreachBatch): the
+    keyed value stream, delivered as *n_batches* microbatches, lands
+    each batch's (group, bucket, max-rank) registers in its own
+    ``b{batch_id}`` delta subdirectory with an idempotent per-batch
+    overwrite; the settled store is the max-per-(group, bucket) merge
+    over all delta dirs — the always-on distinct-count sketch a
+    streaming pipeline keeps next to its ingest.
+
+    HLL registers are MAX-mergeable, so the settled store is
+    bit-identical to a batch `hll_md5_registers` build over the full
+    stream no matter how rows were split across batches — the same
+    property that makes `streaming_cms_run` fully hash-oracle-able
+    (there by additivity, here by max-idempotence, which additionally
+    makes even a DOUBLE-counted replay harmless; the per-batch delta
+    dirs are kept anyway so a partial crash-write never corrupts
+    earlier batches). State is O(n_batches · |groups| · 4096) rows,
+    input-size-independent. A long-running stream compacts old delta
+    dirs into one by the same max-merge — lossless at any time."""
+    import os
+    import shutil
+
+    from etl_acordos_spark.operators.relational import hll_md5_registers
+
+    run_ns = os.path.join(base_dir, f"stream_hll_{os.getpid()}")
+    src = os.path.join(run_ns, "src")
+    store = os.path.join(run_ns, "regs")
+    ckpt = os.path.join(run_ns, "ckpt")
+    shutil.rmtree(run_ns, ignore_errors=True)
+    os.makedirs(store)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(4, spark.sparkContext.defaultParallelism)),
+        )
+        cols = [*group_cols, value_col]
+        df.select(*cols).repartition(n_batches).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def write_delta(batch: DataFrame, batch_id: int) -> None:
+            hll_md5_registers(
+                batch.filter(F.col(value_col).isNotNull()),
+                group_cols,
+                value_col,
+            ).write.mode("overwrite").parquet(
+                os.path.join(store, f"b{batch_id:05d}")
+            )
+
+        (
+            stream.writeStream.foreachBatch(write_delta)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.parquet(os.path.join(store, "b*"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("mr").alias("mr"))
+    )

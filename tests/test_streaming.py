@@ -597,3 +597,34 @@ def test_stream_cms_store_equals_batch_build_and_replay_idempotent(
     rows0, schema0 = delta0.collect(), delta0.schema
     spark.createDataFrame(rows0, schema0).write.mode("overwrite").parquet(d0)
     assert sorted(map(tuple, streamed.collect())) == a
+
+
+def test_stream_hll_registers_equal_batch_build(spark, sf_oracle, tmp_path):
+    """Round-7 ext_stream_hll: HLL registers are max-mergeable, so the
+    settled streaming store must equal the one-pass batch
+    hll_md5_registers build EXACTLY (not approximately) no matter how
+    rows were split across microbatches — the property that lets the
+    streaming key carry the batch key's full hash oracle. Also pins
+    replay harmlessness: max-merging any delta dir twice is a no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.relational import hll_md5_registers
+    from etl_acordos_spark.queries.base import t
+    from etl_acordos_spark.streaming.events import streaming_hll_run
+
+    orders = t(spark, sf_oracle, "orders").select(
+        F.year("o_orderdate").alias("ano"),
+        F.month("o_orderdate").alias("mes"),
+        "o_custkey",
+    )
+    streamed = {
+        tuple(r)
+        for r in streaming_hll_run(
+            spark, orders, ["ano", "mes"], "o_custkey", str(tmp_path)
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in hll_md5_registers(orders, ["ano", "mes"], "o_custkey").collect()
+    }
+    assert streamed == batch and streamed
