@@ -609,6 +609,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Dedup an incoming batch against an existing corpus — the
     production ingest shape: yesterday's N-billion-doc corpus is already
@@ -644,10 +645,10 @@ def incremental_minhash_dedup(
     the other side.
     """
     c_bands = minhash_bands(
-        corpus, text_col, id_col, num_perm, bands, shingle_n
+        corpus, text_col, id_col, num_perm, bands, shingle_n, hash_fn=hash_fn
     )
     b_bands = minhash_bands(
-        batch, text_col, id_col, num_perm, bands, shingle_n
+        batch, text_col, id_col, num_perm, bands, shingle_n, hash_fn=hash_fn
     )
     return dedup_batch_against(
         batch,
@@ -659,6 +660,7 @@ def incremental_minhash_dedup(
         threshold=threshold,
         shingle_n=shingle_n,
         max_bucket_size=max_bucket_size,
+        hash_fn=hash_fn,
     )
 
 
@@ -674,6 +676,7 @@ def dedup_batch_against(
     max_bucket_size: int = 1000,
     c_bucket_counts: DataFrame | None = None,
     reusable: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Probe core shared by `incremental_minhash_dedup` (which computes
     the corpus band table on the fly) and the streaming index pipeline
@@ -787,12 +790,14 @@ def dedup_batch_against(
         text_col,
         id_col,
         shingle_n,
+        hash_fn,
     )
     b_sets = shingle_sets(
         batch.join(b_ids_needed, [id_col], "left_semi"),
         text_col,
         id_col,
         shingle_n,
+        hash_fn,
     )
     b_sets = (
         b_sets.cache() if reusable else b_sets.localCheckpoint(eager=False)

@@ -887,6 +887,56 @@ _COSINE = (
 )
 
 
+def _minhash_perms_cte(num_perm: int = 64) -> str:
+    """The shared Carter-Wegman permutation constants as one CTE —
+    SAME seed and sequence as operators/dedup.py:minhash_bands."""
+    import random as _random
+
+    p = (1 << 31) - 1
+    rng = _random.Random(0x5EED)
+    mult = [rng.randrange(1, p) for _ in range(num_perm)]
+    add = [rng.randrange(0, p) for _ in range(num_perm)]
+    return (
+        f" perms AS (SELECT unnest([{', '.join(map(str, mult))}]) AS pa,"
+        f"   unnest([{', '.join(map(str, add))}]) AS pb,"
+        f"   unnest(range({num_perm})) AS perm)"
+    )
+
+
+def _minhash_md5_units(
+    suffix: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> str:
+    """Per-side md5 MinHash CTEs from a unit table ``u{suffix}(doc,
+    utext)`` (requires the shared ``perms`` CTE): emits
+    ``bandv{suffix}(doc, band_idx, band_val)`` and
+    ``hset{suffix}(doc, hs)``. Two-sided consumers
+    (ext_dedup_incremental) instantiate one set per side; the
+    single-table chain builds on suffix ''."""
+    p = (1 << 31) - 1
+    rows = num_perm // bands
+    s = suffix
+    return (
+        f" tok{s} AS (SELECT doc, string_split(utext, ' ') AS tok FROM u{s}),"
+        f" sh{s} AS (SELECT doc, list_distinct(CASE WHEN len(tok) >= {shingle_n}"
+        f"   THEN list_transform(range(1, len(tok) - {shingle_n - 2}),"
+        f"     i -> array_to_string(tok[i:i+{shingle_n - 1}], ' '))"
+        f"   ELSE [array_to_string(tok, ' ')] END) AS shs FROM tok{s}),"
+        f" hs{s} AS (SELECT doc,"
+        "   ('0x' || substr(md5(x), 1, 15))::BIGINT AS h"
+        f"  FROM sh{s}, unnest(shs) AS un(x)),"
+        f" sig{s} AS (SELECT doc, perm, min((pa * (h % {p}) + pb) % {p}) AS s"
+        f"  FROM hs{s} CROSS JOIN perms GROUP BY doc, perm),"
+        f" bandv{s} AS (SELECT doc, CAST(perm // {rows} AS INT) AS band_idx,"
+        "   array_to_string(list(CAST(s AS VARCHAR) ORDER BY perm), ',')"
+        f"    AS band_val FROM sig{s} GROUP BY doc, perm // {rows}),"
+        f" hset{s} AS (SELECT doc, list_distinct(list(h)) AS hs FROM hs{s}"
+        "  GROUP BY doc)"
+    )
+
+
 def _minhash_md5_ctes(
     num_perm: int = 64,
     bands: int = 16,
@@ -915,38 +965,17 @@ def _minhash_md5_ctes(
     word-window paragraphs for `ext_dedup_para`) and select off
     ``pairsq``. Depth: the oracle materializes per-(doc, perm) minima
     relationally — fine at verification scale, which is the point."""
-    import random as _random
-
-    p = (1 << 31) - 1
-    rng = _random.Random(0x5EED)
-    mult = [rng.randrange(1, p) for _ in range(num_perm)]
-    add = [rng.randrange(0, p) for _ in range(num_perm)]
-    rows = num_perm // bands
     return (
-        " tok AS (SELECT doc, string_split(utext, ' ') AS tok FROM u),"
-        f" sh AS (SELECT doc, list_distinct(CASE WHEN len(tok) >= {shingle_n}"
-        f"   THEN list_transform(range(1, len(tok) - {shingle_n - 2}),"
-        f"     i -> array_to_string(tok[i:i+{shingle_n - 1}], ' '))"
-        "   ELSE [array_to_string(tok, ' ')] END) AS shs FROM tok),"
-        " hs AS (SELECT doc,"
-        "   ('0x' || substr(md5(s), 1, 15))::BIGINT AS h"
-        "  FROM sh, unnest(shs) AS un(s)),"
-        f" perms AS (SELECT unnest([{', '.join(map(str, mult))}]) AS pa,"
-        f"   unnest([{', '.join(map(str, add))}]) AS pb,"
-        f"   unnest(range({num_perm})) AS perm),"
-        f" sig AS (SELECT doc, perm, min((pa * (h % {p}) + pb) % {p}) AS s"
-        "  FROM hs CROSS JOIN perms GROUP BY doc, perm),"
-        f" bandv AS (SELECT doc, CAST(perm // {rows} AS INT) AS band_idx,"
-        "   array_to_string(list(CAST(s AS VARCHAR) ORDER BY perm), ',')"
-        f"    AS band_val FROM sig GROUP BY doc, perm // {rows}),"
+        _minhash_perms_cte(num_perm)
+        + ","
+        + _minhash_md5_units("", num_perm, bands, shingle_n)
+        + ","
         " ok AS (SELECT band_idx, band_val FROM bandv"
         f"  GROUP BY 1, 2 HAVING count(*) <= {max_bucket_size}),"
         " ent AS (SELECT b.* FROM bandv b JOIN ok USING (band_idx, band_val)),"
         " cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b"
         "  FROM ent a JOIN ent b ON a.band_idx = b.band_idx"
         "   AND a.band_val = b.band_val AND a.doc < b.doc),"
-        " hset AS (SELECT doc, list_distinct(list(h)) AS hs FROM hs"
-        "  GROUP BY doc),"
         " pairsq AS (SELECT doc_a, doc_b, jaccard FROM ("
         "  SELECT c.doc_a, c.doc_b,"
         "   round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"

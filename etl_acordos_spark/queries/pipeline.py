@@ -349,17 +349,70 @@ def q_ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming batch, the rest the already-deduplicated corpus; returns
     the batch docs that are near-duplicates of neither a corpus doc nor
     a lower-id batch doc (MinHash-LSH probe — corpus never self-joins).
-    Rows-only by design (seeded xxhash64 banding has no SQL twin);
-    keep-first semantics are unit-pinned with exact-duplicate fixtures."""
+    Runs the md5 hash family so the whole probe — both sides' seeded
+    band tables, the COMBINED bucket cap, the side-marked candidate
+    union, the exact-Jaccard dominance verify — is replayed verbatim by
+    the DuckDB oracle (round-7 promotion from rows-only; fold
+    equivalence vs the streaming index remains unit-pinned)."""
     from etl_acordos_spark.operators.dedup import incremental_minhash_dedup
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return incremental_minhash_dedup(
         corpus=docs.filter(F.col("doc_id") % 5 != 0),
         batch=docs.filter(F.col("doc_id") % 5 == 0),
         text_col="text",
         id_col="doc_id",
         threshold=0.5,
+        hash_fn="md5",
+    )
+
+
+def _dedup_incremental_oracle() -> str:
+    """Exact DuckDB twin of q_ext_dedup_incremental
+    (operators/dedup.py:dedup_batch_against, md5 family): two unit
+    tables (corpus uc / batch ub) through the shared md5 MinHash side
+    CTEs, bucket cap on the COMBINED population, batch×corpus plus
+    lower-id batch×batch candidates with side markers, unrounded
+    Jaccard ≥ 0.5 dominance, anti-joined survivors."""
+    from etl_acordos_spark.queries.llm import (
+        _minhash_md5_units,
+        _minhash_perms_cte,
+    )
+
+    return (
+        "WITH uc AS (SELECT doc_id AS doc, text AS utext FROM documents"
+        "  WHERE doc_id % 5 <> 0 AND text IS NOT NULL),"
+        " ub AS (SELECT doc_id AS doc, text AS utext FROM documents"
+        "  WHERE doc_id % 5 = 0 AND text IS NOT NULL),"
+        + _minhash_perms_cte()
+        + ","
+        + _minhash_md5_units("c")
+        + ","
+        + _minhash_md5_units("b")
+        + ","
+        " ok AS (SELECT band_idx, band_val FROM ("
+        "   SELECT band_idx, band_val FROM bandvc"
+        "   UNION ALL SELECT band_idx, band_val FROM bandvb)"
+        "  GROUP BY 1, 2 HAVING count(*) <= 1000),"
+        " ec AS (SELECT b.* FROM bandvc b JOIN ok USING (band_idx, band_val)),"
+        " eb AS (SELECT b.* FROM bandvb b JOIN ok USING (band_idx, band_val)),"
+        " cand AS ("
+        "  SELECT DISTINCT n.doc AS doc_new, o.doc AS doc_old, 'c' AS side"
+        "   FROM eb n JOIN ec o ON n.band_idx = o.band_idx"
+        "    AND n.band_val = o.band_val"
+        "  UNION"
+        "  SELECT DISTINCT n.doc AS doc_new, o.doc AS doc_old, 'b' AS side"
+        "   FROM eb n JOIN eb o ON n.band_idx = o.band_idx"
+        "    AND n.band_val = o.band_val AND o.doc < n.doc),"
+        " older AS (SELECT doc, hs, 'c' AS side FROM hsetc"
+        "  UNION ALL SELECT doc, hs, 'b' AS side FROM hsetb),"
+        " dominated AS (SELECT DISTINCT c.doc_new AS doc"
+        "  FROM cand c JOIN hsetb n ON c.doc_new = n.doc"
+        "   JOIN older o ON c.doc_old = o.doc AND c.side = o.side"
+        "  WHERE CAST(len(list_intersect(n.hs, o.hs)) AS DOUBLE)"
+        "    / len(list_distinct(n.hs || o.hs)) >= 0.5)"
+        " SELECT b.doc AS doc_id FROM ub b"
+        " WHERE NOT EXISTS (SELECT 1 FROM dominated d WHERE d.doc = b.doc)"
     )
 
 
@@ -795,7 +848,9 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_passage_dedup, _ORACLES["ext_passage_dedup"]
     ),
     "ext_bloom_decontam": QueryDef(q_ext_bloom_decontam, None),
-    "ext_dedup_incremental": QueryDef(q_ext_dedup_incremental, None),
+    "ext_dedup_incremental": QueryDef(
+        q_ext_dedup_incremental, _dedup_incremental_oracle()
+    ),
     "ext_quality_filter": QueryDef(
         q_ext_quality_filter, _ORACLES["ext_quality_filter"]
     ),

@@ -2658,3 +2658,27 @@ def test_hll_md5_merge_property_and_error(spark, sf_oracle):
     ).collect()[0]["approx_distinct"]
     exact = orders.select("o_custkey").distinct().count()
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_incremental_dedup_hash_families_agree(spark, sf_oracle):
+    """md5 (oracle family, ext_dedup_incremental registry key) and
+    xxhash64 (production family) incremental dedup keep near-identical
+    survivor sets — the verify step is hash-independent; only
+    borderline banding-zone candidates can differ (the
+    minhash_lsh_pairs precedent). Pin: >=95% survivor agreement."""
+    from etl_acordos_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = t(spark, sf_oracle, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    out = {}
+    for fam in ("xxhash64", "md5"):
+        out[fam] = {
+            r.doc_id
+            for r in incremental_minhash_dedup(
+                corpus, batch, "text", "doc_id", threshold=0.5, hash_fn=fam
+            ).collect()
+        }
+    assert out["md5"] and out["xxhash64"]
+    agree = len(out["md5"] & out["xxhash64"]) / len(out["md5"] | out["xxhash64"])
+    assert agree >= 0.95, f"families diverge beyond hash luck: {agree:.3f}"
