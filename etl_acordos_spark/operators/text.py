@@ -930,10 +930,11 @@ def bloom_decontaminate(
     ngram: int = 4,
     m_bits: int = 1 << 22,
     k_hashes: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Constant-memory benchmark decontamination: the eval set's word
     *ngram*-grams are folded into an *m_bits* Bloom filter (k_hashes
-    seeded xxhash64 probes per gram) and every training document is
+    seeded hash probes per gram) and every training document is
     flagged with the count of its distinct grams the filter claims to
     contain. Output: (id, n_bloom_hits) for flagged docs only — a
     superset of the exact `decontaminate` hit set (false positives at
@@ -967,16 +968,28 @@ def bloom_decontaminate(
             F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
         )
         return tok.select(
-            id_col, hashed_word_shingles("tok", ngram).alias("gs")
+            id_col,
+            hashed_word_shingles("tok", ngram, hash_fn=hash_fn).alias("gs"),
         )
 
     # k positions per gram in ONE pass: seeds come from sequence() and
-    # each xxhash64 is evaluated once per (gram, seed) — positions are
-    # lambda-bound values downstream, never recomputed
-    pos_expr = (
-        f"transform(sequence(0, {k_hashes - 1}),"
-        f" s -> pmod(xxhash64(g, s), {m}))"
-    )
+    # each hash is evaluated once per (gram, seed) — positions are
+    # lambda-bound values downstream, never recomputed. The md5 family
+    # derives positions from md5("s:gram-hash") hex (32 bits mod m) so
+    # the DuckDB oracle replays build AND probe bit-for-bit
+    # (ext_bloom_decontam's round-7 promotion); xxhash64 stays the
+    # production default (JVM-side, no string round-trip).
+    if hash_fn == "md5":
+        pos_expr = (
+            f"transform(sequence(0, {k_hashes - 1}),"
+            " s -> pmod(cast(conv(substr(md5(concat(cast(s as string),"
+            f" ':', cast(g as string))), 1, 8), 16, 10) as bigint), {m}))"
+        )
+    else:
+        pos_expr = (
+            f"transform(sequence(0, {k_hashes - 1}),"
+            f" s -> pmod(xxhash64(g, s), {m}))"
+        )
 
     # DISTRIBUTED bitset build: positions fold into 64-bit words with
     # `bit_or` on the executors, so the driver collects at most m/64

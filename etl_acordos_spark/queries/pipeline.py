@@ -327,20 +327,71 @@ def q_ext_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (constant-memory variant of
     ext_decontaminate, same eval split): eval 4-grams folded into a
-    fixed 512 KiB bitset, training docs flagged via pure-Catalyst bit
-    probes. Rows-only check by design — the hit set is a deterministic
-    superset of the exact path's (false-positive rate ~(k·n/m)^k), and
-    tests/test_operators.py pins superset + FP-bound against the exact
-    operator."""
+    fixed 512 KiB bitset, training docs flagged via vectorized bit
+    probes. Runs the md5 hash family so the DuckDB oracle replays the
+    ENTIRE filter — gram hashes, the k seeded probe positions, the
+    inserted-position set, and the all-k-positions-hit membership test
+    (a Bloom filter's verdict is a pure function of its hash family,
+    so false positives reproduce identically) — round-7 promotion from
+    rows-only; the superset + FP-bound pins vs the exact operator stay
+    in tests/test_operators.py."""
     from etl_acordos_spark.operators.text import bloom_decontaminate
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return bloom_decontaminate(
         train=docs.filter(F.col("doc_id") % 50 != 0),
         eval_docs=docs.filter(F.col("doc_id") % 50 == 0),
         text_col="text",
         id_col="doc_id",
         ngram=4,
+        hash_fn="md5",
+    )
+
+
+def _bloom_decontam_oracle(
+    ngram: int = 4, m_bits: int = 1 << 22, k_hashes: int = 3
+) -> str:
+    """Exact DuckDB twin of q_ext_bloom_decontam's md5-family Bloom
+    filter: the inserted-position SET stands in for the bitset (bit
+    membership ≡ set membership), gram hashes and probe positions use
+    the identical md5 hex math, and a train gram "hits" iff ALL k of
+    its positions were inserted — reproducing the engine's false
+    positives exactly, not just its true hits."""
+    gram_hash = "('0x' || substr(md5(gtxt), 1, 15))::BIGINT"
+    pos = (
+        "('0x' || substr(md5(CAST(s AS VARCHAR) || ':'"
+        f" || CAST(g AS VARCHAR)), 1, 8))::BIGINT % {m_bits}"
+    )
+    grams = (
+        "SELECT doc_id, list_distinct(CASE WHEN len(tok) >= {n}"
+        "   THEN list_transform(range(1, len(tok) - {nm2}),"
+        "     i -> array_to_string(tok[i:i+{nm1}], ' '))"
+        "   ELSE [array_to_string(tok, ' ')] END) AS gs"
+        " FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM {src})"
+    ).format(n=ngram, nm2=ngram - 2, nm1=ngram - 1, src="{src}")
+    return (
+        "WITH ev AS (SELECT * FROM documents"
+        "  WHERE doc_id % 50 = 0 AND text IS NOT NULL),"
+        " tr AS (SELECT * FROM documents"
+        "  WHERE doc_id % 50 <> 0 AND text IS NOT NULL),"
+        f" eg AS ({grams.format(src='ev')}),"
+        f" tg AS ({grams.format(src='tr')}),"
+        f" eh AS (SELECT DISTINCT {gram_hash} AS g"
+        "  FROM eg, unnest(gs) AS u(gtxt)),"
+        " inserted AS (SELECT DISTINCT"
+        f"   {pos} AS p"
+        f"  FROM eh, unnest(range({k_hashes})) AS t(s)),"
+        f" th AS (SELECT doc_id, {gram_hash} AS g"
+        "  FROM tg, unnest(gs) AS u(gtxt)),"
+        " probes AS (SELECT doc_id, g, s,"
+        f"   {pos} AS p"
+        f"  FROM th, unnest(range({k_hashes})) AS t(s)),"
+        " gram_hits AS (SELECT doc_id, g,"
+        "   bool_and(p IN (SELECT p FROM inserted)) AS hit"
+        "  FROM probes GROUP BY doc_id, g)"
+        " SELECT doc_id, CAST(count(*) FILTER (hit) AS INT)"
+        "   AS n_bloom_hits"
+        " FROM gram_hits GROUP BY doc_id HAVING count(*) FILTER (hit) > 0"
     )
 
 
@@ -847,7 +898,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_passage_dedup": QueryDef(
         q_ext_passage_dedup, _ORACLES["ext_passage_dedup"]
     ),
-    "ext_bloom_decontam": QueryDef(q_ext_bloom_decontam, None),
+    "ext_bloom_decontam": QueryDef(
+        q_ext_bloom_decontam, _bloom_decontam_oracle()
+    ),
     "ext_dedup_incremental": QueryDef(
         q_ext_dedup_incremental, _dedup_incremental_oracle()
     ),

@@ -3,6 +3,8 @@ plumbing determinism, semantic edges of the cleaning functions."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_acordos_spark.functions.cleaning import (
@@ -682,12 +684,17 @@ def test_passage_dedup_first_occurrence_order(spark):
     assert [(r["doc_id"], r["n_passages"]) for r in got] == [(2, 1)]
 
 
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
 def test_bloom_decontaminate_superset_of_exact_with_bounded_fp(
-    spark, sf_oracle
+    spark, sf_oracle, hash_fn
 ):
     """Bloom hits must include every exact hit with hit counts >= the
     exact shared-gram counts (zero false negatives); false positives
-    are bounded far below the corpus size at the default sizing."""
+    are bounded far below the corpus size at the default sizing. Both
+    hash families: xxhash64 (production default) and md5 (what the
+    hash-oracled registry key runs — its false positives reproduce
+    identically in DuckDB, but the no-FN property must hold for any
+    family)."""
     from pyspark.sql import functions as F
 
     from etl_acordos_spark.operators.text import (
@@ -705,7 +712,7 @@ def test_bloom_decontaminate_superset_of_exact_with_bounded_fp(
     bloom = {
         r["doc_id"]: r["n_bloom_hits"]
         for r in bloom_decontaminate(
-            train, ev, "text", "doc_id", ngram=4
+            train, ev, "text", "doc_id", ngram=4, hash_fn=hash_fn
         ).collect()
     }
     assert set(exact) <= set(bloom), "bloom missed an exact hit (FN)"
