@@ -334,6 +334,7 @@ def test_ann_recall_floors_at_20x_scale(spark):
         ann_topk_lsh,
         exact_topk,
         ivf_topk,
+        ivfpq_topk,
         pq_topk,
     )
 
@@ -365,10 +366,18 @@ def test_ann_recall_floors_at_20x_scale(spark):
             r["vec_id"]
             for r in pq_topk(vecs, query_id=0, k=10, refine=16).collect()
         }
-        # measured on this corpus: ivf 10/10, lsh 4/10, pq 10/10
+        ivfpq = {
+            r["vec_id"]
+            for r in ivfpq_topk(
+                vecs, query_id=0, k=10, n_lists=32, n_probe=8, refine=16
+            ).collect()
+        }
+        # measured on this corpus: ivf 10/10, lsh 4/10, pq 10/10,
+        # ivfpq 10/10
         assert len(exact & ivf) >= 7, f"ivf recall {len(exact & ivf)}/10"
         assert len(exact & lsh) >= 3, f"lsh recall {len(exact & lsh)}/10"
         assert len(exact & pq) >= 7, f"pq recall {len(exact & pq)}/10"
+        assert len(exact & ivfpq) >= 7, f"ivfpq recall {len(exact & ivfpq)}/10"
     finally:
         vecs.unpersist()
 
