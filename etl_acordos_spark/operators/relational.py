@@ -603,7 +603,12 @@ def hll_md5_registers(
     Datasketches key, now with a closed form DuckDB replays exactly).
     Scale shape: one map-side md5 + string ops per row, then a single
     map-side-combinable max aggregate on (group, bucket) — the shuffle
-    carries at most |groups|·4096 rows regardless of input size."""
+    carries at most |groups|·4096 rows regardless of input size.
+
+    NULL values are dropped (COUNT DISTINCT semantics: NULL is not an
+    element) — also what keeps the streamed twin `streaming_hll_run`,
+    which filters NULLs per microbatch, bit-identical to this batch
+    build on null-bearing input."""
     rank_expr = (
         f"CASE WHEN rh = repeat('0', {HLL_RANK_HEX}) THEN 53"
         f" ELSE 4 * ({HLL_RANK_HEX} - length(fd0))"
@@ -613,7 +618,8 @@ def hll_md5_registers(
         "         ELSE 0 END + 1 END"
     )
     return (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             *group_cols,
             F.md5(F.col(value_col).cast("string")).alias("_h"),
         )
@@ -661,6 +667,32 @@ def hll_md5_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
         f" ELSE {raw} END * 10000 + 0.5) / 10000 as double)"
     )
     return agg.select(*group_cols, F.expr(est).alias("approx_distinct"))
+
+
+def hll_md5_year_rollup(
+    regs: DataFrame, year_col: str = "ano", out_col: str = "approx_clientes"
+) -> DataFrame:
+    """Per-year + grand-total estimates from a (year, …, bucket, mr)
+    register table — the ONE rollup shared by the batch key
+    (ext_hll_md5) and the streaming store key (ext_stream_hll), which
+    carries the batch key's SQL oracle verbatim: a single
+    implementation is what keeps that shared-oracle contract from
+    drifting (the cms_report precedent)."""
+    per = hll_md5_estimate(
+        regs.groupBy(year_col, "bucket").agg(F.max("mr").alias("mr")),
+        [year_col],
+    )
+    total = hll_md5_estimate(
+        regs.groupBy("bucket")
+        .agg(F.max("mr").alias("mr"))
+        .withColumn(year_col, F.lit(None).cast("int")),
+        [year_col],
+    )
+    return (
+        per.unionByName(total)
+        .withColumnRenamed("approx_distinct", out_col)
+        .orderBy(F.col(year_col).asc_nulls_last())
+    )
 
 
 def cms_accuracy(

@@ -395,8 +395,8 @@ def q_ext_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle replays the whole sketch bit-for-bit. Accuracy
     vs exact is ~0.1–1.7% at m=4096 (unit-tested bound)."""
     from etl_acordos_spark.operators.relational import (
-        hll_md5_estimate,
         hll_md5_registers,
+        hll_md5_year_rollup,
     )
 
     orders = t(spark, sf_dir, "orders").select(
@@ -405,21 +405,7 @@ def q_ext_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
     )
     regs = hll_md5_registers(orders, ["ano", "mes"], "o_custkey")
-    per_ano = hll_md5_estimate(
-        regs.groupBy("ano", "bucket").agg(F.max("mr").alias("mr")),
-        ["ano"],
-    )
-    total = hll_md5_estimate(
-        regs.groupBy("bucket")
-        .agg(F.max("mr").alias("mr"))
-        .withColumn("ano", F.lit(None).cast("int")),
-        ["ano"],
-    )
-    return (
-        per_ano.unionByName(total)
-        .withColumnRenamed("approx_distinct", "approx_clientes")
-        .orderBy(F.col("ano").asc_nulls_last())
-    )
+    return hll_md5_year_rollup(regs)
 
 
 def _hll_md5_oracle() -> str:
@@ -448,9 +434,12 @@ def _hll_md5_oracle() -> str:
         f" ELSE {raw} END * 10000 + 0.5) / 10000"
     )
     return (
+        # NULL custkeys dropped in lockstep with hll_md5_registers
+        # (COUNT DISTINCT semantics: NULL is not an element)
         "WITH h AS (SELECT CAST(year(o_orderdate) AS INT) AS ano,"
         "   month(o_orderdate) AS mes,"
-        "   md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),"
+        "   md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders"
+        "  WHERE o_custkey IS NOT NULL),"
         " f AS (SELECT ano, mes,"
         f"   ('0x' || substr(h, 1, {HLL_B_HEX}))::INT AS bucket,"
         f"   substr(h, {HLL_B_HEX + 1}, {HLL_RANK_HEX}) AS rh FROM h),"

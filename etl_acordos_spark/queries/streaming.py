@@ -91,7 +91,7 @@ def q_ext_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_stream_cms pattern with idempotent (not just additive) merge."""
     from pyspark.sql import functions as F
 
-    from etl_acordos_spark.operators.relational import hll_md5_estimate
+    from etl_acordos_spark.operators.relational import hll_md5_year_rollup
     from etl_acordos_spark.queries.base import t
 
     orders = t(spark, sf_dir, "orders").select(
@@ -102,21 +102,7 @@ def q_ext_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = streaming_hll_run(
         spark, orders, ["ano", "mes"], "o_custkey", scratch_dir()
     )
-    per_ano = hll_md5_estimate(
-        regs.groupBy("ano", "bucket").agg(F.max("mr").alias("mr")),
-        ["ano"],
-    )
-    total = hll_md5_estimate(
-        regs.groupBy("bucket")
-        .agg(F.max("mr").alias("mr"))
-        .withColumn("ano", F.lit(None).cast("int")),
-        ["ano"],
-    )
-    return (
-        per_ano.unionByName(total)
-        .withColumnRenamed("approx_distinct", "approx_clientes")
-        .orderBy(F.col("ano").asc_nulls_last())
-    )
+    return hll_md5_year_rollup(regs)
 
 
 def q_ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

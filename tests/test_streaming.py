@@ -604,8 +604,14 @@ def test_stream_hll_registers_equal_batch_build(spark, sf_oracle, tmp_path):
     settled streaming store must equal the one-pass batch
     hll_md5_registers build EXACTLY (not approximately) no matter how
     rows were split across microbatches — the property that lets the
-    streaming key carry the batch key's full hash oracle. Also pins
-    replay harmlessness: max-merging any delta dir twice is a no-op."""
+    streaming key carry the batch key's full hash oracle. Replay
+    harmlessness is pinned by SIMULATING an at-least-once redelivery:
+    max-merging the store with one delta dir counted again must be a
+    no-op (the CMS twin's additive merge would double-count here; max
+    is idempotent)."""
+    import glob
+    import os
+
     from pyspark.sql import functions as F
 
     from etl_acordos_spark.operators.relational import hll_md5_registers
@@ -617,14 +623,29 @@ def test_stream_hll_registers_equal_batch_build(spark, sf_oracle, tmp_path):
         F.month("o_orderdate").alias("mes"),
         "o_custkey",
     )
-    streamed = {
-        tuple(r)
-        for r in streaming_hll_run(
-            spark, orders, ["ano", "mes"], "o_custkey", str(tmp_path)
-        ).collect()
-    }
+    settled = streaming_hll_run(
+        spark, orders, ["ano", "mes"], "o_custkey", str(tmp_path)
+    )
+    streamed = {tuple(r) for r in settled.collect()}
     batch = {
         tuple(r)
         for r in hll_md5_registers(orders, ["ano", "mes"], "o_custkey").collect()
     }
     assert streamed == batch and streamed
+
+    # simulate a replayed first batch: fold delta b00000 in a second
+    # time and re-merge — the settled registers must not move
+    deltas = sorted(
+        glob.glob(os.path.join(str(tmp_path), "stream_hll_*", "regs", "b*"))
+    )
+    assert deltas, "expected per-batch delta dirs"
+    replayed = {
+        tuple(r)
+        for r in (
+            spark.read.parquet(os.path.join(os.path.dirname(deltas[0]), "b*"))
+            .unionByName(spark.read.parquet(deltas[0]))
+            .groupBy("ano", "mes", "bucket")
+            .agg(F.max("mr").alias("mr"))
+        ).collect()
+    }
+    assert replayed == batch
