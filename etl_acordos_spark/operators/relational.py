@@ -677,7 +677,15 @@ def hll_md5_year_rollup(
     (ext_hll_md5) and the streaming store key (ext_stream_hll), which
     carries the batch key's SQL oracle verbatim: a single
     implementation is what keeps that shared-oracle contract from
-    drifting (the cms_report precedent)."""
+    drifting (the cms_report precedent).
+
+    The register table is pinned (cache + eager localCheckpoint, the
+    minhash-candidates convention) because BOTH estimate branches read
+    it: unpinned, each branch re-runs the whole upstream build — at
+    100 TB that is two full fact scans for one rollup (measured 4
+    parquet scans in the unpinned plan at sf0.01). Registers are at
+    most |groups|·4096 rows, the ideal pin candidate."""
+    regs = regs.cache().localCheckpoint(eager=True)
     per = hll_md5_estimate(
         regs.groupBy(year_col, "bucket").agg(F.max("mr").alias("mr")),
         [year_col],
