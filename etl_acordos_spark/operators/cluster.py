@@ -47,14 +47,17 @@ def _assign_udf(centroids: np.ndarray):
     """Nearest-centroid assignment: one (batch × dim) @ (dim × k) matmul
     per Arrow batch; argmin of squared L2 via the -2x·c + |c|² identity
     (|x|² is constant per row). Ties break to the lowest cluster id
-    (np.argmin) — deterministic."""
-    C = centroids.astype(np.float64)
+    (np.argmin) — deterministic. With int64 centroids (the quantized
+    exact mode) every product/sum is exact integer arithmetic, so the
+    argmin is order-independent and bit-reproducible in ANY engine."""
+    exact = np.issubdtype(np.asarray(centroids).dtype, np.integer)
+    C = np.asarray(centroids, dtype=np.int64 if exact else np.float64)
     c_sq = (C * C).sum(axis=1)
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        scores = -2.0 * (mat @ C.T) + c_sq
+        mat = np.stack(vecs.to_numpy()).astype(C.dtype)
+        scores = -2 * (mat @ C.T) + c_sq
         return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
 
     return assign
@@ -71,18 +74,19 @@ def _partial_stats(centroids: np.ndarray):
     with numpy doing the partition-local reduction."""
     from collections.abc import Iterator
 
-    C = centroids.astype(np.float64)
+    exact = np.issubdtype(np.asarray(centroids).dtype, np.integer)
+    C = np.asarray(centroids, dtype=np.int64 if exact else np.float64)
     k, dim = C.shape
     c_sq = (C * C).sum(axis=1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sums = np.zeros((k, dim))
+        sums = np.zeros((k, dim), dtype=C.dtype)
         counts = np.zeros(k, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            a = np.argmin(-2.0 * (mat @ C.T) + c_sq, axis=1)
+            mat = np.stack(pdf["v"].to_numpy()).astype(C.dtype)
+            a = np.argmin(-2 * (mat @ C.T) + c_sq, axis=1)
             np.add.at(sums, a, mat)
             counts += np.bincount(a, minlength=k)
         nz = np.nonzero(counts)[0]
@@ -106,6 +110,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float = 1e-7,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column; returns (id, cluster).
 
@@ -116,33 +121,65 @@ def kmeans_assign(
     exits early once the max centroid movement drops below *tol* —
     every converged iteration saved is one full assignment scan plus one
     (cluster, pos) shuffle that never runs.
+
+    With *quantize* = Q (a power of two) the whole run happens in an
+    EXACT shifted-integer domain: components become
+    ``floor(x·Q + 0.5) + Q`` (int64; x·Q is exact for float32 inputs
+    because Q only shifts the exponent, and the +Q shift keeps every
+    value positive so truncating division == floor in any engine), all
+    distances/sums are exact int64 arithmetic with no summation-order
+    sensitivity, and centroid updates round half-up via
+    ``(2·sum + n) // (2·n)``. That makes the full iteration ANSI-SQL
+    replayable (the `ext_kmeans` DuckDB oracle unrolls the rounds as
+    chained CTEs); the float path stays the production default — BLAS
+    matmuls beat int64 matmuls and real pipelines don't need
+    cross-engine bit-equality.
     """
-    vecs = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    if quantize:
+        q = float(quantize)
+        vecs = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                as_double(vec_col),
+                lambda x: F.floor(x * F.lit(q) + F.lit(0.5)).cast("long")
+                + F.lit(int(quantize)),
+            ).alias("v"),
+        )
+        stats_schema = "cluster int, pos int, s bigint, n bigint"
+    else:
+        vecs = df.select(
+            F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+        )
+        stats_schema = "cluster int, pos int, s double, n bigint"
     vecs.persist()
     try:
         init = vecs.orderBy("id").limit(k).collect()
-        C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in init])
+        dtype = np.int64 if quantize else np.float64
+        C = np.stack([np.asarray(r["v"], dtype=dtype) for r in init])
         dim = C.shape[1]
 
         for _ in range(n_iter):
             # fused assign + partition-local sums (one mapInPandas),
             # then one tiny (cluster, pos) shuffle of partial sums
             stats = (
-                vecs.mapInPandas(
-                    _partial_stats(C),
-                    schema="cluster int, pos int, s double, n bigint",
-                )
+                vecs.mapInPandas(_partial_stats(C), schema=stats_schema)
                 .groupBy("cluster", "pos")
-                .agg((F.sum("s") / F.sum("n")).alias("m"))
+                .agg(F.sum("s").alias("ss"), F.sum("n").alias("nn"))
                 .collect()
             )
             new_C = C.copy()  # empty cluster keeps its old centroid
             for r in stats:
-                new_C[r["cluster"], r["pos"]] = r["m"]
-            new_C = np.round(new_C, 9)
+                if quantize:
+                    # round-half-up integer mean; operands all positive
+                    m = (2 * r["ss"] + r["nn"]) // (2 * r["nn"])
+                else:
+                    m = r["ss"] / r["nn"]
+                new_C[r["cluster"], r["pos"]] = m
+            if not quantize:
+                new_C = np.round(new_C, 9)
             moved = float(np.max(np.abs(new_C - C)))
             C = new_C
-            if moved < tol:
+            if moved < (1 if quantize else tol):
                 break
 
         return vecs.select(

@@ -195,7 +195,16 @@ def rotate_unchecked_first(
         from etl_acordos_spark.queries.manifest import classify_changed
 
         seg_changed, dep_changed = classify_changed(keys)
-    except Exception:  # never let rotation break the driver's import
+    except Exception as exc:  # never let rotation break the driver's import
+        # ... but never silently either: an invisible fingerprint-chaser
+        # bug would regress rotation to shipping changed keys unverified
+        import warnings
+
+        warnings.warn(
+            f"rotate_unchecked_first: classify_changed failed ({exc!r}); "
+            "falling back to the pure never-verified rotation",
+            stacklevel=2,
+        )
         seg_changed, dep_changed = set(), set()
     front = [k for k in hoist if k in keys and k not in green]
     unchecked = [k for k in keys if k not in green and k not in front]

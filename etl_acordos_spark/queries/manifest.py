@@ -472,6 +472,16 @@ def refresh(all_rounds: bool = False) -> dict[str, dict[str, str]]:
     for path in paths:
         commit = _verified_commit_for(path, root)
         if commit is None:
+            # running refresh before the CORRECTNESS file is committed
+            # would silently skip the round's new greens — make it loud
+            import warnings
+
+            warnings.warn(
+                f"refresh: {os.path.basename(path)} has no committing "
+                "commit (untracked/uncommitted?) — its green keys were "
+                "NOT fingerprinted; commit the artifact and re-run",
+                stacklevel=2,
+            )
             continue
         fps = compute_fingerprints(git_provider(commit, root))
         for key in _green_keys_in(path):

@@ -44,6 +44,9 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.ui.enabled": "false",
+        # 48g default for tests/interactive work; bench.py intentionally
+        # pins 8g (bench.py, BASELINE.md neutrality check) so recorded
+        # timings aren't flattered by an oversized driver heap.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         # Files >128MB split into tasks; at 100 TB this keeps scan tasks
         # memory-bounded regardless of file layout.

@@ -105,7 +105,9 @@ def build_scaled_dir(spark) -> None:
     # with per-table maxes would mis-join if dimension maxes were
     # unreferenced by the fact; this repo's testdata happens to align,
     # so the recorded v1 exponents stand)
-    stamp = os.path.join(OUT_DIR, f"_built_{COPIES}x_v2")
+    # v3: copy-0 embeddings pass through unjittered (tiling convention
+    # fix) — bump forces a rebuild of any v2 tile dir
+    stamp = os.path.join(OUT_DIR, f"_built_{COPIES}x_v3")
     if os.path.exists(stamp):
         return
     copies = spark.range(COPIES).select(F.col("id").alias("_copy"))
@@ -126,14 +128,20 @@ def build_scaled_dir(spark) -> None:
             )
         if name == "embeddings":
             # jittered copies: near but not bit-equal (test_scale_paths
-            # convention) so ANN/dedup structure stays realistic
+            # convention) so ANN/dedup structure stays realistic; copy 0
+            # passes through untouched (same convention as documents) so
+            # the base corpus's exact-dup/ANN structure is preserved
             tiled = tiled.withColumn(
                 "embedding",
-                F.expr(
-                    "transform(cast(embedding as array<double>),"
-                    " (x, p) -> x + 0.001 * double("
-                    "   pmod(vec_id * 31 + _copy * 7 + p, 17) - 8))"
-                ).cast("array<float>"),
+                F.when(
+                    F.col("_copy") == 0, F.col("embedding")
+                ).otherwise(
+                    F.expr(
+                        "transform(cast(embedding as array<double>),"
+                        " (x, p) -> x + 0.001 * double("
+                        "   pmod(vec_id * 31 + _copy * 7 + p, 17) - 8))"
+                    ).cast("array<float>")
+                ),
             )
         if name == "documents":
             # vary copied text deterministically so cross-copy docs are
