@@ -27,8 +27,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, mime string, n_bytes int, content_md5 string,"
-    " width int, height int, mean_luma double"
+    "doc_id bigint, mime string, n_bytes int, payload_md5 string,"
+    " content_md5 string, width int, height int, channels int,"
+    " mean_luma double"
 )
 
 
@@ -63,10 +64,21 @@ def decode_real(payload: bytes) -> dict:
 
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payloads:
-    content identity (md5, byte size) plus REAL decoded image features —
-    `decode_image` (the one decode implementation, stdlib PNG codec) is
-    what runs inside the batches; mean_luma = pixel sum / pixel count.
+    """Arrow-batched feature extraction over the binary payloads: two
+    content identities plus REAL decoded image features — the stdlib PNG
+    codec (`functions/png.py`, the one decode implementation) runs
+    inside the batches.
+
+    - ``payload_md5`` hashes the ENCODED bytes: cheap, but two encodings
+      of the same image differ (encoder/compression-level dependent, so
+      not ANSI-SQL replayable either).
+    - ``content_md5`` hashes the canonical DECODED content
+      (``"{w}x{h}x{ch}:" + ','.join(row-major pixels)``): the identity an
+      image-dedup pass should key on — encoding-invariant, and closed-form
+      replayable by the DuckDB oracle from the fixture's pixel formula.
+    - ``mean_luma`` is the round-half-up integer-micro mean
+      (``(2·sum + n) // (2·n)`` of pixel values ×1e6) divided back to a
+      double — exact in any engine, no float-rounding drift.
 
     mapInPandas keeps partitioning intact (no shuffle); each Python
     worker sees whole Arrow batches. *batch_hint* documents where
@@ -75,30 +87,37 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     """
     import hashlib
 
+    from etl_acordos_spark.functions.png import decode_png
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raw = [bytes(p) for p in pdf["payload"]]
-            feats = [decode_image(p) for p in raw]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "mime": [m["mime"] for m in pdf["meta"]],
-                    "n_bytes": [len(p) for p in raw],
-                    "content_md5": [
-                        hashlib.md5(p).hexdigest() for p in raw
-                    ],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "mean_luma": [
-                        round(
-                            f["sum_px"]
-                            / (f["width"] * f["height"] * f["channels"]),
-                            6,
-                        )
-                        for f in feats
-                    ],
-                }
-            )
+            rows = []
+            for doc_id, meta, p in zip(pdf["doc_id"], pdf["meta"], raw):
+                arr = decode_png(p)
+                h, w, ch = arr.shape
+                flat = arr.reshape(-1)
+                canon = f"{w}x{h}x{ch}:" + ",".join(
+                    str(int(v)) for v in flat
+                )
+                s, n = int(flat.sum(dtype="int64")), int(flat.size)
+                micro = (2 * s * 1_000_000 + n) // (2 * n)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "mime": meta["mime"],
+                        "n_bytes": len(p),
+                        "payload_md5": hashlib.md5(p).hexdigest(),
+                        "content_md5": hashlib.md5(
+                            canon.encode("ascii")
+                        ).hexdigest(),
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "mean_luma": micro / 1e6,
+                    }
+                )
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 

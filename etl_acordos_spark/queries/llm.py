@@ -415,10 +415,67 @@ _BITEXT_ORACLE = _bitext_oracle()
 
 def q_ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means assignment over embeddings (k=10, 4 iterations,
-    deterministic init = first k by vec_id). Rows-only: iterative, not
-    ANSI-SQL-expressible; nearest-centroid invariant + determinism are
-    unit-tested."""
-    return kmeans_assign(t(spark, sf_dir, "embeddings"), k=10, n_iter=4)
+    deterministic init = first k by vec_id), run in the exact
+    shifted-integer domain (quantize=2^20) so the full iteration is
+    ANSI-SQL replayable — the oracle unrolls the Lloyd rounds as chained
+    CTEs (the ext_pagerank recipe). The float path stays the production
+    default; quantized-vs-float label agreement is pinned at sf0.01
+    (tests/test_cluster.py)."""
+    return kmeans_assign(
+        t(spark, sf_dir, "embeddings"), k=10, n_iter=4, quantize=1 << 20
+    )
+
+
+def _kmeans_oracle(k: int = 10, n_iter: int = 4, q: int = 1 << 20, dim: int = 64) -> str:
+    """Exact DuckDB replay of the quantized Lloyd run: components map to
+    ``floor(x·Q + 0.5) + Q`` (int64, positive — so ``//`` truncation ==
+    floor in both engines), each unrolled round is assignment (argmin of
+    exact integer squared-L2, ties to the lowest cluster id) + centroid
+    update (round-half-up integer mean, ``(2·sum + n) // (2·n)``; an
+    empty cluster keeps its previous centroid via COALESCE), and the
+    final SELECT re-assigns against the last centroids — mirroring
+    operators/cluster.py::kmeans_assign's trailing assignment pass.
+    list_sum returns HUGEINT — cast back to BIGINT before the division."""
+
+    def dist(vt: str, ct: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" p -> ({vt}.v[p] - {ct}.v[p]) * ({vt}.v[p] - {ct}.v[p])))"
+        )
+
+    parts = [
+        "WITH vecs AS (SELECT vec_id AS id,"
+        " list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {q}.0 + 0.5) AS BIGINT) + {q}) AS v FROM embeddings),"
+        " c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT)"
+        f" AS cluster, v FROM (SELECT id, v FROM vecs ORDER BY id LIMIT {k})),"
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f" a{i} AS (SELECT id, v, cluster FROM ("
+            "  SELECT vecs.id, vecs.v, c.cluster, row_number() OVER ("
+            f"   PARTITION BY vecs.id ORDER BY {dist('vecs', 'c')}, c.cluster)"
+            f"  AS rn FROM vecs CROSS JOIN {prev} c) WHERE rn = 1),"
+            f" m{i} AS (SELECT cluster, list_transform(range(1, {dim + 1}),"
+            "  p -> CAST((2 * CAST(list_sum(list_transform(vs, w -> w[p]))"
+            "   AS BIGINT) + cnt) // (2 * cnt) AS BIGINT)) AS v"
+            f" FROM (SELECT cluster, count(*) AS cnt, list(v) AS vs FROM a{i}"
+            "  GROUP BY cluster)),"
+            f" c{i} AS (SELECT c.cluster, COALESCE(m.v, c.v) AS v"
+            f" FROM {prev} c LEFT JOIN m{i} m USING (cluster)),"
+        )
+    parts.append(
+        " fin AS (SELECT id, cluster FROM ("
+        "  SELECT vecs.id, c.cluster, row_number() OVER ("
+        f"   PARTITION BY vecs.id ORDER BY {dist('vecs', 'c')}, c.cluster)"
+        f"  AS rn FROM vecs CROSS JOIN c{n_iter} c) WHERE rn = 1)"
+        " SELECT id AS vec_id, cluster FROM fin"
+    )
+    return "".join(parts)
+
+
+_KMEANS_ORACLE = _kmeans_oracle()
 
 
 def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,9 +858,18 @@ def q_ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing + Arrow-batched feature extraction: the
     metadata-struct / content-identity demo, decoding through the SAME
-    stdlib PNG codec as ext_mm_decode (one decode implementation)."""
+    stdlib PNG codec as ext_mm_decode (one decode implementation). The
+    registered projection keeps the encoding-invariant columns — decoded
+    geometry, exact integer-micro mean luma, and the canonical decoded
+    content md5 — so the DuckDB oracle replays the full chain closed
+    form from the fixture's pixel formula (encoder-dependent
+    payload_md5/n_bytes stay available on the operator for engineering
+    use, tests/test_operators.py)."""
     media = attach_binary_payload(t(spark, sf_dir, "documents"), "doc_id")
-    return extract_features(media)
+    return extract_features(media).select(
+        "doc_id", "mime", "width", "height", "channels",
+        "mean_luma", "content_md5",
+    )
 
 
 def q_ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,7 +1563,7 @@ _ORACLES: dict[str, str | None] = {
         " ORDER BY rrf_score DESC, doc_id LIMIT 15"
     ),
     "ext_simsearch_ann": None,  # approximate by design
-    "ext_kmeans": None,  # iterative — nearest-centroid invariant unit-tested
+    "ext_kmeans": _KMEANS_ORACLE,  # unrolled Lloyd rounds, exact int domain
     "ext_semdedup": (
         "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
         "  FROM embeddings)"
@@ -1722,7 +1788,29 @@ _ORACLES: dict[str, str | None] = {
         " FROM (SELECT gram, count(*) AS n_docs FROM g GROUP BY 1), nn"
         " WHERE n_docs * 1.0 / n_total >= 0.01"
     ),
-    "ext_multimodal": None,  # binary payload + stubbed decode
+    # closed-form replay of extract_features on the gradient-PNG
+    # fixture (w = 8 + d%9, h = 8 + d%7, pixel(y, x) = (x+y+d) % 256,
+    # grayscale): decoded geometry, round-half-up integer-micro mean
+    # luma, and md5 of the canonical decoded string — the same chain
+    # the Spark side computes from REAL PNG decodes
+    "ext_multimodal": (
+        "WITH dims AS (SELECT doc_id,"
+        "  CAST(8 + doc_id % 9 AS INTEGER) AS width,"
+        "  CAST(8 + doc_id % 7 AS INTEGER) AS height FROM documents),"
+        " px AS (SELECT doc_id, width, height,"
+        "   list_transform(generate_series(0,"
+        "    CAST(width AS BIGINT) * height - 1),"
+        "    i -> ((i % width) + (i // width) + doc_id) % 256) AS p"
+        "  FROM dims)"
+        " SELECT doc_id, 'image/png' AS mime, width, height,"
+        "  1 AS channels,"
+        "  CAST((2 * CAST(list_sum(p) AS BIGINT) * 1000000"
+        "    + width * height) // (2 * width * height) AS BIGINT)"
+        "   / 1000000.0 AS mean_luma,"
+        "  md5(width || 'x' || height || 'x1:'"
+        "   || array_to_string(p, ',')) AS content_md5"
+        " FROM px"
+    ),
     "ext_decontaminate": (
         "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok"
         "  FROM documents),"
@@ -1790,7 +1878,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_simsearch_ivf": QueryDef(q_ext_simsearch_ivf, None),
     "ext_simsearch_pq": QueryDef(q_ext_simsearch_pq, None),
     "ext_simsearch_ivfpq": QueryDef(q_ext_simsearch_ivfpq, None),
-    "ext_kmeans": QueryDef(q_ext_kmeans, None),
+    "ext_kmeans": QueryDef(q_ext_kmeans, _ORACLES["ext_kmeans"]),
     "ext_semdedup": QueryDef(q_ext_semdedup, _ORACLES["ext_semdedup"]),
     "ext_domain_cap": QueryDef(q_ext_domain_cap, _ORACLES["ext_domain_cap"]),
     "ext_text_stats": QueryDef(q_ext_text_stats, _ORACLES["ext_text_stats"]),
@@ -1839,7 +1927,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_seq_pack": QueryDef(q_ext_seq_pack, _ORACLES["ext_seq_pack"]),
     "ext_pack_bfd": QueryDef(q_ext_pack_bfd, _PACK_BFD_ORACLE),
-    "ext_multimodal": QueryDef(q_ext_multimodal, None),
+    "ext_multimodal": QueryDef(q_ext_multimodal, _ORACLES["ext_multimodal"]),
     "ext_mm_resize": QueryDef(
         q_ext_mm_resize,
         # closed-form replay of the NN resample: src = floor(dst·src/dst)

@@ -145,13 +145,15 @@ class TestDomainCap:
 
 
 def test_kmeans_sf001_matches_numpy_lloyd_reference(spark, sf_oracle):
-    """End-to-end pin for the registered ext_kmeans run (k=10, 4 iters,
+    """End-to-end pin for the float production path (k=10, 4 iters,
     first-k-by-id init): replay Lloyd's in pure numpy with the SAME
     init, per-iteration 9-dp centroid rounding, and tol early-exit, and
     require the final ASSIGNMENTS to agree exactly for every vector
-    (VERDICT r5 item 8 — tightens the weakest rows-only key: the
-    distributed partial-sum reduction must not drift the centroids
-    through the 9-dp grid)."""
+    (VERDICT r5 item 8 — the distributed partial-sum reduction must not
+    drift the centroids through the 9-dp grid). The REGISTERED
+    ext_kmeans run is the quantized exact-integer variant, hash-checked
+    against the unrolled-CTE DuckDB oracle (test_oracle_parity); the
+    quantized/float label agreement is pinned below."""
     import numpy as np
 
     emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
@@ -185,3 +187,33 @@ def test_kmeans_sf001_matches_numpy_lloyd_reference(spark, sf_oracle):
             break
     expect = dict(zip(ids, assign(C).tolist()))
     assert got == expect
+
+
+def test_kmeans_quantized_agrees_with_float_path(spark, sf_oracle):
+    """The quantized exact-integer variant (the registered ext_kmeans
+    run, quantize=2^20) must label this fixture identically to the
+    float production path — the 2^-20 grid is far below the cluster
+    separation, so quantization must not move any vector across a
+    Voronoi boundary here. Both runs are deterministic, so this is a
+    stable pin, not a flaky tolerance check."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    quant = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(emb, k=10, n_iter=4, quantize=1 << 20).collect()
+    }
+    flt = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(emb, k=10, n_iter=4).collect()
+    }
+    assert quant == flt
+
+
+def test_kmeans_quantized_rerun_stable(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    a = sorted(
+        map(tuple, kmeans_assign(emb, k=5, n_iter=2, quantize=1 << 20).collect())
+    )
+    b = sorted(
+        map(tuple, kmeans_assign(emb, k=5, n_iter=2, quantize=1 << 20).collect())
+    )
+    assert a == b

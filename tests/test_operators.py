@@ -116,14 +116,23 @@ def test_multimodal_features_deterministic(spark, sf_smoke):
     b = sorted(map(tuple, extract_features(media).collect()))
     assert a == b
     row = a[0]
-    assert len(row) == 7  # doc_id, mime, n_bytes, md5, w, h, luma
+    # doc_id, mime, n_bytes, payload_md5, content_md5, w, h, ch, luma
+    assert len(row) == 9
     assert row[1] == "image/png"
     # real decode: the gradient payload's closed form (doc 0: 8x8,
     # pixel(y,x) = (x+y) % 256, all < 256 so no wrap)
     doc0 = next(r for r in a if r[0] == 0)
-    assert (doc0[4], doc0[5]) == (8, 8)
-    want_luma = round(sum((x + y) % 256 for y in range(8) for x in range(8)) / 64, 6)
-    assert doc0[6] == want_luma
+    assert (doc0[5], doc0[6], doc0[7]) == (8, 8, 1)
+    s, n = sum((x + y) % 256 for y in range(8) for x in range(8)), 64
+    assert doc0[8] == ((2 * s * 1_000_000 + n) // (2 * n)) / 1e6
+    # content identity hashes the DECODED canonical form, not the bytes
+    import hashlib
+
+    canon = "8x8x1:" + ",".join(
+        str((x + y) % 256) for y in range(8) for x in range(8)
+    )
+    assert doc0[4] == hashlib.md5(canon.encode()).hexdigest()
+    assert doc0[3] != doc0[4]  # payload identity is a different key
 
 
 # ------------------------- semantic edges of the cleaning functions
