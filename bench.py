@@ -145,6 +145,7 @@ HEADLINE = [
     "ext_dedup_exact",
     "ext_dedup_url",
     "ext_dedup_near",
+    "ext_dedup_star",
     "ext_dedup_para",
     "ext_passage_dedup",
     "ext_dedup_simhash",

@@ -390,6 +390,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
     hash_fn: str = "xxhash64",
+    link: str = "all",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding +
     exact-Jaccard verification.
@@ -399,6 +400,27 @@ def minhash_lsh_pairs(
     ``"md5"`` for the cross-engine-verifiable chain the registry key
     runs (every stage — shingle hash, Carter-Wegman permutations,
     band keys, Jaccard verify — then has an exact DuckDB twin).
+
+    *link* selects the per-bucket candidate topology:
+
+    - ``"all"`` (default): every in-bucket pair is a candidate — the
+      complete pair set, but a duplicate-DENSE corpus goes quadratic
+      through sub-cap buckets (measured: a 10k-member near-dup cluster
+      in an 11.5k-doc corpus yields ~8.8M candidates / ~5.1M verified
+      pairs — O(cluster²) even with the bucket cap, because the cap
+      bounds each bucket, not the cluster).
+    - ``"min"``: STAR linking — each bucket member pairs only with the
+      bucket's minimum id, so candidate volume is O(docs · bands)
+      regardless of duplicate density (the SlimPajama/BigQuery-minhash
+      production shape), and the bucket cap is unnecessary (skipped —
+      even a degenerate bucket costs O(bucket), and keeping it lets a
+      mega-cluster actually dedup instead of being dropped). Per-bucket
+      connectivity is identical to a clique at the CANDIDATE level, so
+      pre-verify connected components match ``"all"`` exactly; after
+      Jaccard verify, a star edge failing the threshold can disconnect
+      what a clique edge would have kept — the accepted trade for
+      feeding `keep_representatives` at 100 TB duplicate densities
+      (tests/test_dedup_stress.py pins both properties).
 
     hash-shingle (n-gram hashes computed straight from the token array —
     no shingle strings ever materialize) → derive the num_perm
@@ -429,27 +451,45 @@ def minhash_lsh_pairs(
     for O(candidates) rows, and the resulting slice is small enough to
     cache for both join sides.
     """
+    if link not in ("all", "min"):
+        raise ValueError(f"minhash_lsh_pairs: unknown link mode {link!r}")
     bandtab = minhash_bands(
         df, text_col, id_col, num_perm, bands, shingle_n, hash_fn=hash_fn
     )
-    bucket_ok = (
-        bandtab.groupBy("band_idx", "band_val")
-        .count()
-        .filter(F.col("count") <= max_bucket_size)
-        .drop("count")
-    )
-    entries = bandtab.join(bucket_ok, ["band_idx", "band_val"])
-    candidates = (
-        entries.select("band_idx", "band_val", F.col("doc").alias("doc_a"))
-        .join(
-            entries.select(
-                "band_idx", "band_val", F.col("doc").alias("doc_b")
-            ),
-            ["band_idx", "band_val"],
+    if link == "min":
+        # star linking: one aggregate + one join per bucket — candidate
+        # volume O(entries), no cap needed (see docstring)
+        bucket_min = bandtab.groupBy("band_idx", "band_val").agg(
+            F.min("doc").alias("doc_a")
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        raw_candidates = (
+            bandtab.join(bucket_min, ["band_idx", "band_val"])
+            .filter(F.col("doc") > F.col("doc_a"))
+            .select("doc_a", F.col("doc").alias("doc_b"))
+        )
+    else:
+        bucket_ok = (
+            bandtab.groupBy("band_idx", "band_val")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        entries = bandtab.join(bucket_ok, ["band_idx", "band_val"])
+        raw_candidates = (
+            entries.select(
+                "band_idx", "band_val", F.col("doc").alias("doc_a")
+            )
+            .join(
+                entries.select(
+                    "band_idx", "band_val", F.col("doc").alias("doc_b")
+                ),
+                ["band_idx", "band_val"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+    candidates = (
+        raw_candidates.dropDuplicates(["doc_a", "doc_b"])
         # eager lineage CUT, not just a cache: the candidate table is
         # referenced three times downstream (both verify sides + the id
         # set for the shingle rebuild), and each reference would inline

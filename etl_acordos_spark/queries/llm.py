@@ -181,6 +181,28 @@ def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_dedup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-linked MinHash-LSH near-dup pairs — the duplicate-DENSE
+    scale path (operators/dedup.py:minhash_lsh_pairs, link='min'):
+    each band bucket contributes (bucket-min, member) candidates only,
+    so candidate volume is O(docs · bands) at ANY duplicate density
+    (all-pairs linking goes O(cluster²) through sub-cap buckets —
+    measured in tests/test_dedup_stress.py). Same md5 chain and
+    Jaccard verify as ext_dedup_near; pre-verify connectivity equals
+    the clique linking's, so keep-set components agree except where a
+    star edge fails verification."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "text",
+        "doc_id",
+        num_perm=64,
+        bands=16,
+        threshold=0.5,
+        hash_fn="md5",
+        link="min",
+    )
+
+
 def q_ext_dedup_para(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granular near-dedup (operators/dedup.py:
     paragraph_near_dedup): 30-word paragraph units, the seeded
@@ -1009,6 +1031,7 @@ def _minhash_md5_ctes(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    link: str = "all",
 ) -> str:
     """Shared DuckDB CTE chain replaying the md5-family MinHash-LSH
     pipeline (operators/dedup.py:minhash_bands / minhash_lsh_pairs)
@@ -1030,19 +1053,36 @@ def _minhash_md5_ctes(
     Consumers prepend their unit CTE (docs for `ext_dedup_near`,
     word-window paragraphs for `ext_dedup_para`) and select off
     ``pairsq``. Depth: the oracle materializes per-(doc, perm) minima
-    relationally — fine at verification scale, which is the point."""
+    relationally — fine at verification scale, which is the point.
+
+    *link* mirrors minhash_lsh_pairs: ``"all"`` = capped in-bucket
+    self-join; ``"min"`` = star linking to the bucket minimum, no cap
+    (the duplicate-dense scale path, `ext_dedup_star`)."""
+    if link == "min":
+        cand = (
+            " mins AS (SELECT band_idx, band_val, min(doc) AS doc_a"
+            "  FROM bandv GROUP BY 1, 2),"
+            " cand AS (SELECT DISTINCT m.doc_a, b.doc AS doc_b"
+            "  FROM bandv b JOIN mins m USING (band_idx, band_val)"
+            "  WHERE b.doc > m.doc_a),"
+        )
+    else:
+        cand = (
+            " ok AS (SELECT band_idx, band_val FROM bandv"
+            f"  GROUP BY 1, 2 HAVING count(*) <= {max_bucket_size}),"
+            " ent AS (SELECT b.* FROM bandv b JOIN ok"
+            "  USING (band_idx, band_val)),"
+            " cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b"
+            "  FROM ent a JOIN ent b ON a.band_idx = b.band_idx"
+            "   AND a.band_val = b.band_val AND a.doc < b.doc),"
+        )
     return (
         _minhash_perms_cte(num_perm)
         + ","
         + _minhash_md5_units("", num_perm, bands, shingle_n)
         + ","
-        " ok AS (SELECT band_idx, band_val FROM bandv"
-        f"  GROUP BY 1, 2 HAVING count(*) <= {max_bucket_size}),"
-        " ent AS (SELECT b.* FROM bandv b JOIN ok USING (band_idx, band_val)),"
-        " cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b"
-        "  FROM ent a JOIN ent b ON a.band_idx = b.band_idx"
-        "   AND a.band_val = b.band_val AND a.doc < b.doc),"
-        " pairsq AS (SELECT doc_a, doc_b, jaccard FROM ("
+        + cand
+        + " pairsq AS (SELECT doc_a, doc_b, jaccard FROM ("
         "  SELECT c.doc_a, c.doc_b,"
         "   round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"
         "     / len(list_distinct(a.hs || b.hs)), 4) AS jaccard"
@@ -1093,6 +1133,18 @@ def _dedup_near_oracle() -> str:
         "WITH u AS (SELECT doc_id AS doc, text AS utext FROM documents"
         "  WHERE text IS NOT NULL),"
         + _minhash_md5_ctes()
+        + " SELECT doc_a, doc_b, jaccard FROM pairsq"
+    )
+
+
+def _dedup_star_oracle() -> str:
+    """Doc-granularity star-linked consumer of `_minhash_md5_ctes` —
+    the exact twin of q_ext_dedup_star (link='min': per-bucket min
+    linking, no bucket cap)."""
+    return (
+        "WITH u AS (SELECT doc_id AS doc, text AS utext FROM documents"
+        "  WHERE text IS NOT NULL),"
+        + _minhash_md5_ctes(link="min")
         + " SELECT doc_a, doc_b, jaccard FROM pairsq"
     )
 
@@ -1860,6 +1912,7 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_dedup_contain, _ORACLES["ext_dedup_contain"]
     ),
     "ext_dedup_near": QueryDef(q_ext_dedup_near, _dedup_near_oracle()),
+    "ext_dedup_star": QueryDef(q_ext_dedup_star, _dedup_star_oracle()),
     "ext_dedup_para": QueryDef(q_ext_dedup_para, _dedup_para_oracle()),
     "ext_dedup_simhash": QueryDef(
         q_ext_dedup_simhash, _dedup_simhash_oracle()

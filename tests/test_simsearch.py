@@ -54,3 +54,112 @@ def test_bitext_margin_demotes_hub_promotes_isolated_pair(spark):
     # with the hub (measured 1.32 here), but the isolated pair's margin
     # (1.77) must clear the hub's best by a wide gap
     assert max(hub_margins) < 0.8 * top.margin
+
+
+# ------------------------- adversarial-distribution ANN recall (r8)
+
+
+def _hub_heavy_corpus(spark, n_clusters=8, dim=64, n_hubs=40, seed=7):
+    """Clustered + hub-heavy fixture (~5k vectors) — the distribution
+    where sign-LSH and coarse product quantizers actually degrade
+    (hubness is why margin-based bitext mining exists, Artetxe &
+    Schwenk 2019):
+
+    - 8 dense Gaussian clusters with Zipf-skewed sizes (cluster 0 holds
+      ~half the corpus) and intra-cluster std 0.02 — neighbor gaps far
+      below the corpus scale;
+    - 40 hub vectors near the global mean direction with 8x norms,
+      crowding dot-product neighbor lists (cosine normalization is the
+      first line of defense; the quantizers are the second).
+
+    Fully deterministic (fixed seed, deterministic operators), so the
+    recall floors below are exact pins, not flaky tolerances.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    sizes = [2400, 1200, 600, 300, 150, 150, 100, 100]
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(0, 0.02, size=(sizes[c], dim))
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    gmean = centers.mean(axis=0)
+    gmean /= np.linalg.norm(gmean)
+    for _ in range(n_hubs):
+        h = 8.0 * (gmean + rng.normal(0, 0.05, size=dim))
+        rows.append((vid, [float(x) for x in h]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_ann_recall_floors_on_clustered_hub_corpus(spark):
+    """Recall@10 floors for the ANN family on the adversarial fixture
+    (VERDICT r7 item 4). The 20x-scale suite uses a jittered-tile corpus
+    with near-uniform hubness; this one is where quantizers break:
+
+    - at the DEFAULT coarse settings (m=16, ks=32, refine=16) PQ recall
+      measured 1/10 and IVF-PQ 0/10 here — ADC quantization error
+      (~std/2.4 per 4-d subspace) swamps the intra-cluster neighbor
+      gaps, so the shortlist is noise within the dense cluster;
+    - the mitigation is quantizer resolution above the intra-cluster
+      spread: m=32 (2-d subspaces), ks=64, train_n=512, refine=32 —
+      measured pq 8/10, ivfpq 9/10. That knob guidance is this test's
+      payload; the floors pin it (>= the jittered-suite floors' 7/10,
+      lsh 3/10).
+
+    IVF and sign-LSH survive unchanged (both measured 10/10: cosine
+    normalization disarms the hubs' inflated norms, and the query's
+    cell is the dense cluster itself).
+    """
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.simsearch import (
+        ann_topk_lsh,
+        exact_topk,
+        ivf_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    vecs = _hub_heavy_corpus(spark).cache()
+    try:
+        qvec = vecs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        exact = {
+            r["vec_id"]
+            for r in exact_topk(vecs, list(qvec), k=10, exclude_id=0).collect()
+        }
+        assert len(exact) == 10
+        ivf = {
+            r["vec_id"]
+            for r in ivf_topk(
+                vecs, query_id=0, k=10, n_lists=32, n_probe=8
+            ).collect()
+        }
+        lsh = {
+            r["vec_id"]
+            for r in ann_topk_lsh(vecs, query_id=0, k=10).collect()
+        }
+        pq = {
+            r["vec_id"]
+            for r in pq_topk(
+                vecs, query_id=0, k=10, m=32, ks=64, train_n=512, refine=32
+            ).collect()
+        }
+        ivfpq = {
+            r["vec_id"]
+            for r in ivfpq_topk(
+                vecs, query_id=0, k=10, n_lists=32, n_probe=8,
+                m=32, ks=64, train_n=512, refine=32,
+            ).collect()
+        }
+        # measured: ivf 10/10, lsh 10/10, pq 8/10, ivfpq 9/10
+        assert len(exact & ivf) >= 7, f"ivf recall {len(exact & ivf)}/10"
+        assert len(exact & lsh) >= 3, f"lsh recall {len(exact & lsh)}/10"
+        assert len(exact & pq) >= 7, f"pq recall {len(exact & pq)}/10"
+        assert len(exact & ivfpq) >= 7, f"ivfpq recall {len(exact & ivfpq)}/10"
+    finally:
+        vecs.unpersist()
