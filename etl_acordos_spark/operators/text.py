@@ -1480,20 +1480,19 @@ def bpe_apply(
                 n_words[i] = len(words)
                 n_tok[i] = total
                 n_chars[i] = len(text)
+            # round-half-up at 4 dp via exact integer math — np.round's
+            # banker's rounding diverges from SQL round() on exact
+            # dyadic ties (e.g. 41/32 = 1.28125 → 1.2812 vs 1.2813)
+            denom = np.where(n_tok > 0, 2 * n_tok, 1)
+            micro = np.where(
+                n_tok > 0, (2 * n_chars * 10_000 + n_tok) // denom, 0
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_words": n_words,
                     "n_bpe_tokens": n_tok,
-                    "chars_per_token": np.round(
-                        np.divide(
-                            n_chars,
-                            n_tok,
-                            out=np.zeros(len(pdf), dtype=np.float64),
-                            where=n_tok > 0,
-                        ),
-                        4,
-                    ),
+                    "chars_per_token": micro / 1e4,
                 }
             )
 

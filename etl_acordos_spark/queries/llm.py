@@ -717,9 +717,12 @@ def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn 12 BPE merge rules over the document corpus
     (operators/text.py:bpe_train) — distinct-word collapse, then
     per-round pair-count aggregate + driver argmax + HOF merge fold.
-    Rows-only: iterative (each round's argmax feeds the next round's
-    rewrite); pinned against a pure-Python reference BPE in
-    tests/test_operators.py."""
+    Hash-verified: the greedy rounds unroll as chained CTEs (the
+    ext_pagerank/ext_kmeans recipe) — per-round argmax with the same
+    (freq desc, l, r) tie-break, and the sequential merge fold replayed
+    by a per-round recursive CTE keyed on each word's (immutable)
+    original symbol list (`_bpe_train_oracle`). Also pinned against a
+    pure-Python reference BPE in tests/test_operators.py."""
     from etl_acordos_spark.operators.text import bpe_train
 
     return bpe_train(
@@ -727,13 +730,113 @@ def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(n_merges: int = 12, min_freq: int = 2) -> str:
+    """Exact DuckDB replay of bpe_train's greedy loop. Round i:
+
+    - ``p{i}``: adjacent-pair freqs over the round's vocabulary;
+    - ``m{i}``: the argmax, gated on *min_freq* (0 or 1 row — an empty
+      round empties every later vocabulary, reproducing the trainer's
+      break: no further merges are emitted);
+    - ``r{i}``: the LEFT-TO-RIGHT merge fold as a recursive CTE — the
+      fold order matters ('aaa' under (a,a) → [aa, a], never [a, aa]),
+      so a join-based rewrite would be wrong; each word's original
+      symbol list rides along as the key (concatenation == word</w> is
+      injective, so it stays unique through every rewrite);
+    - ``w{i}``: the rewritten vocabulary.
+
+    LEFT/RIGHT are SQL keywords — the output columns are quoted."""
+    unions = " UNION ALL ".join(
+        f'SELECT {i} AS merge_idx, l AS "left", r AS "right",'
+        f" l || r AS merged, CAST(pf AS BIGINT) AS pair_freq FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return _bpe_chain_ctes(n_merges, min_freq) + " " + unions
+
+
+def _bpe_chain_ctes(n_merges: int, min_freq: int) -> str:
+    """The shared unrolled BPE chain (see `_bpe_train_oracle`), carrying
+    each word's identity through every rewrite. An empty round (best
+    pair below *min_freq*) PASSES the vocabulary THROUGH unchanged —
+    harmless for the train oracle (the same sub-threshold argmax stays
+    empty every later round) and required by the apply oracle (the
+    final w{n} must hold the whole vocabulary even if training broke
+    early)."""
+    parts = [
+        "WITH RECURSIVE toks AS ("
+        " SELECT unnest(string_split_regex(text, ' +')) AS word"
+        " FROM documents WHERE text IS NOT NULL),"
+        " w0 AS (SELECT word,"
+        "  regexp_extract_all(word, '.') || ['</w>'] AS syms,"
+        "  count(*) AS freq FROM toks WHERE word <> '' GROUP BY word),"
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f" p{i} AS (SELECT syms[j] AS l, syms[j + 1] AS r,"
+            "   sum(freq) AS pf"
+            f"  FROM {prev}, unnest(range(1, len(syms))) AS t(j)"
+            "  GROUP BY 1, 2),"
+            f" m{i} AS (SELECT l, r, pf FROM p{i}"
+            f"  WHERE pf >= {min_freq} ORDER BY pf DESC, l, r LIMIT 1),"
+            f" r{i} AS ("
+            f"  SELECT word, syms, freq, 1 AS pos, [syms[1]] AS acc, l, r"
+            f"   FROM {prev} CROSS JOIN m{i}"
+            "  UNION ALL"
+            "  SELECT word, syms, freq, pos + 1,"
+            "   CASE WHEN acc[-1] = l AND syms[pos + 1] = r"
+            "    THEN acc[:len(acc) - 1] || [l || r]"
+            "    ELSE acc || [syms[pos + 1]] END, l, r"
+            f"  FROM r{i} WHERE pos < len(syms)),"
+            # MATERIALIZED is load-bearing: each w{i} is referenced
+            # twice (r{i+1} + the pass-through), so inlining would
+            # double the plan per round — 2^12 scans of documents
+            # ("Too many open files") instead of 12 small tables
+            f" w{i} AS MATERIALIZED (SELECT word, acc AS syms, freq"
+            f"  FROM r{i} WHERE pos = len(syms)"
+            f"  UNION ALL SELECT word, syms, freq FROM {prev}"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM m{i})),"
+        )
+    return "".join(parts).rstrip(",")
+
+
+def _bpe_apply_oracle(n_merges: int = 12, min_freq: int = 2) -> str:
+    """Exact DuckDB twin of q_ext_bpe_apply: the shared unrolled train
+    chain yields the final per-word symbol state (encoding the training
+    corpus reproduces the trainer's rewrite bit-for-bit — the same
+    identity bpe_apply's unit test pins), so each word's BPE token
+    count is just len(syms) in w{n}; per-doc stats re-expand the word
+    stream and join the counts. NULL/empty-text docs emit zeros,
+    mirroring the mapInPandas batch path."""
+    n = n_merges
+    return (
+        _bpe_chain_ctes(n, min_freq)
+        + f", wt AS (SELECT word, len(syms) AS n_tok FROM w{n}),"
+        " docw AS (SELECT doc_id,"
+        "  unnest(string_split_regex(text, ' +')) AS word"
+        "  FROM documents WHERE text IS NOT NULL),"
+        " cnt AS (SELECT doc_id, count(*) AS n_words,"
+        "   sum(wt.n_tok) AS n_tok"
+        "  FROM docw JOIN wt USING (word) WHERE word <> ''"
+        "  GROUP BY doc_id)"
+        " SELECT d.doc_id, CAST(COALESCE(c.n_words, 0) AS BIGINT)"
+        "   AS n_words,"
+        "  CAST(COALESCE(c.n_tok, 0) AS BIGINT) AS n_bpe_tokens,"
+        "  CASE WHEN COALESCE(c.n_tok, 0) > 0"
+        "   THEN ((2 * length(d.text) * 10000 + c.n_tok)"
+        "     // (2 * c.n_tok)) / 10000.0"
+        "   ELSE 0.0 END AS chars_per_token"
+        " FROM documents d LEFT JOIN cnt c USING (doc_id)"
+    )
+
+
 def q_ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the corpus with the 12 merge rules `ext_bpe_train`
     learns from it (operators/text.py:bpe_apply) — per-doc BPE token
     counts and compression ratio via an Arrow-batched distinct-word-
-    cached encode. Rows-only: the encode replays the trainer's
-    iterative rewrite; symbol-state equivalence with the pure-Python
-    reference is unit-tested."""
+    cached encode. Hash-verified via `_bpe_apply_oracle` (the unrolled
+    train chain's final symbol state IS the encode of the training
+    corpus); symbol-state equivalence with the pure-Python reference
+    is also unit-tested."""
     from etl_acordos_spark.operators.text import bpe_apply, bpe_train
 
     docs = t(spark, sf_dir, "documents")
@@ -1962,8 +2065,8 @@ QUERIES: dict[str, QueryDef] = {
     "ext_weighted_sample": QueryDef(
         q_ext_weighted_sample, _WEIGHTED_SAMPLE_ORACLE
     ),
-    "ext_bpe_train": QueryDef(q_ext_bpe_train, None),
-    "ext_bpe_apply": QueryDef(q_ext_bpe_apply, None),
+    "ext_bpe_train": QueryDef(q_ext_bpe_train, _bpe_train_oracle()),
+    "ext_bpe_apply": QueryDef(q_ext_bpe_apply, _bpe_apply_oracle()),
     "ext_heavy_hitters": QueryDef(
         q_ext_heavy_hitters, _ORACLES["ext_heavy_hitters"]
     ),
