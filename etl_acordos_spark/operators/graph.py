@@ -48,7 +48,10 @@ def co_occurrence_edges(
 
 
 def triangle_counts(
-    edges: DataFrame, k: int = 20, broadcast_edges: bool = True
+    edges: DataFrame,
+    k: int = 20,
+    broadcast_edges: bool | None = None,
+    broadcast_max_edges: int = 20_000_000,
 ) -> DataFrame:
     """Top-k vertices by triangle participation over an undirected
     edge list (src < dst, distinct).
@@ -61,16 +64,23 @@ def triangle_counts(
     formulation). Ties at the top-k boundary break by vertex id — the
     returned row SET is deterministic.
 
-    ``broadcast_edges=True`` (default) hints both wedge-join probes as
-    broadcast hash joins: the wedge stream — O(Σ outdeg²) rows, 34×
-    the edge count on the sf0.1 co-purchase graph — then flows map-side
-    straight into the partial aggregate and is NEVER sorted or
-    shuffled; only (vertex, partial count) pairs hit the exchange. With
-    sort-merge joins instead, sorting the wedge stream dominates the
-    whole query (and OOMs a small heap long before the data is big).
+    ``broadcast_edges=True`` hints both wedge-join probes as broadcast
+    hash joins: the wedge stream — O(Σ outdeg²) rows, 34× the edge
+    count on the sf0.1 co-purchase graph — then flows map-side straight
+    into the partial aggregate and is NEVER sorted or shuffled; only
+    (vertex, partial count) pairs hit the exchange. With sort-merge
+    joins instead, sorting the wedge stream dominates the whole query.
     The hint requires the ORIENTED EDGE LIST (not the wedges) to fit in
-    executor memory — ~16 bytes/edge, so fine into the 10^8-edge range;
-    pass False beyond that to fall back to shuffled joins.
+    executor memory; ``False`` falls back to shuffled joins.
+
+    ``None`` (the default) AUTO-selects at the measured crossover:
+    broadcast while the oriented list holds ≤ *broadcast_max_edges*
+    rows, shuffled beyond. The r8 100× scale smoke is the calibration:
+    12M edges (10× tile) broadcast fine on an 8 GiB heap (α = 0.97),
+    119.6M edges (100× tile) OOM'd it — ~100 B/edge of hashmap × two
+    probes is ~12 GiB per executor, too much at ANY executor size worth
+    provisioning. The count is one cheap job over the already-
+    checkpointed oriented leaf.
 
     Returns (vertex, n_triangles) — k rows.
     """
@@ -110,6 +120,8 @@ def triangle_counts(
     o1 = oriented.select(F.col("u").alias("a"), F.col("w").alias("b"))
     o2 = oriented.select(F.col("u").alias("b"), F.col("w").alias("c"))
     o3 = oriented.select(F.col("u").alias("a"), F.col("w").alias("c"))
+    if broadcast_edges is None:
+        broadcast_edges = oriented.count() <= broadcast_max_edges
     if broadcast_edges:
         o2, o3 = F.broadcast(o2), F.broadcast(o3)
     tri = o1.join(o2, "b").join(o3, ["a", "c"])

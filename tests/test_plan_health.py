@@ -319,6 +319,26 @@ def test_triangle_count_fallback_plan_and_rows(spark, sf_oracle):
     )
 
 
+def test_triangle_count_auto_demotes_past_edge_crossover(spark, sf_oracle):
+    """broadcast_edges=None (the default) must pick the plan by edge
+    count: a tiny broadcast_max_edges forces the shuffled fallback
+    (r8 calibration: 119.6M edges OOM an 8 GiB heap, so the registry
+    key cannot hard-code the broadcast hint), and the rows must equal
+    the broadcast path's."""
+    from etl_acordos_spark.operators.graph import triangle_counts
+
+    edges = _graph_edges(spark, sf_oracle)
+    auto_small = triangle_counts(
+        edges, k=20, broadcast_edges=None, broadcast_max_edges=1
+    )
+    plan = plan_of(auto_small)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    expected = triangle_counts(edges, k=20, broadcast_edges=True)
+    assert sorted(map(tuple, auto_small.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+
 def test_pagerank_fallback_plan_and_rows(spark, sf_oracle):
     """`broadcast_ranks=False` is the beyond-executor-memory vertex-set
     escape hatch: each iteration's rank join degrades to a shuffled
