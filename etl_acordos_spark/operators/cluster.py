@@ -154,6 +154,8 @@ def kmeans_assign(
     vecs.persist()
     try:
         init = vecs.orderBy("id").limit(k).collect()
+        if not init:
+            raise ValueError("kmeans_assign: empty input — no vectors to cluster")
         dtype = np.int64 if quantize else np.float64
         C = np.stack([np.asarray(r["v"], dtype=dtype) for r in init])
         dim = C.shape[1]
