@@ -303,3 +303,67 @@ def test_star_and_clique_linking_agree_on_preverify_components(spark):
         for b in ms[i + 1 :]
     ]
     assert components(star_edges) == components(clique_edges)
+
+
+def test_stream_dedup_index_fold_equivalence_on_skewed_corpus(spark):
+    """The streaming dedup index's correctness contract (settled kept
+    set == per-batch incremental fold) must survive a duplicate-DENSE
+    ingest: a 2k-member near-dup cluster (over-cap buckets) + tail,
+    delivered across 3 micro-batches. Pins that the stored band index
+    and the combined bucket-size cap behave identically to recomputing
+    the kept corpus's bands per batch when a mega-cluster floods the
+    buckets."""
+    import os
+    import tempfile
+
+    from etl_acordos_spark.streaming.dedup_index import (
+        streaming_dedup_index_run,
+    )
+
+    base_words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(2000):
+        w = list(base_words)
+        w[i % 30] = f"m{i}"
+        rows.append((i, " ".join(w)))
+    for d in range(300):
+        rows.append((20_000 + d, " ".join(f"t{d}x{j}" for j in range(30))))
+    for p in range(10):
+        w = [f"p{p}y{j}" for j in range(30)]
+        rows.append((30_000 + 2 * p, " ".join(w)))
+        w2 = list(w)
+        w2[5] = f"p{p}z"
+        rows.append((30_000 + 2 * p + 1, " ".join(w2)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    base = tempfile.mkdtemp(prefix="sdi_skew_")
+    got = sorted(
+        r[0]
+        for r in streaming_dedup_index_run(
+            spark, docs, "text", "doc_id", base, n_batches=3
+        ).collect()
+    )
+
+    src = os.path.join(base, f"stream_dedup_index_{os.getpid()}", "src")
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert len(files) == 3
+    corpus = None
+    want: list[int] = []
+    for f in files:
+        batch = spark.read.parquet(os.path.join(src, f)).select(
+            "doc_id", "text"
+        )
+        surv = incremental_minhash_dedup(
+            corpus if corpus is not None else batch.limit(0),
+            batch,
+            "text",
+            "doc_id",
+        )
+        want.extend(r[0] for r in surv.collect())
+        kept_batch = batch.join(surv, ["doc_id"], "left_semi")
+        corpus = (
+            kept_batch
+            if corpus is None
+            else corpus.unionByName(kept_batch)
+        ).localCheckpoint(eager=True)
+    assert got == sorted(want)
