@@ -47,9 +47,11 @@ def _round_boundary_lag(missing: set[str]) -> bool:
     AFTER the round's final build commit, so keys first-green in it
     cannot have manifest entries until the next round's opening
     `manifest refresh`. Detected as: every missing key is green in the
-    newest committed CORRECTNESS file, and the manifest's last-touch
-    commit is an ancestor of that file's commit (a refresh since then
-    would have picked them up)."""
+    newest CORRECTNESS file, and the manifest's last-touch commit
+    predates that file: either the file is still *untracked* (the
+    driver wrote it after every commit — lag a fortiori; the r8 verdict
+    reproduced the miss exactly here), or its commit descends from the
+    manifest's (a refresh since then would have picked them up)."""
     import glob
     import subprocess
 
@@ -71,7 +73,14 @@ def _round_boundary_lag(missing: set[str]) -> bool:
         "etl_acordos_spark/queries/verification_manifest.json"
     )
     c_commit = last_commit(os.path.relpath(latest, REPO))
-    if not m_commit or not c_commit or m_commit == c_commit:
+    if not m_commit:
+        return False
+    if not c_commit:
+        # The latest CORRECTNESS artifact is untracked: the driver
+        # produced it after every existing commit, so no committed
+        # manifest refresh could have seen it.
+        return True
+    if m_commit == c_commit:
         return False
     return (
         subprocess.run(
@@ -242,3 +251,53 @@ def test_shared_oracle_constant_edit_invalidates_consumers() -> None:
     )
     after2 = manifest.compute_fingerprints(_patched_provider({rel: patched2}))
     assert before["ext_dedup_jaccard"]["seg"] != after2["ext_dedup_jaccard"]["seg"]
+
+
+def test_round_boundary_lag_covers_untracked_artifact(tmp_path, monkeypatch):
+    """The r8 judge reproduction: the driver writes CORRECTNESS_r{N}
+    after the round's final commit and the judge runs pytest before any
+    new commit lands — the artifact is *untracked*, `git log -1 -- path`
+    returns nothing, and the r8 guard hard-failed. An untracked latest
+    artifact is the lag case a fortiori (no committed refresh could
+    have seen it), so the guard must skip, not fail."""
+    import subprocess
+    import sys
+
+    repo = tmp_path / "repo"
+    (repo / "etl_acordos_spark" / "queries").mkdir(parents=True)
+    subprocess.run(["git", "init", "-q", str(repo)], check=True)
+    mpath = repo / "etl_acordos_spark" / "queries" / "verification_manifest.json"
+    mpath.write_text("{}")
+    env_id = ["-c", "user.email=t@example.com", "-c", "user.name=t"]
+    subprocess.run(["git", "-C", str(repo), "add", "-A"], check=True)
+    subprocess.run(
+        ["git", "-C", str(repo), *env_id, "commit", "-qm", "manifest"],
+        check=True,
+    )
+    artifact = repo / "CORRECTNESS_r99.json"
+    artifact.write_text(
+        json.dumps({"k1": {"hash_match": True, "spark_rows": 1, "err": None}})
+    )
+    monkeypatch.setattr(sys.modules[__name__], "REPO", str(repo))
+    assert _round_boundary_lag({"k1"}) is True
+    # a key not green in the artifact is still a real hole
+    assert _round_boundary_lag({"k1", "k2"}) is False
+    # committing the artifact alone is still lag (the r7 shape) ...
+    subprocess.run(["git", "-C", str(repo), "add", "-A"], check=True)
+    subprocess.run(
+        ["git", "-C", str(repo), *env_id, "commit", "-qm", "artifact"],
+        check=True,
+    )
+    assert _round_boundary_lag({"k1"}) is True
+    # ... but once a refresh lands at/after the artifact (manifest and
+    # artifact share their last-touch commit), missing keys hard-fail
+    mpath.write_text('{"k_other": {"seg": "x", "dep": "y"}}')
+    artifact.write_text(
+        json.dumps({"k1": {"hash_match": True, "spark_rows": 2, "err": None}})
+    )
+    subprocess.run(["git", "-C", str(repo), "add", "-A"], check=True)
+    subprocess.run(
+        ["git", "-C", str(repo), *env_id, "commit", "-qm", "refresh"],
+        check=True,
+    )
+    assert _round_boundary_lag({"k1"}) is False
