@@ -126,7 +126,8 @@ def kmeans_assign(
     EXACT shifted-integer domain: components become
     ``floor(x·Q + 0.5) + Q`` (int64; x·Q is exact for float32 inputs
     because Q only shifts the exponent, and the +Q shift keeps every
-    value positive so truncating division == floor in any engine), all
+    value non-negative — truncating division == floor in any engine —
+    for components in [-1, 1], which an in-plan raise enforces), all
     distances/sums are exact int64 arithmetic with no summation-order
     sensitivity, and centroid updates round half-up via
     ``(2·sum + n) // (2·n)``. That makes the full iteration ANSI-SQL
@@ -137,13 +138,34 @@ def kmeans_assign(
     """
     if quantize:
         q = float(quantize)
+
+        def _quantized(x):
+            # The +Q shift keeps values positive only for x >= -1;
+            # a negative shifted int would split the engines (DuckDB
+            # `//` truncates toward zero, Python floors). Guard the
+            # domain inside the used column so the check can't be
+            # pruned; normalized embeddings always satisfy it.
+            guarded = F.when(
+                (x < F.lit(-1.0)) | (x > F.lit(1.0)),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "kmeans_assign: quantize requires components"
+                            " in [-1, 1] (the exact-int domain breaks"
+                            " below -1), got "
+                        ),
+                        x.cast("string"),
+                    )
+                ),
+            ).otherwise(x)
+            return (
+                F.floor(guarded * F.lit(q) + F.lit(0.5)).cast("long")
+                + F.lit(int(quantize))
+            )
+
         vecs = df.select(
             F.col(id_col).alias("id"),
-            F.transform(
-                as_double(vec_col),
-                lambda x: F.floor(x * F.lit(q) + F.lit(0.5)).cast("long")
-                + F.lit(int(quantize)),
-            ).alias("v"),
+            F.transform(as_double(vec_col), _quantized).alias("v"),
         )
         stats_schema = "cluster int, pos int, s bigint, n bigint"
     else:

@@ -261,6 +261,65 @@ def probe_cells(
     return [int(c) for c in np.argsort(-(Cn @ (query / q_norm)))[:n_probe]]
 
 
+def quantize_mat(mat: np.ndarray, q: int) -> np.ndarray:
+    """``floor(x·Q + 0.5) + Q`` per component (the kmeans_assign exact
+    shifted-integer domain): x·Q is exact for float32 inputs when Q is
+    a power of two, and for x in [-1, 1] every shifted value is
+    non-negative, so integer division floors identically in numpy,
+    Spark and DuckDB. Out-of-range components raise — below -1 the
+    shift goes negative and DuckDB's truncating ``//`` silently
+    diverges from a flooring one."""
+    m = np.asarray(mat, dtype=np.float64)
+    if m.size and (float(m.min()) < -1.0 or float(m.max()) > 1.0):
+        raise ValueError(
+            "quantize requires components in [-1, 1] (the exact-int "
+            f"domain breaks below -1); got range [{m.min()}, {m.max()}]"
+        )
+    return (np.floor(m * float(q) + 0.5) + q).astype(np.int64)
+
+
+def _int_sq_dists(mat: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact int64 pairwise squared-L2 via the expanded form — one
+    integer matmul instead of an (n × k × dim) broadcast. Max term is
+    dim · (2Q)² ≈ 2^48 at Q=2^20, dim=64: no int64 overflow."""
+    return (
+        (mat * mat).sum(axis=1, keepdims=True)
+        - 2 * (mat @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
+def assign_cell_quantized_udf(centroids: np.ndarray, q: int):
+    """Quantized-domain nearest-centroid assignment: vectors quantize to
+    the same shifted-int64 grid as *centroids* and the argmin of EXACT
+    integer squared-L2 picks the cell (ties to the lowest cell id —
+    np.argmin's first-minimum, matching the oracle's
+    ``row_number() OVER (ORDER BY dist, cluster)``). This is what makes
+    the IVF cell structure ANSI-SQL replayable: no normalization, no
+    float sums, no summation-order sensitivity anywhere."""
+    C = np.asarray(centroids, dtype=np.int64)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = quantize_mat(np.stack(vecs.to_numpy()), q)
+        d2 = _int_sq_dists(mat, C)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return assign
+
+
+def probe_cells_quantized(
+    centroids: np.ndarray, query_int: np.ndarray, n_probe: int
+) -> list[int]:
+    """The *n_probe* cells nearest the quantized query by exact integer
+    squared-L2, ties to the lowest cell id — the replayable twin of
+    `probe_cells` (which ranks by cosine over float centroids)."""
+    C = np.asarray(centroids, dtype=np.int64)
+    d2 = _int_sq_dists(query_int[None, :].astype(np.int64), C)[0]
+    order = sorted(range(len(C)), key=lambda c: (int(d2[c]), c))
+    return order[:n_probe]
+
+
 def train_coarse_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -269,6 +328,7 @@ def train_coarse_centroids(
     train_factor: int = 4,
     n_iter: int = 4,
     sample: np.ndarray | None = None,
+    quantize: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer for IVF, trained DRIVER-SIDE
     on a deterministic sample: the first ``train_factor * n_lists``
@@ -291,7 +351,15 @@ def train_coarse_centroids(
 
     Callers that already hold the id-prefix sample (the streaming
     store's first-batch probe) pass it via *sample* to skip the second
-    collect of the same rows."""
+    collect of the same rows.
+
+    With *quantize* = Q (a power of two) training runs in
+    `kmeans_assign`'s exact shifted-integer domain instead: squared-L2
+    Lloyd over ``floor(x·Q + 0.5) + Q`` int64 components (no
+    normalization — normalizing is a float op), argmin ties to the
+    lowest cell, centroid update = round-half-up integer mean
+    ``(2·sum + n) // (2·n)``. Bit-replayable as unrolled SQL CTEs
+    (`ext_simsearch_ivf`'s oracle); returns int64 centroids."""
     train_n = train_factor * n_lists
     if sample is None:
         rows = (
@@ -309,6 +377,18 @@ def train_coarse_centroids(
             f"train_coarse_centroids: only {len(S)} vectors available "
             f"< n_lists={n_lists}"
         )
+    if quantize:
+        Sq = quantize_mat(S, quantize)
+        C = Sq[:n_lists].copy()
+        for _ in range(n_iter):
+            a = np.argmin(_int_sq_dists(Sq, C), axis=1)
+            for c in range(n_lists):
+                members = Sq[a == c]
+                if len(members):
+                    n = np.int64(len(members))
+                    # operands all positive: // floors in every engine
+                    C[c] = (2 * members.sum(axis=0) + n) // (2 * n)
+        return C
     Sn = S / _safe_norms(S)
     C = Sn[:n_lists].copy()
     for _ in range(n_iter):
@@ -330,6 +410,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     centroids: np.ndarray | None = None,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) search: partition the
     corpus into *n_lists* cells around coarse centroids, then scan only
@@ -343,29 +424,60 @@ def ivf_topk(
     is that the scan for a query touches n_probe/n_lists of the corpus,
     and the cell id is a natural partition/bucket key for the stored
     table.
+
+    With *quantize* = Q the whole CELL structure — coarse training,
+    corpus assignment, probe selection — runs in the exact
+    shifted-integer domain (squared-L2 over ``floor(x·Q + 0.5) + Q``
+    int64 grids, ties to the lowest cell), so candidate membership is
+    ANSI-SQL replayable and the final exact cosine re-rank makes the
+    whole query hash-verifiable (`ext_simsearch_ivf`'s DuckDB oracle
+    unrolls it). The float spherical path stays the production default
+    (BLAS matmuls, cosine-shaped cells); quantized-vs-float recall
+    parity on the adversarial fixture is pinned in
+    tests/test_simsearch.py.
     """
-    C = (
-        centroids
-        if centroids is not None
-        else train_coarse_centroids(df, id_col, vec_col, n_lists)
-    )
-
-    assigned = df.select(
-        F.col(id_col).alias("id"),
-        as_double(vec_col).alias("v"),
-        assign_cell_udf(C)(as_double(vec_col)).alias("cell"),
-    )
-
     qrow = df.filter(F.col(id_col) == query_id).select(as_double(vec_col)).head()
     if qrow is None:
         raise ValueError(f"ivf_topk: query id {query_id!r} not found in {id_col!r}")
     q = np.asarray(qrow[0], dtype=np.float64)
-    try:
-        probe = probe_cells(C, q, n_probe)
-    except ValueError:
-        raise ValueError(
-            f"ivf_topk: query vector {query_id!r} has zero norm — cosine undefined"
-        ) from None
+
+    if quantize:
+        if float(np.linalg.norm(q)) == 0.0:
+            raise ValueError(
+                f"ivf_topk: query vector {query_id!r} has zero norm — cosine undefined"
+            )
+        C = (
+            centroids
+            if centroids is not None
+            else train_coarse_centroids(
+                df, id_col, vec_col, n_lists, quantize=quantize
+            )
+        )
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            as_double(vec_col).alias("v"),
+            assign_cell_quantized_udf(C, quantize)(
+                as_double(vec_col)
+            ).alias("cell"),
+        )
+        probe = probe_cells_quantized(C, quantize_mat(q, quantize), n_probe)
+    else:
+        C = (
+            centroids
+            if centroids is not None
+            else train_coarse_centroids(df, id_col, vec_col, n_lists)
+        )
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            as_double(vec_col).alias("v"),
+            assign_cell_udf(C)(as_double(vec_col)).alias("cell"),
+        )
+        try:
+            probe = probe_cells(C, q, n_probe)
+        except ValueError:
+            raise ValueError(
+                f"ivf_topk: query vector {query_id!r} has zero norm — cosine undefined"
+            ) from None
     qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
 
     return (

@@ -349,9 +349,18 @@ def q_ext_simsearch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ext_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for vec_id=0: 16 coarse cells, probe the 4
-    nearest — the scan touches ~1/4 of the corpus. Rows-only
-    (approximate by design; recall unit-tested against exact_topk)."""
-    return ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    nearest — the scan touches ~1/4 of the corpus. Runs the exact
+    shifted-integer cell structure (quantize=2^20, the ext_kmeans
+    recipe) so the candidate set — the only approximate part — is
+    bit-deterministic and the whole query hash-verifies against
+    `_ivf_oracle` (unrolled quantized-Lloyd coarse training over the
+    id-prefix sample + integer argmin assignment/probe + the verified
+    exact-cosine re-rank). The float spherical path stays the
+    production default; quantized-vs-float recall parity is pinned on
+    the adversarial fixture (tests/test_simsearch.py)."""
+    return ivf_topk(
+        t(spark, sf_dir, "embeddings"), query_id=0, k=10, quantize=1 << 20
+    )
 
 
 def q_ext_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +457,7 @@ def q_ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 10, n_iter: int = 4, q: int = 1 << 20, dim: int = 64) -> str:
+def _kmeans_oracle(k: int = 10, n_iter: int = 4, q: int = 1 << 20) -> str:
     """Exact DuckDB replay of the quantized Lloyd run: components map to
     ``floor(x·Q + 0.5) + Q`` (int64, positive — so ``//`` truncation ==
     floor in both engines), each unrolled round is assignment (argmin of
@@ -457,29 +466,61 @@ def _kmeans_oracle(k: int = 10, n_iter: int = 4, q: int = 1 << 20, dim: int = 64
     empty cluster keeps its previous centroid via COALESCE), and the
     final SELECT re-assigns against the last centroids — mirroring
     operators/cluster.py::kmeans_assign's trailing assignment pass.
-    list_sum returns HUGEINT — cast back to BIGINT before the division."""
-
-    def dist(vt: str, ct: str) -> str:
-        return (
-            f"list_sum(list_transform(range(1, {dim + 1}),"
-            f" p -> ({vt}.v[p] - {ct}.v[p]) * ({vt}.v[p] - {ct}.v[p])))"
-        )
+    list_sum returns HUGEINT — cast back to BIGINT before the division.
+    The dimension is derived from the vectors themselves (``len(v)``,
+    like the Spark side's ``C.shape[1]``) — a hardcoded width would
+    silently NULL distances past the list end on any other table."""
 
     parts = [
-        "WITH vecs AS (SELECT vec_id AS id,"
+        "WITH " + _quantized_vecs_cte(q) + ",",
+        _lloyd_ctes("vecs", k, n_iter),
+        " fin AS (SELECT id, cluster FROM ("
+        "  SELECT vecs.id, c.cluster, row_number() OVER ("
+        f"   PARTITION BY vecs.id ORDER BY {_int_dist('vecs', 'c')}, c.cluster)"
+        f"  AS rn FROM vecs CROSS JOIN c{n_iter} c) WHERE rn = 1)"
+        " SELECT id AS vec_id, cluster FROM fin",
+    ]
+    return "".join(parts)
+
+
+def _quantized_vecs_cte(q: int) -> str:
+    """``vecs`` = embeddings mapped onto the exact shifted-int grid."""
+    return (
+        "vecs AS (SELECT vec_id AS id,"
         " list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
-        f" * {q}.0 + 0.5) AS BIGINT) + {q}) AS v FROM embeddings),"
+        f" * {q}.0 + 0.5) AS BIGINT) + {q}) AS v FROM embeddings)"
+    )
+
+
+def _int_dist(vt: str, ct: str) -> str:
+    """Exact integer squared-L2 between two aliased ``v`` int lists;
+    width derived from the data (len), never hardcoded."""
+    return (
+        f"list_sum(list_transform(range(1, len({vt}.v) + 1),"
+        f" p -> ({vt}.v[p] - {ct}.v[p]) * ({vt}.v[p] - {ct}.v[p])))"
+    )
+
+
+def _lloyd_ctes(src: str, k: int, n_iter: int) -> str:
+    """The unrolled quantized-Lloyd CTE chain over CTE *src* (columns
+    ``id``, ``v``): c0 = first *k* rows by id, each round assigns
+    (integer argmin, ties to the lowest cluster) and updates centroids
+    (round-half-up integer mean; empty cluster keeps its centroid via
+    COALESCE). Shared by the `ext_kmeans` oracle (src = the full
+    corpus) and the `ext_simsearch_ivf` oracle (src = the id-prefix
+    training sample). Emits ``c0..c{n_iter}`` with a trailing comma."""
+    parts = [
         " c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT)"
-        f" AS cluster, v FROM (SELECT id, v FROM vecs ORDER BY id LIMIT {k})),"
+        f" AS cluster, v FROM (SELECT id, v FROM {src} ORDER BY id LIMIT {k})),"
     ]
     for i in range(1, n_iter + 1):
         prev = f"c{i - 1}"
         parts.append(
             f" a{i} AS (SELECT id, v, cluster FROM ("
-            "  SELECT vecs.id, vecs.v, c.cluster, row_number() OVER ("
-            f"   PARTITION BY vecs.id ORDER BY {dist('vecs', 'c')}, c.cluster)"
-            f"  AS rn FROM vecs CROSS JOIN {prev} c) WHERE rn = 1),"
-            f" m{i} AS (SELECT cluster, list_transform(range(1, {dim + 1}),"
+            f"  SELECT {src}.id, {src}.v, c.cluster, row_number() OVER ("
+            f"   PARTITION BY {src}.id ORDER BY {_int_dist(src, 'c')}, c.cluster)"
+            f"  AS rn FROM {src} CROSS JOIN {prev} c) WHERE rn = 1),"
+            f" m{i} AS (SELECT cluster, list_transform(range(1, len(vs[1]) + 1),"
             "  p -> CAST((2 * CAST(list_sum(list_transform(vs, w -> w[p]))"
             "   AS BIGINT) + cnt) // (2 * cnt) AS BIGINT)) AS v"
             f" FROM (SELECT cluster, count(*) AS cnt, list(v) AS vs FROM a{i}"
@@ -487,17 +528,61 @@ def _kmeans_oracle(k: int = 10, n_iter: int = 4, q: int = 1 << 20, dim: int = 64
             f" c{i} AS (SELECT c.cluster, COALESCE(m.v, c.v) AS v"
             f" FROM {prev} c LEFT JOIN m{i} m USING (cluster)),"
         )
-    parts.append(
-        " fin AS (SELECT id, cluster FROM ("
-        "  SELECT vecs.id, c.cluster, row_number() OVER ("
-        f"   PARTITION BY vecs.id ORDER BY {dist('vecs', 'c')}, c.cluster)"
-        f"  AS rn FROM vecs CROSS JOIN c{n_iter} c) WHERE rn = 1)"
-        " SELECT id AS vec_id, cluster FROM fin"
-    )
     return "".join(parts)
 
 
 _KMEANS_ORACLE = _kmeans_oracle()
+
+
+def _ivf_oracle(
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    q: int = 1 << 20,
+    n_iter: int = 4,
+    train_factor: int = 4,
+    query_id: int = 0,
+) -> str:
+    """Exact DuckDB replay of the quantized IVF query
+    (operators/simsearch.py::ivf_topk with quantize=Q): the coarse
+    quantizer is the unrolled quantized-Lloyd chain (`_lloyd_ctes`)
+    over the id-prefix training sample — the same recipe that
+    hash-verified `ext_kmeans` — corpus cell assignment and probe
+    selection are integer-squared-L2 argmins (ties to the lowest cell),
+    the probed-cell filter is a plain IN list, and the re-rank is the
+    verified `ext_simsearch` exact-cosine expression over the
+    candidates. Approximation lives entirely in WHICH ids are scanned,
+    and that set is now bit-deterministic — so the whole query
+    hash-verifies."""
+    train_n = train_factor * n_lists
+    cn = f"c{n_iter}"
+    return (
+        "WITH " + _quantized_vecs_cte(q) + ","
+        f" samp AS (SELECT id, v FROM vecs ORDER BY id LIMIT {train_n}),"
+        + _lloyd_ctes("samp", n_lists, n_iter)
+        + " asg AS (SELECT id, cluster FROM ("
+        "  SELECT vecs.id, c.cluster, row_number() OVER ("
+        f"   PARTITION BY vecs.id ORDER BY {_int_dist('vecs', 'c')}, c.cluster)"
+        f"  AS rn FROM vecs CROSS JOIN {cn} c) WHERE rn = 1),"
+        f" qv AS (SELECT v FROM vecs WHERE id = {query_id}),"
+        f" probe AS (SELECT c.cluster FROM {cn} c CROSS JOIN qv"
+        f"  ORDER BY {_int_dist('qv', 'c')}, c.cluster LIMIT {n_probe}),"
+        " cand AS (SELECT id FROM asg"
+        "  WHERE cluster IN (SELECT cluster FROM probe)"
+        f"  AND id <> {query_id}),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        "  JOIN cand ON vec_id = cand.id),"
+        " fq AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
+        f"  WHERE vec_id = {query_id})"
+        " SELECT vec_id,"
+        "  round(list_dot_product(e.v, fq.v) /"
+        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fq.v, fq.v))),"
+        "   6) AS cosine"
+        f" FROM e, fq ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+_IVF_ORACLE = _ivf_oracle()
 
 
 def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,7 +851,12 @@ def _bpe_chain_ctes(n_merges: int, min_freq: int) -> str:
         " SELECT unnest(string_split_regex(text, ' +')) AS word"
         " FROM documents WHERE text IS NOT NULL),"
         " w0 AS (SELECT word,"
-        "  regexp_extract_all(word, '.') || ['</w>'] AS syms,"
+        # Java-regex '.' (the Spark trainer's splitter) excludes all
+        # five line terminators (\n \r \x85 U+2028 U+2029); DuckDB's
+        # RE2 '.' excludes only \n -- spell the class out so a \r etc.
+        # INSIDE a word (space-split keeps it there) tokenizes the same
+        "  regexp_extract_all(word,"
+        "   '[^\\n\\r\\x{0085}\\x{2028}\\x{2029}]') || ['</w>'] AS syms,"
         "  count(*) AS freq FROM toks WHERE word <> '' GROUP BY word),"
     ]
     for i in range(1, n_merges + 1):
@@ -2031,7 +2121,7 @@ QUERIES: dict[str, QueryDef] = {
         q_ext_quantize_embed, _ORACLES["ext_quantize_embed"]
     ),
     "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, None),
-    "ext_simsearch_ivf": QueryDef(q_ext_simsearch_ivf, None),
+    "ext_simsearch_ivf": QueryDef(q_ext_simsearch_ivf, _IVF_ORACLE),
     "ext_simsearch_pq": QueryDef(q_ext_simsearch_pq, None),
     "ext_simsearch_ivfpq": QueryDef(q_ext_simsearch_ivfpq, None),
     "ext_kmeans": QueryDef(q_ext_kmeans, _ORACLES["ext_kmeans"]),

@@ -307,3 +307,122 @@ def test_scale_tile_copy0_embeddings_pass_through(spark, monkeypatch, tmp_path):
     )
     # copies >= 1 must stay jittered (near, not bit-equal)
     assert copy1.intersect(src).count() == 0
+
+
+# ------------------------------------------- round-9 ADVICE regressions
+
+
+def test_bpe_oracle_java_dot_semantics_on_line_terminators(spark):
+    """ADVICE r9 (medium): DuckDB's RE2 '.' keeps \\r, \\x85, U+2028 and
+    U+2029 inside a word (it drops only \\n) while the Spark trainer's
+    Java-regex '.' drops all five line terminators. The oracles' w0 CTE
+    now spells the character class out — pin the train AND apply twins
+    hash-equal on a corpus with every non-\\n terminator embedded in
+    words (space-splitting keeps them there)."""
+    import duckdb
+    import pandas as pd
+
+    from etl_acordos_spark.operators.text import bpe_apply, bpe_train
+    from etl_acordos_spark.queries.llm import (
+        _bpe_apply_oracle,
+        _bpe_train_oracle,
+    )
+
+    cr, nel, ls, ps = "\r", "\x85", "\u2028", "\u2029"
+    corpus = [
+        f"ab{cr}cd ab{cr}cd lower lower",
+        f"ef{nel}gh ef{nel}gh lower case",
+        f"ij{ls}kl ij{ls}kl case case",
+        f"mn{ps}op mn{ps}op ab{cr}cd plain",
+        "plain plain words words",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)],
+        "doc_id bigint, text string",
+    )
+    n = 6
+    rules_rows = bpe_train(docs, "text", "doc_id", n_merges=n).collect()
+    got_train = sorted(
+        (r["merge_idx"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in rules_rows
+    )
+    # the terminators must have been dropped by the trainer's splitter
+    assert all(
+        cr not in r[3] and nel not in r[3] and ls not in r[3]
+        for r in got_train
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus}),
+    )
+    want_train = sorted(tuple(r) for r in con.execute(_bpe_train_oracle(n)).fetchall())
+    assert got_train == want_train
+
+    rules = [(r["left"], r["right"]) for r in rules_rows]
+    got_apply = sorted(
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"], r["chars_per_token"])
+        for r in bpe_apply(docs, "text", "doc_id", rules).collect()
+    )
+    want_apply = sorted(
+        tuple(r) for r in con.execute(_bpe_apply_oracle(n)).fetchall()
+    )
+    assert got_apply == want_apply
+
+
+def test_kmeans_quantize_rejects_out_of_range_components(spark):
+    """ADVICE r9 (low): the +Q shift keeps shifted ints non-negative
+    only for components >= -1; below that DuckDB's truncating // and
+    Python's flooring // diverge silently. The quantize path must
+    refuse the domain instead."""
+    from etl_acordos_spark.operators.cluster import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.5]), (1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="quantize requires components"):
+        kmeans_assign(df, k=2, n_iter=1, quantize=1 << 20).collect()
+    # in-range input is untouched
+    ok = spark.createDataFrame(
+        [(0, [1.0, -1.0]), (1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert kmeans_assign(ok, k=2, n_iter=1, quantize=1 << 20).count() == 3
+
+
+def test_kmeans_oracle_derives_dim_from_data(spark):
+    """ADVICE r9 (low): _kmeans_oracle hardcoded dim=64 — on any other
+    embedding width its range(1, 65) indexed past the list end and
+    NULLed every distance. The oracle now derives the width via len(v);
+    pin Spark == oracle on a dim-8 table."""
+    import duckdb
+    import pandas as pd
+
+    from etl_acordos_spark.operators.cluster import kmeans_assign
+    from etl_acordos_spark.queries.llm import _kmeans_oracle
+
+    dim, n, k, iters = 8, 40, 5, 3
+    vecs = [
+        [((i * 31 + j * 7) % 97) / 97.0 - 0.4 for j in range(dim)]
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(df, k=k, n_iter=iters, quantize=1 << 20).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": range(n), "embedding": vecs}),
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_kmeans_oracle(k=k, n_iter=iters)).fetchall()
+    )
+    assert got == want
+    assert len({c for _, c in got}) > 1  # a real clustering, not one blob

@@ -59,7 +59,9 @@ def test_bitext_margin_demotes_hub_promotes_isolated_pair(spark):
 # ------------------------- adversarial-distribution ANN recall (r8)
 
 
-def _hub_heavy_corpus(spark, n_clusters=8, dim=64, n_hubs=40, seed=7):
+def _hub_heavy_corpus(
+    spark, n_clusters=8, dim=64, n_hubs=40, seed=7, unit_range=False
+):
     """Clustered + hub-heavy fixture (~5k vectors) — the distribution
     where sign-LSH and coarse product quantizers actually degrade
     (hubness is why margin-based bitext mining exists, Artetxe &
@@ -93,6 +95,12 @@ def _hub_heavy_corpus(spark, n_clusters=8, dim=64, n_hubs=40, seed=7):
         h = 8.0 * (gmean + rng.normal(0, 0.05, size=dim))
         rows.append((vid, [float(x) for x in h]))
         vid += 1
+    if unit_range:
+        # one GLOBAL scale onto [-1, 1] (the quantized-domain precondition):
+        # cosine and relative L2 cell structure are invariant under it, so
+        # recall comparisons against the unscaled corpus stay meaningful
+        m = max(abs(x) for _, v in rows for x in v)
+        rows = [(i, [x / m for x in v]) for i, v in rows]
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
 
 
@@ -163,3 +171,61 @@ def test_ann_recall_floors_on_clustered_hub_corpus(spark):
         assert len(exact & ivfpq) >= 7, f"ivfpq recall {len(exact & ivfpq)}/10"
     finally:
         vecs.unpersist()
+
+
+def test_ivf_quantized_recall_parity_on_hub_corpus(spark):
+    """The `ext_simsearch_ivf` registry key runs the quantized exact-int
+    cell structure (hash-verifiable); the float spherical path stays the
+    production default. Pin the quantized variant's recall@10 on the
+    adversarial fixture at the float path's floor — quantization must
+    not cost recall here (the grid step 2^-20 is ~5 orders below the
+    0.02 intra-cluster spread).
+
+    The fixture is globally rescaled into [-1, 1] (the quantized-domain
+    precondition enforced by quantize_mat); the float path sees the
+    SAME scaled corpus, so the comparison isolates the quantized cell
+    structure."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.simsearch import exact_topk, ivf_topk
+
+    vecs = _hub_heavy_corpus(spark, unit_range=True).cache()
+    try:
+        qvec = vecs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        exact = {
+            r["vec_id"]
+            for r in exact_topk(vecs, list(qvec), k=10, exclude_id=0).collect()
+        }
+        flt = {
+            r["vec_id"]
+            for r in ivf_topk(
+                vecs, query_id=0, k=10, n_lists=32, n_probe=8
+            ).collect()
+        }
+        quant = {
+            r["vec_id"]
+            for r in ivf_topk(
+                vecs, query_id=0, k=10, n_lists=32, n_probe=8,
+                quantize=1 << 20,
+            ).collect()
+        }
+        print(f"float recall {len(exact & flt)}/10, quantized {len(exact & quant)}/10")
+        assert len(exact & flt) >= 7, f"float recall {len(exact & flt)}/10"
+        assert len(exact & quant) >= 7, f"quantized recall {len(exact & quant)}/10"
+    finally:
+        vecs.unpersist()
+
+
+def test_quantize_mat_rejects_out_of_range():
+    """quantize_mat is the guard the quantized IVF/kmeans domain rests
+    on: below -1 the +Q shift goes negative and truncating vs flooring
+    integer division split the engines."""
+    import numpy as np
+    import pytest
+
+    from etl_acordos_spark.operators.simsearch import quantize_mat
+
+    with pytest.raises(ValueError, match="quantize requires components"):
+        quantize_mat(np.array([[0.5, -1.5]]), 1 << 20)
+    got = quantize_mat(np.array([[1.0, -1.0, 0.0]]), 4)
+    assert got.tolist() == [[8, 0, 4]]
