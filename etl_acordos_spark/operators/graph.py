@@ -141,7 +141,8 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     k: int = 20,
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool | None = None,
+    broadcast_max_vertices: int = 20_000_000,
 ) -> DataFrame:
     """Top-k vertices by PageRank over an undirected edge list
     (src < dst, distinct) after a fixed number of power iterations —
@@ -160,6 +161,17 @@ def pagerank(
     cut, iteration i's plan inlines all i-1 predecessors and analysis
     goes quadratic.
 
+    ``broadcast_ranks=None`` (the default) AUTO-selects the join
+    strategy at a vertex-count crossover, mirroring
+    `triangle_counts`' edge crossover: broadcast the rank table while
+    the graph holds ≤ *broadcast_max_vertices* vertices, shuffled
+    joins beyond. The probe is free — ``n`` is already computed for
+    the teleport term. The threshold reuses the triangle calibration
+    (a ~20M-row broadcast hashmap is safe on an 8 GiB heap; 120M rows
+    OOM it), and a rank row (id, double) is no wider than an oriented
+    edge; pagerank builds ONE such hashmap per iteration instead of
+    two per query, so 20M is conservative.
+
     Returns (vertex, rank) — k rows, rank floored at 1e-9, top-k ties
     broken by vertex id.
     """
@@ -174,6 +186,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = out.select("src").distinct().count()
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= broadcast_max_vertices
     ranks = (
         out.select("src")
         .distinct()
@@ -181,38 +195,55 @@ def pagerank(
     )
     base = (1.0 - damping) / n
     for _ in range(iterations):
-        # the rank table is |V| rows of (id, double) — ~16 bytes/vertex,
-        # broadcastable into the 10^8-vertex range. Broadcasting it makes
-        # every iteration a map-side join over the pinned edge list +
-        # one (vertex, partial-sum) exchange; the checkpointed leaf
-        # carries no partitioning metadata, so a shuffled join would
-        # re-exchange BOTH sides all 10 rounds. Pass False for graphs
-        # whose vertex set outgrows executor memory.
-        r = F.broadcast(ranks) if broadcast_ranks else ranks
-        contrib = (
-            out.join(r, out.src == r.v)
-            .select(
-                F.col("dst").alias("v"),
-                (F.col("rank") / F.col("_deg")).alias("_c"),
-            )
-            .groupBy("v")
-            .agg(F.sum("_c").alias("_in"))
-        )
-        ranks = contrib.select(
-            "v",
-            (
-                F.floor(
-                    (F.lit(base) + F.lit(damping) * F.col("_in"))
-                    * 1000000000.0
-                    + 0.5
-                )
-                / 1000000000.0
-            ).alias("rank"),
+        ranks = _pagerank_iteration(
+            out, ranks, base, damping, broadcast_ranks
         ).localCheckpoint(eager=True)
     return (
         ranks.select(F.col("v").alias("vertex"), "rank")
         .orderBy(F.desc("rank"), F.asc("vertex"))
         .limit(k)
+    )
+
+
+def _pagerank_iteration(
+    out: DataFrame,
+    ranks: DataFrame,
+    base: float,
+    damping: float,
+    broadcast_ranks: bool,
+) -> DataFrame:
+    """One power iteration, returned PRE-checkpoint (the loop cuts
+    lineage; plan-health tests inspect this frame — the per-iteration
+    checkpoints make the joins invisible in pagerank's final plan).
+
+    The rank table is |V| rows of (id, double) — ~16 bytes/vertex,
+    broadcastable into the 10^8-vertex range. Broadcasting it makes
+    the iteration a map-side join over the pinned edge list + one
+    (vertex, partial-sum) exchange; the checkpointed leaf carries no
+    partitioning metadata, so a shuffled join would re-exchange BOTH
+    sides every round. Past the vertex crossover the caller flips
+    *broadcast_ranks* off and the join degrades to a shuffled
+    equi-join."""
+    r = F.broadcast(ranks) if broadcast_ranks else ranks
+    contrib = (
+        out.join(r, out.src == r.v)
+        .select(
+            F.col("dst").alias("v"),
+            (F.col("rank") / F.col("_deg")).alias("_c"),
+        )
+        .groupBy("v")
+        .agg(F.sum("_c").alias("_in"))
+    )
+    return contrib.select(
+        "v",
+        (
+            F.floor(
+                (F.lit(base) + F.lit(damping) * F.col("_in"))
+                * 1000000000.0
+                + 0.5
+            )
+            / 1000000000.0
+        ).alias("rank"),
     )
 
 

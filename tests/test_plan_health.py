@@ -252,13 +252,31 @@ def test_triangle_count_wedge_joins_stay_broadcast(spark, sf_oracle):
     assert "SortMergeJoin" not in plan
 
 
+def _pagerank_iteration_frames(spark):
+    """A production-shaped iteration input: both sides are RDD leaves
+    (localCheckpoint), exactly what the loop feeds the iteration."""
+    out = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1)],
+        "src long, dst long, _deg long",
+    ).localCheckpoint(eager=True)
+    ranks = spark.createDataFrame(
+        [(1, 0.4), (2, 0.3), (3, 0.3)], "v long, rank double"
+    ).localCheckpoint(eager=True)
+    return out, ranks
+
+
 def test_pagerank_iterations_broadcast_the_rank_table(spark, sf_oracle):
     """Every power iteration must join the (tiny) rank table to the
     pinned edge list as a broadcast — a shuffled join would re-exchange
     the edge list all 10 rounds (checkpointed leaves carry no
-    partitioning metadata)."""
-    df = contract.queries()["ext_pagerank"](spark, sf_oracle)
-    plan = plan_of(df)
+    partitioning metadata). Checked on the ITERATION frame: pagerank's
+    returned plan is a post-checkpoint leaf scan, where any join
+    assertion passes vacuously."""
+    from etl_acordos_spark.operators.graph import _pagerank_iteration
+
+    out, ranks = _pagerank_iteration_frames(spark)
+    plan = plan_of(_pagerank_iteration(out, ranks, 0.05, 0.85, True))
+    assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
@@ -344,14 +362,57 @@ def test_pagerank_fallback_plan_and_rows(spark, sf_oracle):
     escape hatch: each iteration's rank join degrades to a shuffled
     equi-join — never cartesian — with rows identical to the broadcast
     path (the per-iteration grid-floor makes both bit-stable)."""
-    from etl_acordos_spark.operators.graph import pagerank
+    from etl_acordos_spark.operators.graph import (
+        _pagerank_iteration,
+        pagerank,
+    )
 
-    edges = _graph_edges(spark, sf_oracle)
-    fb = pagerank(edges, iterations=3, k=20, broadcast_ranks=False)
-    plan = plan_of(fb)
+    out, ranks = _pagerank_iteration_frames(spark)
+    plan = plan_of(_pagerank_iteration(out, ranks, 0.05, 0.85, False))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    edges = _graph_edges(spark, sf_oracle)
+    fb = pagerank(edges, iterations=3, k=20, broadcast_ranks=False)
     expected = pagerank(edges, iterations=3, k=20, broadcast_ranks=True)
     assert sorted(map(tuple, fb.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_pagerank_auto_demotes_past_vertex_crossover(
+    spark, sf_oracle, monkeypatch
+):
+    """broadcast_ranks=None (the default) must pick the join strategy
+    by vertex count — the free probe off the teleport-term n. A tiny
+    broadcast_max_vertices forces the shuffled fallback (the registry
+    key cannot hard-code the broadcast hint past ~20M vertices), the
+    default crossover keeps the broadcast on this graph, and the rows
+    must match (per-iteration grid-floor keeps both bit-stable)."""
+    from etl_acordos_spark.operators import graph
+
+    seen = []
+    orig = graph._pagerank_iteration
+
+    def spy(out, ranks, base, damping, broadcast_ranks):
+        seen.append(broadcast_ranks)
+        return orig(out, ranks, base, damping, broadcast_ranks)
+
+    monkeypatch.setattr(graph, "_pagerank_iteration", spy)
+    edges = _graph_edges(spark, sf_oracle)
+    auto_small = sorted(
+        map(
+            tuple,
+            graph.pagerank(
+                edges, iterations=3, k=20, broadcast_max_vertices=1
+            ).collect(),
+        )
+    )
+    assert seen == [False, False, False], seen
+    seen.clear()
+    auto_big = sorted(
+        map(tuple, graph.pagerank(edges, iterations=3, k=20).collect())
+    )
+    assert seen == [True, True, True], seen
+    assert auto_small == auto_big
