@@ -24,15 +24,34 @@ from pyspark.sql import functions as F
 
 
 def co_occurrence_edges(
-    items: DataFrame, group_col: str, item_col: str
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """Distinct undirected co-occurrence edges (src < dst): two items
     are connected iff they appear in the same group (same order, same
-    basket, same document). The self-join is per-group — a group with
-    g items emits C(g, 2) pairs, so bound pathological groups upstream
-    (a 10k-item basket emits 50M pairs; cap or sample it) the same way
-    the LSH buckets cap degenerate bands."""
+    basket, same document).
+
+    The self-join is per-group — a group with g items emits C(g, 2)
+    pairs, so *max_group_size* bounds pathological groups with a
+    count-filter BEFORE the self-join (a 10k-item basket would emit
+    50M pairs), the same way the LSH buckets cap degenerate bands.
+    Dropped groups are degenerate for co-occurrence semantics anyway
+    (an "everything bought with everything" basket carries no signal,
+    exactly like an empty-shingle LSH bucket); the registry graph keys
+    cap at 1000 — far above any real basket, so results only change
+    where the quadratic blowup would have happened. ``None`` keeps the
+    uncapped behavior for callers that pre-bound their groups."""
     li = items.select(group_col, item_col).distinct()
+    if max_group_size is not None:
+        ok = (
+            li.groupBy(group_col)
+            .count()
+            .filter(F.col("count") <= max_group_size)
+            .drop("count")
+        )
+        li = li.join(ok, group_col)
     a = li.select(
         F.col(group_col).alias("_g"), F.col(item_col).alias("src")
     )

@@ -894,7 +894,8 @@ def q_ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = co_occurrence_edges(
-        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        max_group_size=1000,
     )
     return triangle_counts(edges, k=20).withColumnRenamed(
         "vertex", "p_partkey"
@@ -981,7 +982,8 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = co_occurrence_edges(
-        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        max_group_size=1000,
     )
     return pagerank(edges, iterations=10, damping=0.85, k=20).withColumnRenamed(
         "vertex", "p_partkey"
@@ -996,7 +998,11 @@ def _pagerank_oracle(
     three knobs are threaded through so the oracle can't silently
     diverge from a retuned q_ext_pagerank."""
     head = (
-        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+        "WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+        # max_group_size=1000 twin (see _TRIANGLE_ORACLE)
+        " gok AS (SELECT l_orderkey FROM li0"
+        "  GROUP BY l_orderkey HAVING count(*) <= 1000),"
+        " li AS (SELECT li0.* FROM li0 JOIN gok USING (l_orderkey)),"
         " edges AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d"
         "  FROM li a JOIN li b"
         "   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),"
@@ -1501,7 +1507,12 @@ _LINKAGE_ORACLE = (
 )
 
 _TRIANGLE_ORACLE = (
-    "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    "WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    # max_group_size=1000 twin: drop degenerate baskets before the
+    # per-group self-join, exactly like the Spark side's count-filter
+    " gok AS (SELECT l_orderkey FROM li0"
+    "  GROUP BY l_orderkey HAVING count(*) <= 1000),"
+    " li AS (SELECT li0.* FROM li0 JOIN gok USING (l_orderkey)),"
     " edges AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d"
     "  FROM li a JOIN li b"
     "   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),"

@@ -1764,6 +1764,28 @@ def test_co_occurrence_edges_dedups_pairs(spark):
     assert got == {(10, 20)}
 
 
+def test_co_occurrence_cap_drops_degenerate_groups(spark):
+    """Candidate-volume stress for max_group_size (r8 VERDICT item 7):
+    a 400-item basket emits C(400,2) = 79,800 pairs uncapped — the
+    per-group quadratic blowup the docstring warned about but nothing
+    enforced. With the cap the basket is dropped by a count-filter
+    BEFORE the self-join, edge volume collapses to the healthy groups',
+    and those groups' edges are untouched."""
+    from etl_acordos_spark.operators.graph import co_occurrence_edges
+
+    rows = [("big", f"i{j}") for j in range(400)]
+    rows += [("a", "x"), ("a", "y"), ("b", "x"), ("b", "z")]
+    items = spark.createDataFrame(rows, "grp string, item string")
+    assert co_occurrence_edges(items, "grp", "item").count() == 79_800 + 2
+    capped = {
+        (r["src"], r["dst"])
+        for r in co_occurrence_edges(
+            items, "grp", "item", max_group_size=100
+        ).collect()
+    }
+    assert capped == {("x", "y"), ("x", "z")}
+
+
 def test_weighted_sample_prefers_heavy_weights(spark):
     """With extreme weight separation the heavy items dominate the
     sample; zero/negative-weight rows are never selected; the result

@@ -50,3 +50,42 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns
+
+
+def test_ext_approx_estimates_within_documented_error(spark, sf_oracle):
+    """`ext_approx` stays rows-only (Datasketches/percentile_approx
+    internals aren't SQL-replayable), so harden it the r8-verdict way:
+    cross-check every estimate against the exact value on the same
+    data. HLL++ with the default rsd=0.05 must land within 3 sigma
+    (15%) of exact distinct counts; percentile_approx with the default
+    accuracy=10000 guarantees rank error <= n/accuracy, checked with a
+    10x slack (1e-3 rank fraction). The same capabilities are
+    hash-verified end-to-end by the closed-form twins (ext_hll_md5,
+    ext_quantile_sketch); this pins THIS key's sketches to ground
+    truth."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.queries.base import t
+
+    got = contract.queries()["ext_approx"](spark, sf_oracle).head()
+    li = t(spark, sf_oracle, "lineitem")
+    n, exact_orders, exact_parts = li.agg(
+        F.count("*"),
+        F.countDistinct("l_orderkey"),
+        F.countDistinct("l_partkey"),
+    ).head()
+    assert abs(got["approx_orders"] - exact_orders) <= 0.15 * exact_orders, (
+        got["approx_orders"],
+        exact_orders,
+    )
+    assert abs(got["approx_parts"] - exact_parts) <= 0.15 * exact_parts, (
+        got["approx_parts"],
+        exact_parts,
+    )
+    for col, quantile in (
+        ("p50_price", 0.5),
+        ("p95_price", 0.95),
+        ("p99_price", 0.99),
+    ):
+        rank = li.filter(F.col("l_extendedprice") <= got[col]).count()
+        assert abs(rank / n - quantile) <= 1e-3, (col, rank / n, quantile)
