@@ -146,7 +146,10 @@ def kmeans_assign(
             # domain inside the used column so the check can't be
             # pruned; normalized embeddings always satisfy it.
             guarded = F.when(
-                (x < F.lit(-1.0)) | (x > F.lit(1.0)),
+                # isnan is explicit: NaN fails both comparisons, and
+                # floor(NaN·Q).cast(long) would otherwise turn it into
+                # silent garbage instead of this raise
+                F.isnan(x) | (x < F.lit(-1.0)) | (x > F.lit(1.0)),
                 F.raise_error(
                     F.concat(
                         F.lit(

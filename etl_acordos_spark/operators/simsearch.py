@@ -270,7 +270,10 @@ def quantize_mat(mat: np.ndarray, q: int) -> np.ndarray:
     shift goes negative and DuckDB's truncating ``//`` silently
     diverges from a flooring one."""
     m = np.asarray(mat, dtype=np.float64)
-    if m.size and (float(m.min()) < -1.0 or float(m.max()) > 1.0):
+    if m.size and not (float(m.min()) >= -1.0 and float(m.max()) <= 1.0):
+        # NaN fails BOTH >= and <= — the negated-conjunction form
+        # catches it (a plain `min < -1 or max > 1` lets NaN through,
+        # where floor().astype(int64) silently yields INT64_MIN)
         raise ValueError(
             "quantize requires components in [-1, 1] (the exact-int "
             f"domain breaks below -1); got range [{m.min()}, {m.max()}]"
@@ -278,15 +281,27 @@ def quantize_mat(mat: np.ndarray, q: int) -> np.ndarray:
     return (np.floor(m * float(q) + 0.5) + q).astype(np.int64)
 
 
-def _int_sq_dists(mat: np.ndarray, C: np.ndarray) -> np.ndarray:
-    """Exact int64 pairwise squared-L2 via the expanded form — one
-    integer matmul instead of an (n × k × dim) broadcast. Max term is
-    dim · (2Q)² ≈ 2^48 at Q=2^20, dim=64: no int64 overflow."""
-    return (
-        (mat * mat).sum(axis=1, keepdims=True)
-        - 2 * (mat @ C.T)
-        + (C * C).sum(axis=1)[None, :]
-    )
+def _require_int_centroids(centroids: np.ndarray, who: str) -> np.ndarray:
+    """Quantized-domain centroids must already BE shifted int64 grids
+    (train_coarse_centroids(..., quantize=Q) output). Casting floats
+    here would truncate toward zero — near-origin centroids collapse
+    and recall degrades silently instead of erroring."""
+    C = np.asarray(centroids)
+    if not np.issubdtype(C.dtype, np.integer):
+        raise ValueError(
+            f"{who}: quantized mode needs integer centroids (train with "
+            f"quantize=Q); got dtype {C.dtype}"
+        )
+    return C.astype(np.int64)
+
+
+def _int_rel_sq_dists(mat: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact int64 squared-L2 to each centroid MINUS the per-row
+    ||x||² term — a row constant that cannot change any per-row
+    argmin/ordering, so it is never computed (every caller ranks cells
+    within a row). One integer matmul; max |term| ≈ dim · (2Q)² ≈ 2^48
+    at Q=2^20, dim=64: no int64 overflow."""
+    return -2 * (mat @ C.T) + (C * C).sum(axis=1)[None, :]
 
 
 def assign_cell_quantized_udf(centroids: np.ndarray, q: int):
@@ -297,12 +312,12 @@ def assign_cell_quantized_udf(centroids: np.ndarray, q: int):
     ``row_number() OVER (ORDER BY dist, cluster)``). This is what makes
     the IVF cell structure ANSI-SQL replayable: no normalization, no
     float sums, no summation-order sensitivity anywhere."""
-    C = np.asarray(centroids, dtype=np.int64)
+    C = _require_int_centroids(centroids, "assign_cell_quantized_udf")
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
         mat = quantize_mat(np.stack(vecs.to_numpy()), q)
-        d2 = _int_sq_dists(mat, C)
+        d2 = _int_rel_sq_dists(mat, C)
         return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
 
     return assign
@@ -314,8 +329,8 @@ def probe_cells_quantized(
     """The *n_probe* cells nearest the quantized query by exact integer
     squared-L2, ties to the lowest cell id — the replayable twin of
     `probe_cells` (which ranks by cosine over float centroids)."""
-    C = np.asarray(centroids, dtype=np.int64)
-    d2 = _int_sq_dists(query_int[None, :].astype(np.int64), C)[0]
+    C = _require_int_centroids(centroids, "probe_cells_quantized")
+    d2 = _int_rel_sq_dists(query_int[None, :].astype(np.int64), C)[0]
     order = sorted(range(len(C)), key=lambda c: (int(d2[c]), c))
     return order[:n_probe]
 
@@ -381,7 +396,7 @@ def train_coarse_centroids(
         Sq = quantize_mat(S, quantize)
         C = Sq[:n_lists].copy()
         for _ in range(n_iter):
-            a = np.argmin(_int_sq_dists(Sq, C), axis=1)
+            a = np.argmin(_int_rel_sq_dists(Sq, C), axis=1)
             for c in range(n_lists):
                 members = Sq[a == c]
                 if len(members):

@@ -474,10 +474,7 @@ def _kmeans_oracle(k: int = 10, n_iter: int = 4, q: int = 1 << 20) -> str:
     parts = [
         "WITH " + _quantized_vecs_cte(q) + ",",
         _lloyd_ctes("vecs", k, n_iter),
-        " fin AS (SELECT id, cluster FROM ("
-        "  SELECT vecs.id, c.cluster, row_number() OVER ("
-        f"   PARTITION BY vecs.id ORDER BY {_int_dist('vecs', 'c')}, c.cluster)"
-        f"  AS rn FROM vecs CROSS JOIN c{n_iter} c) WHERE rn = 1)"
+        _assign_cte("fin", "vecs", f"c{n_iter}"),
         " SELECT id AS vec_id, cluster FROM fin",
     ]
     return "".join(parts)
@@ -489,6 +486,19 @@ def _quantized_vecs_cte(q: int) -> str:
         "vecs AS (SELECT vec_id AS id,"
         " list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
         f" * {q}.0 + 0.5) AS BIGINT) + {q}) AS v FROM embeddings)"
+    )
+
+
+def _assign_cte(name: str, src: str, cents: str) -> str:
+    """Nearest-centroid assignment CTE (integer argmin, ties to the
+    lowest cluster) — shared by the kmeans oracle's final pass and the
+    IVF oracle's corpus assignment so a tie-break or distance fix can
+    never touch one and miss the other. No trailing comma."""
+    return (
+        f" {name} AS (SELECT id, cluster FROM ("
+        f"  SELECT {src}.id, c.cluster, row_number() OVER ("
+        f"   PARTITION BY {src}.id ORDER BY {_int_dist(src, 'c')}, c.cluster)"
+        f"  AS rn FROM {src} CROSS JOIN {cents} c) WHERE rn = 1)"
     )
 
 
@@ -560,10 +570,7 @@ def _ivf_oracle(
         "WITH " + _quantized_vecs_cte(q) + ","
         f" samp AS (SELECT id, v FROM vecs ORDER BY id LIMIT {train_n}),"
         + _lloyd_ctes("samp", n_lists, n_iter)
-        + " asg AS (SELECT id, cluster FROM ("
-        "  SELECT vecs.id, c.cluster, row_number() OVER ("
-        f"   PARTITION BY vecs.id ORDER BY {_int_dist('vecs', 'c')}, c.cluster)"
-        f"  AS rn FROM vecs CROSS JOIN {cn} c) WHERE rn = 1),"
+        + _assign_cte("asg", "vecs", cn) + ","
         f" qv AS (SELECT v FROM vecs WHERE id = {query_id}),"
         f" probe AS (SELECT c.cluster FROM {cn} c CROSS JOIN qv"
         f"  ORDER BY {_int_dist('qv', 'c')}, c.cluster LIMIT {n_probe}),"

@@ -76,10 +76,23 @@ def _round_boundary_lag(missing: set[str]) -> bool:
     if not m_commit:
         return False
     if not c_commit:
-        # The latest CORRECTNESS artifact is untracked: the driver
-        # produced it after every existing commit, so no committed
-        # manifest refresh could have seen it.
-        return True
+        # The latest CORRECTNESS artifact is untracked. That is lag
+        # ONLY in the judge-before-next-commit window: if nothing has
+        # been committed since the driver wrote the file, no refresh
+        # could have seen it. Once any commit postdates the artifact,
+        # the round-open sequence (commit artifact + refresh) was
+        # skipped and the hole check must fail loudly again — an
+        # unbounded skip would let a forgotten untracked file suppress
+        # it for whole rounds.
+        head_time = int(
+            subprocess.run(
+                ["git", "-C", REPO, "log", "-1", "--format=%ct"],
+                capture_output=True,
+                text=True,
+            ).stdout.strip()
+            or 0
+        )
+        return head_time <= int(os.path.getmtime(latest)) + 60
     if m_commit == c_commit:
         return False
     return (
@@ -282,6 +295,22 @@ def test_round_boundary_lag_covers_untracked_artifact(tmp_path, monkeypatch):
     assert _round_boundary_lag({"k1"}) is True
     # a key not green in the artifact is still a real hole
     assert _round_boundary_lag({"k1", "k2"}) is False
+    # the untracked skip is BOUNDED to the judge window: any commit
+    # postdating the artifact means the round-open sequence was skipped
+    (repo / "other.txt").write_text("x")
+    subprocess.run(["git", "-C", str(repo), "add", "other.txt"], check=True)
+    future = "2030-01-01T00:00:00"
+    subprocess.run(
+        ["git", "-C", str(repo), *env_id, "commit", "-qm", "later work"],
+        check=True,
+        env={**os.environ, "GIT_AUTHOR_DATE": future, "GIT_COMMITTER_DATE": future},
+    )
+    assert _round_boundary_lag({"k1"}) is False
+    subprocess.run(["git", "-C", str(repo), "reset", "-q", "--hard", "HEAD~1"], check=True)
+    artifact.write_text(
+        json.dumps({"k1": {"hash_match": True, "spark_rows": 1, "err": None}})
+    )
+    assert _round_boundary_lag({"k1"}) is True
     # committing the artifact alone is still lag (the r7 shape) ...
     subprocess.run(["git", "-C", str(repo), "add", "-A"], check=True)
     subprocess.run(
