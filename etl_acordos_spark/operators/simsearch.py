@@ -232,6 +232,49 @@ def _sign_lsh_udf(tables: int, bits: int, dim: int):
     return sigs
 
 
+def quantize_signed(mat: np.ndarray, q: int) -> np.ndarray:
+    """``floor(x·Q + 0.5)`` per component WITHOUT the positivity shift —
+    for integer computations that never divide (sign-LSH dot products:
+    products and sums of signed int64 are exact in every engine; only
+    division splits flooring vs truncating). No domain guard needed."""
+    return np.floor(np.asarray(mat, dtype=np.float64) * float(q) + 0.5).astype(
+        np.int64
+    )
+
+
+def _sign_lsh_quantized_udf(tables: int, bits: int, dim: int, q: int):
+    """The exact-integer twin of `_sign_lsh_udf`: vectors AND the
+    hyperplane constants quantize to signed int64 grids, the signature
+    bit is ``(int dot > 0)`` — order-free integer arithmetic, so the
+    bucket structure is ANSI-SQL replayable (`ext_simsearch_ann`'s
+    oracle embeds the same quantized planes as literals). Sign ties
+    (dot == 0) go to bit 0 on both sides."""
+    planes = np.random.RandomState(_PLANE_SEED).standard_normal(
+        (dim, tables * bits)
+    )
+    pint = quantize_signed(planes, q)
+    powers = 1 << np.arange(bits)
+
+    @F.pandas_udf("array<int>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        mat = quantize_signed(np.stack(vecs.to_numpy())[:, :dim], q)
+        signs = (mat @ pint) > 0
+        packed = (signs.reshape(len(mat), tables, bits) * powers).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return sigs
+
+
+def lsh_planes_int(tables: int, bits: int, dim: int, q: int) -> np.ndarray:
+    """The quantized hyperplane constants `_sign_lsh_quantized_udf`
+    uses — exposed so the oracle generator embeds the IDENTICAL ints
+    as SQL literals (one shared computation, no reimplementation)."""
+    planes = np.random.RandomState(_PLANE_SEED).standard_normal(
+        (dim, tables * bits)
+    )
+    return quantize_signed(planes, q)
+
+
 def assign_cell_udf(centroids: np.ndarray):
     """Nearest-centroid cell assignment: one (n × dim) @ (dim × k)
     matmul per Arrow batch, centroids shipped in the closure (k·dim
@@ -506,6 +549,57 @@ def ivf_topk(
     )
 
 
+def unit_clamped(df: DataFrame, out_col: str = "u", vec: str = "v") -> DataFrame:
+    """Append an L2-normalized copy of array<double> column *vec*,
+    clamped to [-1, 1], computed ENTIRELY in Catalyst HOFs — the
+    sequential fold is bit-identical to DuckDB's ``list_dot_product``
+    (the proven `ext_simsearch` seam), unlike numpy's pairwise-summed
+    ``linalg.norm``. The clamp absorbs the one-ulp overshoot a rounded
+    divide can produce (|x|/||v|| can round to 1+2^-52), identically on
+    both engines, so downstream quantization is always in-domain.
+    Zero norm maps to 1 (the `_safe_norms` convention)."""
+    n = F.sqrt(
+        F.expr(
+            f"aggregate(zip_with({vec}, {vec}, (x, y) -> x * y),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        )
+    )
+    return df.withColumn(
+        "_n", F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    ).withColumn(
+        out_col,
+        F.expr(
+            f"transform({vec},"
+            " x -> least(greatest(x / _n, -1.0D), 1.0D))"
+        ),
+    ).drop("_n")
+
+
+def _pq_train_codebooks_int(
+    Sq: np.ndarray, m: int, ks: int, n_iter: int
+) -> np.ndarray:
+    """Per-subspace Lloyd in the exact shifted-integer domain — the
+    replayable twin of `_pq_train_codebooks`: argmin ties to the lowest
+    code (np.argmin first-minimum == the oracle's ``ORDER BY dist,
+    code``), round-half-up integer means on the positive domain, empty
+    codes keep their previous codeword, fixed iteration count."""
+    n, dim = Sq.shape
+    dsub = dim // m
+    books = np.empty((m, ks, dsub), dtype=np.int64)
+    for j in range(m):
+        X = Sq[:, j * dsub : (j + 1) * dsub]
+        C = X[:ks].copy()
+        for _ in range(n_iter):
+            a = np.argmin(_int_rel_sq_dists(X, C), axis=1)
+            for c in range(ks):
+                members = X[a == c]
+                if len(members):
+                    cnt = np.int64(len(members))
+                    C[c] = (2 * members.sum(axis=0) + cnt) // (2 * cnt)
+        books[j] = C
+    return books
+
+
 def _pq_train_codebooks(
     sample: np.ndarray, m: int, ks: int, n_iter: int
 ) -> np.ndarray:
@@ -541,6 +635,7 @@ def pq_topk(
     train_n: int = 256,
     refine: int = 4,
     n_iter: int = 5,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via product quantization (the compression half
     of IVF-PQ): L2-normalize, split each vector into *m* subspaces,
@@ -553,12 +648,26 @@ def pq_topk(
     decompresses. The PQ shortlist (k·*refine* ids) is exactly
     re-ranked with the HOF cosine for the final answer.
 
+    With *quantize* = Q the pipeline runs the exact shifted-integer
+    variant (`_pq_topk_quantized`): normalization happens in Catalyst
+    HOFs (bit-identical to DuckDB list ops) and everything after the
+    [-1,1]-clamped quantization — codebook training, encode, the ADC
+    scan (integer squared-L2 over the unit sphere, the Faiss METRIC_L2
+    cosine workaround) — is order-free int64, so the shortlist and the
+    whole query hash-verify against `ext_simsearch_pq`'s DuckDB oracle.
+    The float IP-ADC path stays the production default.
+
     At 100 TB the codes ARE the stored scan column (m bytes/vector vs
     dim·4), codebooks are kilobytes shipped in the UDF closure, and both
     encode and ADC scan are map-only Arrow-batched numpy — no shuffle
     until the k·refine TakeOrdered. Route with IVF cells (`ivf_topk`)
-    for the standard IVF-PQ composite. Approximate by design → rows-only
-    check; recall is unit-tested against `exact_topk`."""
+    for the standard IVF-PQ composite. Recall is unit-tested against
+    `exact_topk`; the quantized variant hash-verifies end-to-end."""
+    if quantize:
+        return _pq_topk_quantized(
+            df, query_id, id_col, vec_col, k, m, ks, train_n,
+            refine, n_iter, quantize,
+        )
     train = (
         df.select(as_double(vec_col))
         .orderBy(id_col)
@@ -624,6 +733,91 @@ def pq_topk(
     )
 
 
+def _pq_topk_quantized(
+    df: DataFrame,
+    query_id: int,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    m: int,
+    ks: int,
+    train_n: int,
+    refine: int,
+    n_iter: int,
+    q_scale: int,
+) -> DataFrame:
+    """The exact shifted-integer PQ twin (see `pq_topk`): Catalyst-HOF
+    normalization + clamp (`unit_clamped`), driver-side integer
+    codebooks (`_pq_train_codebooks_int`), Arrow-batched integer encode
+    and integer squared-L2 ADC — every stage replayed CTE-for-CTE by
+    `ext_simsearch_pq`'s oracle. On the unit sphere ascending L2-ADC is
+    the cosine-descending order's exact stand-in."""
+    base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    normed = unit_clamped(base)
+    qrow = normed.filter(F.col("id") == query_id).select("v", "u").head()
+    if qrow is None:
+        raise ValueError(
+            f"pq_topk: query id {query_id!r} not found in {id_col!r}"
+        )
+    qv = np.asarray(qrow["v"], dtype=np.float64)
+    if float(np.linalg.norm(qv)) == 0.0:
+        raise ValueError(
+            f"pq_topk: query vector {query_id!r} has zero norm — cosine undefined"
+        )
+    train = normed.select("u").orderBy("id").limit(train_n).collect()
+    Sq = quantize_mat(
+        np.stack([np.asarray(r[0], dtype=np.float64) for r in train]),
+        q_scale,
+    )
+    dim = Sq.shape[1]
+    dsub = dim // m
+    books = _pq_train_codebooks_int(Sq, m, ks, n_iter)
+    qq = quantize_mat(
+        np.asarray(qrow["u"], dtype=np.float64)[None, :], q_scale
+    )[0]
+    # ADC lookup table: FULL integer squared-L2 per (subspace, code) —
+    # the query is one fixed row, so no rel-dist shortcut applies (and
+    # the oracle mirrors this exact definition)
+    lut = np.stack(
+        [
+            ((qq[j * dsub : (j + 1) * dsub][None, :] - books[j]) ** 2).sum(
+                axis=1
+            )
+            for j in range(m)
+        ]
+    )
+
+    @F.pandas_udf("array<int>")
+    def encode_q(vecs: pd.Series) -> pd.Series:
+        mat = quantize_mat(np.stack(vecs.to_numpy()), q_scale)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            X = mat[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = np.argmin(_int_rel_sq_dists(X, books[j]), axis=1)
+        return pd.Series(list(codes))
+
+    @F.pandas_udf("long")
+    def adc_q(codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.to_numpy())
+        return pd.Series(lut[np.arange(m), C].sum(axis=1))
+
+    shortlist = (
+        normed.select("id", "v", encode_q(F.col("u")).alias("codes"))
+        .filter(F.col("id") != query_id)
+        .withColumn("adc_d2", adc_q(F.col("codes")))
+        .orderBy(F.col("adc_d2").asc(), F.col("id").asc())
+        .limit(k * refine)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+    return (
+        shortlist.withColumn("q", qcol)
+        .withColumn("cosine", F.round(cosine("v", "q"), 6))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias("vec_id"), "cosine")
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     query_id: int,
@@ -637,6 +831,7 @@ def ivfpq_topk(
     train_n: int = 256,
     refine: int = 8,
     n_iter: int = 5,
+    quantize: int | None = None,
 ) -> DataFrame:
     """IVF-PQ composite ANN — the standard billion-scale vector-index
     layout (Jégou et al., "Product Quantization for Nearest Neighbor
@@ -681,7 +876,21 @@ def ivfpq_topk(
 
     Approximate by design → rows-only registry check; recall is
     unit-tested against `exact_topk` at floors at least as tight as
-    the IVF and PQ singles (tests/test_operators.py)."""
+    the IVF and PQ singles (tests/test_operators.py).
+
+    With *quantize* = Q the composite runs the exact shifted-integer
+    variant (`_ivfpq_topk_quantized`): quantized-normalized coarse
+    cells, shifted-positive integer residuals, integer residual
+    codebooks and per-probed-cell integer L2-ADC — ascending
+    ``||(q−c) − r̂||²`` is the same decomposition the float path
+    expresses as ``qn·c + qn·r̂`` — so the whole query hash-verifies
+    against `ext_simsearch_ivfpq`'s DuckDB oracle. The float path
+    stays the production default."""
+    if quantize:
+        return _ivfpq_topk_quantized(
+            df, query_id, id_col, vec_col, k, n_lists, n_probe,
+            m, ks, train_n, refine, n_iter, quantize,
+        )
     rows = (
         df.select(as_double(vec_col))
         .orderBy(id_col)
@@ -769,6 +978,126 @@ def ivfpq_topk(
     )
 
 
+def _ivfpq_topk_quantized(
+    df: DataFrame,
+    query_id: int,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_lists: int,
+    n_probe: int,
+    m: int,
+    ks: int,
+    train_n: int,
+    refine: int,
+    n_iter: int,
+    q_scale: int,
+) -> DataFrame:
+    """The exact shifted-integer IVF-PQ twin (see `ivfpq_topk`). All
+    geometry lives on the quantized-NORMALIZED grid (the `unit_clamped`
+    + quantize seam): coarse cells via integer Lloyd over the id-prefix
+    sample, residuals shifted +2Q into the positive domain (Lloyd means
+    divide — negative operands would split flooring vs truncating
+    engines), residual codebooks via `_pq_train_codebooks_int`, and a
+    per-probed-cell integer squared-L2 LUT. Replayed CTE-for-CTE by
+    `ext_simsearch_ivfpq`'s oracle."""
+    base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    normed = unit_clamped(base)
+    qrow = normed.filter(F.col("id") == query_id).select("v", "u").head()
+    if qrow is None:
+        raise ValueError(
+            f"ivfpq_topk: query id {query_id!r} not found in {id_col!r}"
+        )
+    qv = np.asarray(qrow["v"], dtype=np.float64)
+    if float(np.linalg.norm(qv)) == 0.0:
+        raise ValueError(
+            f"ivfpq_topk: query vector {query_id!r} has zero norm — "
+            "cosine undefined"
+        )
+    rows = (
+        normed.select("u")
+        .orderBy("id")
+        .limit(max(train_n, 4 * n_lists))
+        .collect()
+    )
+    U = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    # coarse quantizer: integer Lloyd over the (already normalized,
+    # already clamped) sample — pass it through so the quantize branch
+    # sees the same grid the corpus UDF will
+    C = train_coarse_centroids(
+        df, id_col, vec_col, n_lists, sample=U, quantize=q_scale
+    )
+    Uq = quantize_mat(U[:train_n], q_scale)
+    shift = np.int64(2 * q_scale)
+    tcells = np.argmin(_int_rel_sq_dists(Uq, C), axis=1)
+    books = _pq_train_codebooks_int(Uq - C[tcells] + shift, m, ks, n_iter)
+    dim = Uq.shape[1]
+    dsub = dim // m
+
+    qq = quantize_mat(
+        np.asarray(qrow["u"], dtype=np.float64)[None, :], q_scale
+    )[0]
+    probe = probe_cells_quantized(C, qq, n_probe)
+    # per-probed-cell LUT: integer squared-L2 between the query's
+    # cell-residual and each codeword — ascending sums rank candidates
+    # across cells with the per-cell constant built in
+    luts = {}
+    for c in probe:
+        rq = qq - C[c] + shift
+        luts[c] = np.stack(
+            [
+                (
+                    (rq[j * dsub : (j + 1) * dsub][None, :] - books[j]) ** 2
+                ).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+
+    @F.pandas_udf("struct<cell:int,codes:array<int>>")
+    def encode_q(vecs: pd.Series) -> pd.DataFrame:
+        mat = quantize_mat(np.stack(vecs.to_numpy()), q_scale)
+        cells = np.argmin(_int_rel_sq_dists(mat, C), axis=1)
+        res = mat - C[cells] + shift
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            X = res[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = np.argmin(_int_rel_sq_dists(X, books[j]), axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int32), "codes": list(codes)}
+        )
+
+    @F.pandas_udf("long")
+    def adc_q(cells: pd.Series, codes: pd.Series) -> pd.Series:
+        Cm = np.stack(codes.to_numpy())
+        cl = cells.to_numpy()
+        out = np.empty(len(Cm), dtype=np.int64)
+        for c in np.unique(cl):
+            mask = cl == c
+            out[mask] = luts[int(c)][np.arange(m), Cm[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    encoded = normed.select(
+        "id", "v", encode_q(F.col("u")).alias("e")
+    ).select(
+        "id", "v", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes")
+    )
+    shortlist = (
+        encoded.filter(F.col("cell").isin(probe))
+        .filter(F.col("id") != query_id)
+        .withColumn("adc_d2", adc_q(F.col("cell"), F.col("codes")))
+        .orderBy(F.col("adc_d2").asc(), F.col("id").asc())
+        .limit(k * refine)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+    return (
+        shortlist.withColumn("q", qcol)
+        .withColumn("cosine", F.round(cosine("v", "q"), 6))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias("vec_id"), "cosine")
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_id: int,
@@ -778,11 +1107,19 @@ def ann_topk_lsh(
     tables: int = 12,
     bits: int = 6,
     dim: int = 64,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH: a vector is a
     candidate iff it collides with the query's full signature in at
     least one of *tables* independent tables; exact cosine re-ranks
     candidates only.
+
+    With *quantize* = Q the signatures come from exact integer dot
+    products against quantized planes (`_sign_lsh_quantized_udf`) —
+    the bucket structure is then bit-deterministic and the whole query
+    hash-verifies against `ext_simsearch_ann`'s DuckDB oracle (same
+    quantized planes as literals). The float matmul path stays the
+    production default.
 
     Recall/cost dial: per-neighbor recall ≈ 1-(1-p^bits)^tables with
     p = 1 - θ/π; expected random-candidate fraction ≈ tables/2^bits
@@ -790,7 +1127,11 @@ def ann_topk_lsh(
     at 100 TB raise `bits` and `tables` together to cut the candidate
     fraction while holding recall). The bucket join shuffles (table,
     signature) ints — never the vectors of non-candidates."""
-    sig_udf = _sign_lsh_udf(tables, bits, dim)
+    sig_udf = (
+        _sign_lsh_quantized_udf(tables, bits, dim, quantize)
+        if quantize
+        else _sign_lsh_udf(tables, bits, dim)
+    )
     sigs = df.select(
         F.col(id_col).alias("id"),
         as_double(vec_col).alias("v"),

@@ -341,10 +341,18 @@ def q_ext_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ext_simsearch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH approximate top-10 for vec_id=0: bucket on 8-bit
-    signature halves, exact re-rank within candidates only. Rows-only
-    (approximate by design; recall unit-tested against exact_topk)."""
-    return ann_topk_lsh(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    """Sign-LSH approximate top-10 for vec_id=0: 12 tables × 6-bit
+    signatures, bucket-collision candidates, exact re-rank within
+    candidates only. Runs the exact-integer signature variant
+    (quantize=2^20): signed integer dots against quantized planes make
+    the bucket structure bit-deterministic, so the whole query
+    hash-verifies against `_lsh_oracle` (the same plane ints embedded
+    as SQL literals via lsh_planes_int). The float matmul path stays
+    the production default; recall parity pinned on the adversarial
+    fixture (tests/test_simsearch.py)."""
+    return ann_topk_lsh(
+        t(spark, sf_dir, "embeddings"), query_id=0, k=10, quantize=1 << 20
+    )
 
 
 def q_ext_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,10 +374,16 @@ def q_ext_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-10 for vec_id=0: 16
     subspaces × 32 codewords (64 floats → 16 codes, 16× compression),
-    ADC table-lookup scan, exact re-rank of the 40-id shortlist.
-    Rows-only (approximate by design; recall unit-tested against
-    exact_topk)."""
-    return pq_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    ADC table-lookup scan, exact re-rank of the 40-id shortlist. Runs
+    the exact shifted-integer variant (quantize=2^20): HOF-identical
+    normalization + clamp, integer codebooks/encode/ADC — the whole
+    query hash-verifies against `_pq_oracle` (per-subspace unrolled
+    integer Lloyd + integer ADC + verified cosine re-rank). The float
+    IP-ADC path stays the production default; recall parity pinned on
+    the adversarial fixture (tests/test_simsearch.py)."""
+    return pq_topk(
+        t(spark, sf_dir, "embeddings"), query_id=0, k=10, quantize=1 << 20
+    )
 
 
 def q_ext_simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,10 +392,17 @@ def q_ext_simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan to the 4 probed ones, residual product quantization (16×32)
     compresses the survivors, ADC scores codes, exact cosine re-ranks
     the 80-id shortlist — the standard billion-scale layout (Faiss
-    IndexIVFPQ). Rows-only (approximate by design; recall
-    unit-tested against exact_topk at floors ≥ the IVF and PQ
-    singles)."""
-    return ivfpq_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    IndexIVFPQ). Runs the exact shifted-integer variant
+    (quantize=2^20): quantized-normalized coarse cells, +2Q-shifted
+    integer residuals, integer codebooks and per-probed-cell integer
+    L2-ADC — the whole composite hash-verifies against `_ivfpq_oracle`
+    (coarse `_lloyd_ctes` + prefixed `_pq_codebook_ctes` + verified
+    cosine re-rank). The float path stays the production default;
+    recall floors ≥ the IVF and PQ singles stay unit-tested against
+    exact_topk."""
+    return ivfpq_topk(
+        t(spark, sf_dir, "embeddings"), query_id=0, k=10, quantize=1 << 20
+    )
 
 
 # ---------------------------------------------------- clustering / semantic
@@ -590,6 +611,251 @@ def _ivf_oracle(
 
 
 _IVF_ORACLE = _ivf_oracle()
+
+
+def _sub_dist(a: str, b: str) -> str:
+    """Exact integer squared-L2 between a subvector (``sv``) and a
+    codeword (``cw``); width derived from the data."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}.sv) + 1),"
+        f" p -> ({a}.sv[p] - {b}.cw[p]) * ({a}.sv[p] - {b}.cw[p])))"
+    )
+
+
+def _pq_codebook_ctes(samp: str, ks: int, n_iter: int, pre: str) -> str:
+    """The unrolled per-subspace integer-Lloyd codebook chain over
+    subspace-sample CTE *samp* (columns ``id``, ``j``, ``sv``):
+    ``{pre}cb0`` = first *ks* sample subvectors per subspace, each round
+    assigns (integer argmin, ties to the lowest code) and updates
+    codewords (round-half-up integer mean, empty codes COALESCE-kept).
+    *pre* namespaces the round CTEs so the chain can coexist with the
+    coarse `_lloyd_ctes` (both emit a{i}/m{i} otherwise) — shared by
+    the PQ oracle (pre='') and the IVF-PQ oracle (pre='p'). Emits
+    ``{pre}cb0..{pre}cb{n_iter}`` with a trailing comma; codebook CTEs
+    are MATERIALIZED (each is referenced twice — the BPE 2^n lesson)."""
+    parts = [
+        f" {pre}cb0 AS (SELECT j, CAST(r AS INT) AS code, sv AS cw FROM"
+        "  (SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS r"
+        f"   FROM {samp}) WHERE r < {ks}),"
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"{pre}cb{i - 1}"
+        parts.append(
+            f" {pre}a{i} AS (SELECT id, j, sv, code FROM ("
+            f"  SELECT s.id, s.j, s.sv, c.code, row_number() OVER ("
+            f"   PARTITION BY s.id, s.j ORDER BY {_sub_dist('s', 'c')}, c.code) AS rn"
+            f"  FROM {samp} s JOIN {prev} c ON s.j = c.j) WHERE rn = 1),"
+            f" {pre}m{i} AS (SELECT j, code, list_transform(range(1, len(svs[1]) + 1),"
+            "  p -> CAST((2 * CAST(list_sum(list_transform(svs, t -> t[p]))"
+            "   AS BIGINT) + cnt) // (2 * cnt) AS BIGINT)) AS cw"
+            f" FROM (SELECT j, code, count(*) AS cnt, list(sv) AS svs FROM {pre}a{i}"
+            "  GROUP BY j, code)),"
+            f" {pre}cb{i} AS MATERIALIZED (SELECT c.j, c.code, COALESCE(m.cw, c.cw) AS cw"
+            f" FROM {prev} c LEFT JOIN {pre}m{i} m ON c.j = m.j AND c.code = m.code),"
+        )
+    return "".join(parts)
+
+
+def _pq_oracle(
+    k: int = 10,
+    m: int = 16,
+    ks: int = 32,
+    train_n: int = 256,
+    refine: int = 4,
+    n_iter: int = 5,
+    q: int = 1 << 20,
+    query_id: int = 0,
+) -> str:
+    """Exact DuckDB replay of the quantized product-quantization query
+    (operators/simsearch.py::pq_topk with quantize=Q): HOF-identical
+    normalization + [-1,1] clamp, shifted-integer grid, per-subspace
+    unrolled integer Lloyd (init = first *ks* sample subvectors, argmin
+    ties to the lowest code, round-half-up integer means, empty codes
+    COALESCE-kept), integer squared-L2 ADC lookup, shortlist by
+    (adc, id), and the verified exact-cosine re-rank. ``cb{i}``/``samp``
+    /``sub`` are MATERIALIZED — each is referenced twice+ and inlining
+    would double the plan per round (the BPE 2^n lesson)."""
+    parts = [
+        "WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " nrm AS (SELECT id, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0.0"
+        "  THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nn FROM raw),"
+        f" vq AS (SELECT id, list_transform(v, x -> CAST(floor("
+        f"  least(greatest(x / nn, -1.0), 1.0) * {q}.0 + 0.5) AS BIGINT) + {q})"
+        "  AS w FROM nrm),"
+        f" sub AS MATERIALIZED (SELECT id, CAST(j AS INT) AS j,"
+        f"  list_slice(w, j * (len(w) // {m}) + 1, (j + 1) * (len(w) // {m})) AS sv"
+        f"  FROM vq, range(0, {m}) t(j)),"
+        f" samp AS MATERIALIZED (SELECT id, j, sv FROM sub WHERE id IN"
+        f"  (SELECT id FROM vq ORDER BY id LIMIT {train_n})),"
+        + _pq_codebook_ctes("samp", ks, n_iter, ""),
+    ]
+    n = n_iter
+    parts.append(
+        f" qsub AS (SELECT j, sv FROM sub WHERE id = {query_id}),"
+        f" lut AS (SELECT c.j, c.code, {_sub_dist('q', 'c')} AS d"
+        f"  FROM cb{n} c JOIN qsub q ON c.j = q.j),"
+        " codes AS (SELECT id, j, code FROM ("
+        f"  SELECT s.id, s.j, c.code, row_number() OVER ("
+        f"   PARTITION BY s.id, s.j ORDER BY {_sub_dist('s', 'c')}, c.code) AS rn"
+        f"  FROM sub s JOIN cb{n} c ON s.j = c.j WHERE s.id <> {query_id})"
+        "  WHERE rn = 1),"
+        " adc AS (SELECT codes.id, CAST(sum(lut.d) AS BIGINT) AS adc"
+        "  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.code"
+        "  GROUP BY codes.id),"
+        f" short AS (SELECT id FROM adc ORDER BY adc, id LIMIT {k * refine}),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        "  JOIN short ON vec_id = short.id),"
+        " fq AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
+        f"  WHERE vec_id = {query_id})"
+        " SELECT vec_id,"
+        "  round(list_dot_product(e.v, fq.v) /"
+        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fq.v, fq.v))),"
+        "   6) AS cosine"
+        f" FROM e, fq ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+    )
+    return "".join(parts)
+
+
+_PQ_ORACLE = _pq_oracle()
+
+
+def _ivfpq_oracle(
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ks: int = 32,
+    train_n: int = 256,
+    refine: int = 8,
+    n_iter: int = 5,
+    q: int = 1 << 20,
+    query_id: int = 0,
+    coarse_iter: int = 4,
+) -> str:
+    """Exact DuckDB replay of the quantized IVF-PQ composite
+    (operators/simsearch.py::ivfpq_topk with quantize=Q): the quantized
+    -normalized grid feeds the coarse `_lloyd_ctes` chain (id-prefix
+    sample, 4 rounds — train_coarse_centroids' default), `_assign_cte`
+    places the corpus, residuals shift +2Q into the positive domain,
+    the prefixed `_pq_codebook_ctes` ('p') trains residual codebooks,
+    and a per-probed-cell integer L2 LUT scores only candidate-cell
+    rows; the verified exact-cosine re-rank closes. Every approximate
+    choice (cells, probes, codes, shortlist) is bit-deterministic."""
+    shift = 2 * q
+    cn = f"c{coarse_iter}"
+    pn = f"pcb{n_iter}"
+    return (
+        "WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " nrm AS (SELECT id, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0.0"
+        "  THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nn FROM raw),"
+        f" vq AS (SELECT id, list_transform(v, x -> CAST(floor("
+        f"  least(greatest(x / nn, -1.0), 1.0) * {q}.0 + 0.5) AS BIGINT) + {q})"
+        "  AS w FROM nrm),"
+        " va AS MATERIALIZED (SELECT id, w AS v FROM vq),"
+        f" csamp AS (SELECT id, v FROM va ORDER BY id LIMIT {4 * n_lists}),"
+        + _lloyd_ctes("csamp", n_lists, coarse_iter)
+        + _assign_cte("asg", "va", cn) + ","
+        f" res AS (SELECT va.id, list_transform(range(1, len(va.v) + 1),"
+        f"  p -> va.v[p] - c.v[p] + {shift}) AS r"
+        f"  FROM va JOIN asg USING (id) JOIN {cn} c ON asg.cluster = c.cluster),"
+        f" rsub AS MATERIALIZED (SELECT id, CAST(j AS INT) AS j,"
+        f"  list_slice(r, j * (len(r) // {m}) + 1, (j + 1) * (len(r) // {m})) AS sv"
+        f"  FROM res, range(0, {m}) t(j)),"
+        f" samp AS MATERIALIZED (SELECT id, j, sv FROM rsub WHERE id IN"
+        f"  (SELECT id FROM va ORDER BY id LIMIT {train_n})),"
+        + _pq_codebook_ctes("samp", ks, n_iter, "p")
+        + f" qw AS (SELECT v FROM va WHERE id = {query_id}),"
+        f" probe AS (SELECT c.cluster, c.v FROM {cn} c CROSS JOIN qw"
+        f"  ORDER BY {_int_dist('qw', 'c')}, c.cluster LIMIT {n_probe}),"
+        f" qres AS (SELECT p.cluster, list_transform(range(1, len(q.v) + 1),"
+        f"  p2 -> q.v[p2] - p.v[p2] + {shift}) AS r FROM probe p CROSS JOIN qw q),"
+        f" qrsub AS (SELECT cluster, CAST(j AS INT) AS j,"
+        f"  list_slice(r, j * (len(r) // {m}) + 1, (j + 1) * (len(r) // {m})) AS sv"
+        f"  FROM qres, range(0, {m}) t(j)),"
+        f" lut AS (SELECT q.cluster, c.j, c.code, {_sub_dist('q', 'c')} AS d"
+        f"  FROM {pn} c JOIN qrsub q ON c.j = q.j),"
+        " cand AS (SELECT id FROM asg"
+        "  WHERE cluster IN (SELECT cluster FROM probe)"
+        f"  AND id <> {query_id}),"
+        " codes AS (SELECT id, j, code FROM ("
+        f"  SELECT s.id, s.j, c.code, row_number() OVER ("
+        f"   PARTITION BY s.id, s.j ORDER BY {_sub_dist('s', 'c')}, c.code) AS rn"
+        f"  FROM rsub s JOIN cand ON s.id = cand.id JOIN {pn} c ON s.j = c.j)"
+        "  WHERE rn = 1),"
+        " adc AS (SELECT codes.id, CAST(sum(lut.d) AS BIGINT) AS adc"
+        "  FROM codes JOIN asg ON codes.id = asg.id"
+        "  JOIN lut ON lut.cluster = asg.cluster"
+        "   AND lut.j = codes.j AND lut.code = codes.code"
+        "  GROUP BY codes.id),"
+        f" short AS (SELECT id FROM adc ORDER BY adc, id LIMIT {k * refine}),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        "  JOIN short ON vec_id = short.id),"
+        " fq AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
+        f"  WHERE vec_id = {query_id})"
+        " SELECT vec_id,"
+        "  round(list_dot_product(e.v, fq.v) /"
+        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fq.v, fq.v))),"
+        "   6) AS cosine"
+        f" FROM e, fq ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+_IVFPQ_ORACLE = _ivfpq_oracle()
+
+
+def _lsh_oracle(
+    k: int = 10,
+    tables: int = 12,
+    bits: int = 6,
+    dim: int = 64,
+    q: int = 1 << 20,
+    query_id: int = 0,
+) -> str:
+    """Exact DuckDB replay of the quantized sign-LSH query
+    (operators/simsearch.py::ann_topk_lsh with quantize=Q): vectors and
+    the hyperplane constants both map to SIGNED integer grids (no shift
+    — nothing divides; signed products/sums are exact everywhere), the
+    signature bit is ``(integer dot > 0)``, tables pack bits as sums of
+    powers of two, candidates collide on (table, signature), and the
+    verified exact-cosine re-rank closes. The plane literals come from
+    `lsh_planes_int` — the SAME array the Spark UDF closes over, so the
+    two sides cannot drift."""
+    from etl_acordos_spark.operators.simsearch import lsh_planes_int
+
+    pint = lsh_planes_int(tables, bits, dim, q)
+    # one literal row per plane: (pb, [the plane's dim components])
+    rows = ", ".join(
+        f"({pb}, [{','.join(str(int(x)) for x in pint[:, pb])}])"
+        for pb in range(tables * bits)
+    )
+    return (
+        f"WITH pvec AS (SELECT pb, pw FROM (VALUES {rows}) t(pb, pw)),"
+        " vq AS (SELECT vec_id AS id, list_transform(embedding,"
+        f"  x -> CAST(floor(CAST(x AS DOUBLE) * {q}.0 + 0.5) AS BIGINT)) AS w"
+        "  FROM embeddings),"
+        " dt AS (SELECT id, pb, list_sum(list_transform("
+        "   range(1, len(w) + 1), i -> w[i] * pw[i])) AS dot"
+        "  FROM vq CROSS JOIN pvec),"
+        f" sig AS (SELECT id, CAST(pb // {bits} AS INT) AS tbl,"
+        f"  CAST(sum(CASE WHEN dot > 0 THEN 1 << (pb % {bits})"
+        "   ELSE 0 END) AS INT) AS sig_val"
+        f"  FROM dt GROUP BY id, pb // {bits}),"
+        f" qs AS (SELECT tbl, sig_val FROM sig WHERE id = {query_id}),"
+        " cand AS (SELECT DISTINCT sig.id FROM sig JOIN qs USING (tbl, sig_val)"
+        f"  WHERE sig.id <> {query_id}),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        "  JOIN cand ON vec_id = cand.id),"
+        " fq AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
+        f"  WHERE vec_id = {query_id})"
+        " SELECT vec_id,"
+        "  round(list_dot_product(e.v, fq.v) /"
+        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fq.v, fq.v))),"
+        "   6) AS cosine"
+        f" FROM e, fq ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+_LSH_ORACLE = _lsh_oracle()
 
 
 def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1814,7 +2080,6 @@ _ORACLES: dict[str, str | None] = {
         " FROM lex l FULL JOIN vecr v ON l.doc_id = v.doc_id"
         " ORDER BY rrf_score DESC, doc_id LIMIT 15"
     ),
-    "ext_simsearch_ann": None,  # approximate by design
     "ext_kmeans": _KMEANS_ORACLE,  # unrolled Lloyd rounds, exact int domain
     "ext_semdedup": (
         "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
@@ -2127,10 +2392,10 @@ QUERIES: dict[str, QueryDef] = {
     "ext_quantize_embed": QueryDef(
         q_ext_quantize_embed, _ORACLES["ext_quantize_embed"]
     ),
-    "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, None),
+    "ext_simsearch_ann": QueryDef(q_ext_simsearch_ann, _LSH_ORACLE),
     "ext_simsearch_ivf": QueryDef(q_ext_simsearch_ivf, _IVF_ORACLE),
-    "ext_simsearch_pq": QueryDef(q_ext_simsearch_pq, None),
-    "ext_simsearch_ivfpq": QueryDef(q_ext_simsearch_ivfpq, None),
+    "ext_simsearch_pq": QueryDef(q_ext_simsearch_pq, _PQ_ORACLE),
+    "ext_simsearch_ivfpq": QueryDef(q_ext_simsearch_ivfpq, _IVFPQ_ORACLE),
     "ext_kmeans": QueryDef(q_ext_kmeans, _ORACLES["ext_kmeans"]),
     "ext_semdedup": QueryDef(q_ext_semdedup, _ORACLES["ext_semdedup"]),
     "ext_domain_cap": QueryDef(q_ext_domain_cap, _ORACLES["ext_domain_cap"]),

@@ -181,8 +181,14 @@ def q_ext_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending-id microbatches into a (ingest_batch, cell)-partitioned
     vector store (first batch freezes the coarse quantizer), then a
     partition-pruned probe answers top-10 around vec_id 0's embedding.
-    Rows-only: ANN is not SQL-expressible; equality with the batch-mode
-    `ivf_topk` (same quantizer/probe contract) is unit-tested."""
+    Runs the exact shifted-integer quantizer (quantize=2^20): delivery
+    is ascending-id microbatches, so the first batch IS the id-prefix
+    training sample and the frozen quantizer, every stored cell, the
+    probe and the re-rank are bit-identical to batch `ivf_topk`
+    (quantized) — the store's probe result therefore hash-verifies
+    against the SAME `_ivf_oracle` as `ext_simsearch_ivf`. Stream==
+    batch equality stays unit-tested for both families; the float
+    spherical store remains the production default."""
     from pyspark.sql import functions as F
 
     from etl_acordos_spark.queries.base import t
@@ -193,7 +199,8 @@ def q_ext_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     run_ns = streaming_ann_index_run(
-        spark, emb, "vec_id", "embedding", scratch_dir(), n_batches=4
+        spark, emb, "vec_id", "embedding", scratch_dir(), n_batches=4,
+        quantize=1 << 20,
     )
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ann_index_topk(
@@ -203,6 +210,7 @@ def q_ext_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         k=10,
         exclude_id=0,
+        quantize=1 << 20,
     )
 
 
@@ -340,6 +348,17 @@ def _stream_cms_oracle() -> str:
     return _cms_sketch_oracle()
 
 
+def _stream_ann_oracle() -> str:
+    """The ext_simsearch_ivf oracle verbatim: ascending-id microbatch
+    delivery makes the first batch the id-prefix training sample, so
+    the streamed store's frozen quantized quantizer, cell assignments,
+    probe and re-rank are bit-identical to batch `ivf_topk(quantize)` —
+    stream==batch equality is pinned by tests/test_streaming.py."""
+    from etl_acordos_spark.queries.llm import _ivf_oracle
+
+    return _ivf_oracle()
+
+
 QUERIES: dict[str, QueryDef] = {
     "ext_stream_windows": QueryDef(q_ext_stream_windows, _WINDOWS_ORACLE),
     "ext_stream_dedup": QueryDef(q_ext_stream_dedup, _DEDUP_ORACLE),
@@ -351,7 +370,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_stream_stateful": QueryDef(q_ext_stream_stateful, _STATEFUL_ORACLE),
     "ext_stream_upsert": QueryDef(q_ext_stream_upsert, _STREAM_UPSERT_ORACLE),
     "ext_stream_dedup_index": QueryDef(q_ext_stream_dedup_index, None),
-    "ext_stream_ann_index": QueryDef(q_ext_stream_ann_index, None),
+    "ext_stream_ann_index": QueryDef(q_ext_stream_ann_index, _stream_ann_oracle()),
     "ext_stream_anomaly": QueryDef(q_ext_stream_anomaly, _anomaly_oracle()),
     # additive cells make the streamed sketch equal the batch build, so
     # the batch key's SQL oracle applies verbatim — a full hash oracle

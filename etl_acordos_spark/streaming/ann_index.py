@@ -44,21 +44,29 @@ from pyspark.sql import functions as F
 
 from etl_acordos_spark.operators.simsearch import (
     as_double,
+    assign_cell_quantized_udf,
     assign_cell_udf,
     cosine,
     probe_cells,
+    probe_cells_quantized,
+    quantize_mat,
     train_coarse_centroids,
 )
 from etl_acordos_spark.streaming.batching import write_id_range_batches
 
 
 def _load_centroids(spark: SparkSession, centroids_dir: str) -> np.ndarray:
+    """Load the frozen quantizer, dtype-faithful: a quantized store
+    persists array<bigint> centroids and must come back as int64 (the
+    quantized assign/probe REJECT float centroids — truncation would
+    silently collapse cells), a float store as float64."""
+    df = spark.read.parquet(centroids_dir)
+    el = df.schema["centroid"].dataType.elementType.typeName()
+    dtype = np.int64 if el in ("long", "integer") else np.float64
     return np.stack(
         [
-            np.asarray(r["centroid"], dtype=np.float64)
-            for r in spark.read.parquet(centroids_dir)
-            .orderBy("cell")
-            .collect()
+            np.asarray(r["centroid"], dtype=dtype)
+            for r in df.orderBy("cell").collect()
         ]
     )
 
@@ -71,6 +79,7 @@ def _train_quantizer(
     n_lists: int,
     centroids_dir: str,
     train_factor: int = 4,
+    quantize: int | None = None,
 ) -> bool:
     """Freeze the coarse quantizer from the first batch: spherical
     k-means over the first ``train_factor * n_lists`` vectors by id
@@ -115,14 +124,20 @@ def _train_quantizer(
         )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     C = train_coarse_centroids(
-        batch_df, id_col, vec_col, n_lists, train_factor, sample=sample
+        batch_df, id_col, vec_col, n_lists, train_factor,
+        sample=sample, quantize=quantize,
     )
     staging = centroids_dir + "_staging"
     shutil.rmtree(staging, ignore_errors=True)
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    if quantize:
+        cent_rows = [(int(i), [int(x) for x in row]) for i, row in enumerate(C)]
+        cent_schema = "cell int, centroid array<bigint>"
+    else:
+        cent_rows = [(int(i), [float(x) for x in row]) for i, row in enumerate(C)]
+        cent_schema = "cell int, centroid array<double>"
+    spark.createDataFrame(cent_rows, cent_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
     os.replace(staging, centroids_dir)
     return True
 
@@ -135,6 +150,7 @@ def streaming_ann_index_run(
     base_dir: str,
     n_batches: int = 4,
     n_lists: int = 16,
+    quantize: int | None = None,
 ) -> str:
     """Ingest *vectors* as *n_batches* ascending-id microbatches into a
     cell-partitioned IVF store under a PID-scoped namespace; returns
@@ -177,17 +193,23 @@ def streaming_ann_index_run(
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
             if not os.path.exists(centroids_dir):
                 if not _train_quantizer(
-                    spark, batch_df, id_col, vec_col, n_lists, centroids_dir
+                    spark, batch_df, id_col, vec_col, n_lists,
+                    centroids_dir, quantize=quantize,
                 ):
                     return  # empty batch cannot train — wait for data
             if "C" not in quantizer:
                 quantizer["C"] = _load_centroids(spark, centroids_dir)
             C = quantizer["C"]
+            assign = (
+                assign_cell_quantized_udf(C, quantize)
+                if quantize
+                else assign_cell_udf(C)
+            )
             (
                 batch_df.select(
                     F.col(id_col),
                     as_double(vec_col).alias(vec_col),
-                    assign_cell_udf(C)(as_double(vec_col)).alias("cell"),
+                    assign(as_double(vec_col)).alias("cell"),
                 )
                 .withColumn("ingest_batch", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -218,6 +240,7 @@ def ann_index_topk(
     k: int = 10,
     n_probe: int = 4,
     exclude_id: int | None = None,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Probe the store built by `streaming_ann_index_run`: pick the
     *n_probe* cells nearest *query_vec* driver-side (centroids are
@@ -226,7 +249,11 @@ def ann_index_topk(
     a byte is read — and exact-cosine re-rank the slice."""
     C = _load_centroids(spark, os.path.join(run_ns, "centroids"))
     q = np.asarray(query_vec, dtype=np.float64)
-    probe = probe_cells(C, q, n_probe)
+    probe = (
+        probe_cells_quantized(C, quantize_mat(q, quantize), n_probe)
+        if quantize
+        else probe_cells(C, q, n_probe)
+    )
 
     vec_col = next(
         f.name

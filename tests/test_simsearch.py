@@ -229,3 +229,110 @@ def test_quantize_mat_rejects_out_of_range():
         quantize_mat(np.array([[0.5, -1.5]]), 1 << 20)
     got = quantize_mat(np.array([[1.0, -1.0, 0.0]]), 4)
     assert got.tolist() == [[8, 0, 4]]
+
+
+def test_pq_quantized_recall_parity_on_hub_corpus(spark):
+    """`ext_simsearch_pq` runs the quantized exact-int pipeline
+    (hash-verifiable); the float IP-ADC path stays the production
+    default. At the hub-fixture knobs that rescue float PQ (m=32,
+    ks=64, train 512, refine 32) the quantized variant must hold the
+    same recall floor — the integer grid (2^-20) is ~5 orders below
+    the 0.02 intra-cluster spread, and L2-ADC on the unit sphere is
+    order-equivalent to IP-ADC up to per-codeword norm terms."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.simsearch import exact_topk, pq_topk
+
+    vecs = _hub_heavy_corpus(spark, unit_range=True).cache()
+    try:
+        qvec = vecs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        exact = {
+            r["vec_id"]
+            for r in exact_topk(vecs, list(qvec), k=10, exclude_id=0).collect()
+        }
+        knobs = dict(query_id=0, k=10, m=32, ks=64, train_n=512, refine=32)
+        flt = {r["vec_id"] for r in pq_topk(vecs, **knobs).collect()}
+        quant = {
+            r["vec_id"]
+            for r in pq_topk(vecs, quantize=1 << 20, **knobs).collect()
+        }
+        print(
+            f"pq float recall {len(exact & flt)}/10,"
+            f" quantized {len(exact & quant)}/10"
+        )
+        assert len(exact & flt) >= 7, f"float {len(exact & flt)}/10"
+        assert len(exact & quant) >= 7, f"quantized {len(exact & quant)}/10"
+    finally:
+        vecs.unpersist()
+
+
+def test_ivfpq_quantized_recall_parity_on_hub_corpus(spark):
+    """`ext_simsearch_ivfpq` runs the quantized composite
+    (hash-verifiable); pin its recall on the adversarial fixture at the
+    float composite's floor using the same rescue knobs the float
+    floors test documents (m=32, ks=64, train 512, refine 32,
+    n_lists=32, n_probe=8)."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.simsearch import exact_topk, ivfpq_topk
+
+    vecs = _hub_heavy_corpus(spark, unit_range=True).cache()
+    try:
+        qvec = vecs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        exact = {
+            r["vec_id"]
+            for r in exact_topk(vecs, list(qvec), k=10, exclude_id=0).collect()
+        }
+        knobs = dict(
+            query_id=0, k=10, n_lists=32, n_probe=8,
+            m=32, ks=64, train_n=512, refine=32,
+        )
+        flt = {r["vec_id"] for r in ivfpq_topk(vecs, **knobs).collect()}
+        quant = {
+            r["vec_id"]
+            for r in ivfpq_topk(vecs, quantize=1 << 20, **knobs).collect()
+        }
+        print(
+            f"ivfpq float recall {len(exact & flt)}/10,"
+            f" quantized {len(exact & quant)}/10"
+        )
+        assert len(exact & flt) >= 7, f"float {len(exact & flt)}/10"
+        assert len(exact & quant) >= 7, f"quantized {len(exact & quant)}/10"
+    finally:
+        vecs.unpersist()
+
+
+def test_lsh_quantized_recall_parity_on_hub_corpus(spark):
+    """`ext_simsearch_ann` runs the exact-integer signature variant
+    (hash-verifiable buckets); pin its recall at the float path's floor
+    on the adversarial fixture. Sign bits flip only when a float dot
+    sits within the 2^-20 grid of zero — measured: identical buckets,
+    identical recall."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.simsearch import ann_topk_lsh, exact_topk
+
+    vecs = _hub_heavy_corpus(spark, unit_range=True).cache()
+    try:
+        qvec = vecs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        exact = {
+            r["vec_id"]
+            for r in exact_topk(vecs, list(qvec), k=10, exclude_id=0).collect()
+        }
+        flt = {
+            r["vec_id"] for r in ann_topk_lsh(vecs, query_id=0, k=10).collect()
+        }
+        quant = {
+            r["vec_id"]
+            for r in ann_topk_lsh(
+                vecs, query_id=0, k=10, quantize=1 << 20
+            ).collect()
+        }
+        print(
+            f"lsh float recall {len(exact & flt)}/10,"
+            f" quantized {len(exact & quant)}/10"
+        )
+        assert len(exact & flt) >= 3, f"float {len(exact & flt)}/10"
+        assert len(exact & quant) >= 3, f"quantized {len(exact & quant)}/10"
+    finally:
+        vecs.unpersist()

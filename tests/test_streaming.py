@@ -257,7 +257,10 @@ def test_stream_ann_index_matches_batch_ivf(spark, sf_smoke):
     """The streamed cell-partitioned store must answer the probe with
     EXACTLY the batch-mode ivf_topk result (same frozen quantizer, same
     assignment, same probe + re-rank contract), and the probe scan must
-    prune on the cell partition column."""
+    prune on the cell partition column. The registry key runs the
+    quantized family (hash-verified against _ivf_oracle), so the batch
+    twin here is ivf_topk(quantize) — the float family's store
+    equality is pinned separately below."""
     from pyspark.sql import functions as F
 
     from etl_acordos_spark.operators.simsearch import ivf_topk
@@ -268,7 +271,8 @@ def test_stream_ann_index_matches_batch_ivf(spark, sf_smoke):
     rows = [(r[0], r[1]) for r in got.collect()]
     emb = t(spark, sf_smoke, "embeddings")
     want = [
-        (r[0], r[1]) for r in ivf_topk(emb, query_id=0, k=10).collect()
+        (r[0], r[1])
+        for r in ivf_topk(emb, query_id=0, k=10, quantize=1 << 20).collect()
     ]
     assert rows == want
     plan = got._jdf.queryExecution().executedPlan().toString()
@@ -281,6 +285,39 @@ def test_stream_ann_index_matches_batch_ivf(spark, sf_smoke):
         (r[0], r[1]) for r in q_ext_stream_ann_index(spark, sf_smoke).collect()
     ]
     assert again == rows
+
+
+def test_stream_ann_index_float_family_matches_batch(spark, sf_smoke):
+    """The float spherical store (the production default family) must
+    still answer probes exactly like float batch ivf_topk — the
+    registry key moving to the quantized family must not leave the
+    float path untested."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.simsearch import ivf_topk
+    from etl_acordos_spark.queries.base import t
+    from etl_acordos_spark.streaming.ann_index import (
+        ann_index_topk,
+        streaming_ann_index_run,
+    )
+
+    emb = t(spark, sf_smoke, "embeddings")
+    run_ns = streaming_ann_index_run(
+        spark, emb, "vec_id", "embedding",
+        tempfile.mkdtemp(prefix="sai_float_"), n_batches=4,
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    got = [
+        (r[0], r[1])
+        for r in ann_index_topk(
+            spark, run_ns, [float(x) for x in qvec], "vec_id",
+            k=10, exclude_id=0,
+        ).collect()
+    ]
+    want = [(r[0], r[1]) for r in ivf_topk(emb, query_id=0, k=10).collect()]
+    assert got == want
 
 
 def test_stream_ann_index_replay_is_idempotent(spark):
