@@ -249,10 +249,7 @@ def _sign_lsh_quantized_udf(tables: int, bits: int, dim: int, q: int):
     bucket structure is ANSI-SQL replayable (`ext_simsearch_ann`'s
     oracle embeds the same quantized planes as literals). Sign ties
     (dot == 0) go to bit 0 on both sides."""
-    planes = np.random.RandomState(_PLANE_SEED).standard_normal(
-        (dim, tables * bits)
-    )
-    pint = quantize_signed(planes, q)
+    pint = lsh_planes_int(tables, bits, dim, q)
     powers = 1 << np.arange(bits)
 
     @F.pandas_udf("array<int>")
@@ -558,12 +555,7 @@ def unit_clamped(df: DataFrame, out_col: str = "u", vec: str = "v") -> DataFrame
     divide can produce (|x|/||v|| can round to 1+2^-52), identically on
     both engines, so downstream quantization is always in-domain.
     Zero norm maps to 1 (the `_safe_norms` convention)."""
-    n = F.sqrt(
-        F.expr(
-            f"aggregate(zip_with({vec}, {vec}, (x, y) -> x * y),"
-            " cast(0 as double), (acc, v) -> acc + v)"
-        )
-    )
+    n = F.sqrt(dot(vec, vec))
     return df.withColumn(
         "_n", F.when(n == 0.0, F.lit(1.0)).otherwise(n)
     ).withColumn(

@@ -501,6 +501,39 @@ def _kmeans_oracle(k: int = 10, n_iter: int = 4, q: int = 1 << 20) -> str:
     return "".join(parts)
 
 
+def _unit_quantized_vecs_cte(q: int) -> str:
+    """``raw``/``nrm``/``vq``: HOF-identical L2 normalization (zero
+    norm -> 1), [-1, 1] clamp (absorbs the one-ulp divide overshoot),
+    shifted-integer quantization — the shared prologue of the PQ and
+    IVF-PQ oracles, the exact twin of operators/simsearch.py's
+    `unit_clamped` + `quantize_mat`."""
+    return (
+        "raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " nrm AS (SELECT id, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0.0"
+        "  THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nn FROM raw),"
+        f" vq AS (SELECT id, list_transform(v, x -> CAST(floor("
+        f"  least(greatest(x / nn, -1.0), 1.0) * {q}.0 + 0.5) AS BIGINT) + {q})"
+        "  AS w FROM nrm)"
+    )
+
+
+def _cosine_rerank_tail(ids_cte: str, query_id: int, k: int) -> str:
+    """The verified exact-cosine re-rank over candidate ids (column
+    ``id`` in *ids_cte*) — shared tail of every ANN oracle so a fix to
+    the rounding or tie-break can never touch one and miss the rest."""
+    return (
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        f"  JOIN {ids_cte} ON vec_id = {ids_cte}.id),"
+        " fq AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
+        f"  WHERE vec_id = {query_id})"
+        " SELECT vec_id,"
+        "  round(list_dot_product(e.v, fq.v) /"
+        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fq.v, fq.v))),"
+        "   6) AS cosine"
+        f" FROM e, fq ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+    )
+
+
 def _quantized_vecs_cte(q: int) -> str:
     """``vecs`` = embeddings mapped onto the exact shifted-int grid."""
     return (
@@ -598,15 +631,7 @@ def _ivf_oracle(
         " cand AS (SELECT id FROM asg"
         "  WHERE cluster IN (SELECT cluster FROM probe)"
         f"  AND id <> {query_id}),"
-        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
-        "  JOIN cand ON vec_id = cand.id),"
-        " fq AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
-        f"  WHERE vec_id = {query_id})"
-        " SELECT vec_id,"
-        "  round(list_dot_product(e.v, fq.v) /"
-        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fq.v, fq.v))),"
-        "   6) AS cosine"
-        f" FROM e, fq ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+        + _cosine_rerank_tail("cand", query_id, k)
     )
 
 
@@ -676,12 +701,7 @@ def _pq_oracle(
     /``sub`` are MATERIALIZED — each is referenced twice+ and inlining
     would double the plan per round (the BPE 2^n lesson)."""
     parts = [
-        "WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),"
-        " nrm AS (SELECT id, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0.0"
-        "  THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nn FROM raw),"
-        f" vq AS (SELECT id, list_transform(v, x -> CAST(floor("
-        f"  least(greatest(x / nn, -1.0), 1.0) * {q}.0 + 0.5) AS BIGINT) + {q})"
-        "  AS w FROM nrm),"
+        "WITH " + _unit_quantized_vecs_cte(q) + ","
         f" sub AS MATERIALIZED (SELECT id, CAST(j AS INT) AS j,"
         f"  list_slice(w, j * (len(w) // {m}) + 1, (j + 1) * (len(w) // {m})) AS sv"
         f"  FROM vq, range(0, {m}) t(j)),"
@@ -703,15 +723,7 @@ def _pq_oracle(
         "  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.code"
         "  GROUP BY codes.id),"
         f" short AS (SELECT id FROM adc ORDER BY adc, id LIMIT {k * refine}),"
-        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
-        "  JOIN short ON vec_id = short.id),"
-        " fq AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
-        f"  WHERE vec_id = {query_id})"
-        " SELECT vec_id,"
-        "  round(list_dot_product(e.v, fq.v) /"
-        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fq.v, fq.v))),"
-        "   6) AS cosine"
-        f" FROM e, fq ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+        + _cosine_rerank_tail("short", query_id, k)
     )
     return "".join(parts)
 
@@ -745,12 +757,7 @@ def _ivfpq_oracle(
     cn = f"c{coarse_iter}"
     pn = f"pcb{n_iter}"
     return (
-        "WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),"
-        " nrm AS (SELECT id, v, CASE WHEN sqrt(list_dot_product(v, v)) = 0.0"
-        "  THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END AS nn FROM raw),"
-        f" vq AS (SELECT id, list_transform(v, x -> CAST(floor("
-        f"  least(greatest(x / nn, -1.0), 1.0) * {q}.0 + 0.5) AS BIGINT) + {q})"
-        "  AS w FROM nrm),"
+        "WITH " + _unit_quantized_vecs_cte(q) + ","
         " va AS MATERIALIZED (SELECT id, w AS v FROM vq),"
         f" csamp AS (SELECT id, v FROM va ORDER BY id LIMIT {4 * n_lists}),"
         + _lloyd_ctes("csamp", n_lists, coarse_iter)
@@ -788,15 +795,7 @@ def _ivfpq_oracle(
         "   AND lut.j = codes.j AND lut.code = codes.code"
         "  GROUP BY codes.id),"
         f" short AS (SELECT id FROM adc ORDER BY adc, id LIMIT {k * refine}),"
-        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
-        "  JOIN short ON vec_id = short.id),"
-        " fq AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
-        f"  WHERE vec_id = {query_id})"
-        " SELECT vec_id,"
-        "  round(list_dot_product(e.v, fq.v) /"
-        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fq.v, fq.v))),"
-        "   6) AS cosine"
-        f" FROM e, fq ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+        + _cosine_rerank_tail("short", query_id, k)
     )
 
 
@@ -843,15 +842,7 @@ def _lsh_oracle(
         f" qs AS (SELECT tbl, sig_val FROM sig WHERE id = {query_id}),"
         " cand AS (SELECT DISTINCT sig.id FROM sig JOIN qs USING (tbl, sig_val)"
         f"  WHERE sig.id <> {query_id}),"
-        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
-        "  JOIN cand ON vec_id = cand.id),"
-        " fq AS (SELECT embedding::DOUBLE[] AS v FROM embeddings"
-        f"  WHERE vec_id = {query_id})"
-        " SELECT vec_id,"
-        "  round(list_dot_product(e.v, fq.v) /"
-        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fq.v, fq.v))),"
-        "   6) AS cosine"
-        f" FROM e, fq ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+        + _cosine_rerank_tail("cand", query_id, k)
     )
 
 

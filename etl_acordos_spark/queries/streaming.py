@@ -210,7 +210,6 @@ def q_ext_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         k=10,
         exclude_id=0,
-        quantize=1 << 20,
     )
 
 

@@ -55,19 +55,25 @@ from etl_acordos_spark.operators.simsearch import (
 from etl_acordos_spark.streaming.batching import write_id_range_batches
 
 
-def _load_centroids(spark: SparkSession, centroids_dir: str) -> np.ndarray:
-    """Load the frozen quantizer, dtype-faithful: a quantized store
-    persists array<bigint> centroids and must come back as int64 (the
-    quantized assign/probe REJECT float centroids — truncation would
-    silently collapse cells), a float store as float64."""
+def _load_centroids(
+    spark: SparkSession, centroids_dir: str
+) -> tuple[np.ndarray, int]:
+    """Load the frozen quantizer plus its family: returns (centroids,
+    q_scale) where q_scale > 0 means the exact shifted-integer family
+    (int64 centroids on the floor(x·Q+0.5)+Q grid) and 0 the float
+    spherical family. The store PERSISTS the scale so probes derive
+    the right path from the store itself — a float probe over shifted
+    int64 centroids would silently pick near-arbitrary cells (after
+    the +Q shift every centroid is nearly parallel to the all-ones
+    direction), and the quantized probe needs Q to quantize the query
+    onto the same grid."""
     df = spark.read.parquet(centroids_dir)
-    el = df.schema["centroid"].dataType.elementType.typeName()
-    dtype = np.int64 if el in ("long", "integer") else np.float64
-    return np.stack(
-        [
-            np.asarray(r["centroid"], dtype=dtype)
-            for r in df.orderBy("cell").collect()
-        ]
+    rows = df.orderBy("cell").collect()
+    q_scale = int(rows[0]["q_scale"]) if rows else 0
+    dtype = np.int64 if q_scale else np.float64
+    return (
+        np.stack([np.asarray(r["centroid"], dtype=dtype) for r in rows]),
+        q_scale,
     )
 
 
@@ -129,12 +135,17 @@ def _train_quantizer(
     )
     staging = centroids_dir + "_staging"
     shutil.rmtree(staging, ignore_errors=True)
+    qs = int(quantize or 0)
     if quantize:
-        cent_rows = [(int(i), [int(x) for x in row]) for i, row in enumerate(C)]
-        cent_schema = "cell int, centroid array<bigint>"
+        cent_rows = [
+            (int(i), [int(x) for x in row], qs) for i, row in enumerate(C)
+        ]
+        cent_schema = "cell int, centroid array<bigint>, q_scale bigint"
     else:
-        cent_rows = [(int(i), [float(x) for x in row]) for i, row in enumerate(C)]
-        cent_schema = "cell int, centroid array<double>"
+        cent_rows = [
+            (int(i), [float(x) for x in row], qs) for i, row in enumerate(C)
+        ]
+        cent_schema = "cell int, centroid array<double>, q_scale bigint"
     spark.createDataFrame(cent_rows, cent_schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(staging)
@@ -198,7 +209,14 @@ def streaming_ann_index_run(
                 ):
                     return  # empty batch cannot train — wait for data
             if "C" not in quantizer:
-                quantizer["C"] = _load_centroids(spark, centroids_dir)
+                C_loaded, q_stored = _load_centroids(spark, centroids_dir)
+                if q_stored != int(quantize or 0):
+                    raise ValueError(
+                        "streaming_ann_index_run: store at "
+                        f"{centroids_dir} was trained with q_scale="
+                        f"{q_stored}, run asked for {quantize!r}"
+                    )
+                quantizer["C"] = C_loaded
             C = quantizer["C"]
             assign = (
                 assign_cell_quantized_udf(C, quantize)
@@ -240,18 +258,19 @@ def ann_index_topk(
     k: int = 10,
     n_probe: int = 4,
     exclude_id: int | None = None,
-    quantize: int | None = None,
 ) -> DataFrame:
     """Probe the store built by `streaming_ann_index_run`: pick the
     *n_probe* cells nearest *query_vec* driver-side (centroids are
     k·dim — tiny), then scan ONLY those cells — the ``cell IN (...)``
     filter on the partition column prunes every other directory before
     a byte is read — and exact-cosine re-rank the slice."""
-    C = _load_centroids(spark, os.path.join(run_ns, "centroids"))
+    C, q_scale = _load_centroids(spark, os.path.join(run_ns, "centroids"))
     q = np.asarray(query_vec, dtype=np.float64)
+    # the store itself says which family it is — a caller cannot probe
+    # a quantized store with the float path (or vice versa) by mistake
     probe = (
-        probe_cells_quantized(C, quantize_mat(q, quantize), n_probe)
-        if quantize
+        probe_cells_quantized(C, quantize_mat(q, q_scale), n_probe)
+        if q_scale
         else probe_cells(C, q, n_probe)
     )
 
