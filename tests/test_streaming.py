@@ -596,8 +596,8 @@ def test_stream_ann_quantizer_freeze_is_crash_safe(spark, monkeypatch):
     assert M._train_quantizer(
         spark, vecs, "vec_id", "embedding", 4, centroids_dir
     )
-    C = M._load_centroids(spark, centroids_dir)
-    assert C.shape == (4, 3)
+    C, q_scale = M._load_centroids(spark, centroids_dir)
+    assert C.shape == (4, 3) and q_scale == 0
 
 
 def test_stream_cms_store_equals_batch_build_and_replay_idempotent(
