@@ -546,6 +546,27 @@ def ivf_topk(
     )
 
 
+def unit_clamped_np(mat: np.ndarray) -> np.ndarray:
+    """Sequential-fold L2 normalization + [-1, 1] clamp in numpy —
+    bit-identical to `unit_clamped` (and DuckDB's list ops): the
+    per-row sum of squares accumulates STRICTLY left-to-right (a Python
+    loop over dims, vectorized across rows; numpy's own sum/linalg.norm
+    use pairwise summation and would drift a ulp), zero norm maps to 1,
+    sqrt/divide/clamp are single correctly-rounded IEEE ops. This is
+    the hot-path form: the HOF version suffers Catalyst projection
+    collapse (the norm fold inlines into every transform element —
+    O(dim²) interpreted lambda ops per row), so the quantized ANN
+    pipelines normalize inside their Arrow UDFs with this instead.
+    Bit-equality of the two forms is pinned in tests/test_simsearch.py."""
+    m = np.asarray(mat, dtype=np.float64)
+    acc = np.zeros(len(m))
+    for i in range(m.shape[1]):
+        acc = acc + m[:, i] * m[:, i]
+    nrm = np.sqrt(acc)
+    nrm[nrm == 0.0] = 1.0
+    return np.minimum(np.maximum(m / nrm[:, None], -1.0), 1.0)
+
+
 def unit_clamped(df: DataFrame, out_col: str = "u", vec: str = "v") -> DataFrame:
     """Append an L2-normalized copy of array<double> column *vec*,
     clamped to [-1, 1], computed ENTIRELY in Catalyst HOFs — the
@@ -554,7 +575,14 @@ def unit_clamped(df: DataFrame, out_col: str = "u", vec: str = "v") -> DataFrame
     ``linalg.norm``. The clamp absorbs the one-ulp overshoot a rounded
     divide can produce (|x|/||v|| can round to 1+2^-52), identically on
     both engines, so downstream quantization is always in-domain.
-    Zero norm maps to 1 (the `_safe_norms` convention)."""
+    Zero norm maps to 1 (the `_safe_norms` convention).
+
+    This is the REFERENCE form (what the oracles' nrm/vq CTEs spell
+    out); the quantized ANN hot paths use `unit_clamped_np` inside
+    their Arrow UDFs instead — Catalyst projection collapse inlines
+    the norm fold into every transform element here, O(dim²)
+    interpreted lambda ops per row. Bit-equality of the two forms is
+    pinned in tests/test_simsearch.py."""
     n = F.sqrt(dot(vec, vec))
     return df.withColumn(
         "_n", F.when(n == 0.0, F.lit(1.0)).otherwise(n)
@@ -745,8 +773,7 @@ def _pq_topk_quantized(
     `ext_simsearch_pq`'s oracle. On the unit sphere ascending L2-ADC is
     the cosine-descending order's exact stand-in."""
     base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-    normed = unit_clamped(base)
-    qrow = normed.filter(F.col("id") == query_id).select("v", "u").head()
+    qrow = base.filter(F.col("id") == query_id).select("v").head()
     if qrow is None:
         raise ValueError(
             f"pq_topk: query id {query_id!r} not found in {id_col!r}"
@@ -756,17 +783,17 @@ def _pq_topk_quantized(
         raise ValueError(
             f"pq_topk: query vector {query_id!r} has zero norm — cosine undefined"
         )
-    train = normed.select("u").orderBy("id").limit(train_n).collect()
+    train = base.select("v").orderBy("id").limit(train_n).collect()
     Sq = quantize_mat(
-        np.stack([np.asarray(r[0], dtype=np.float64) for r in train]),
+        unit_clamped_np(
+            np.stack([np.asarray(r[0], dtype=np.float64) for r in train])
+        ),
         q_scale,
     )
     dim = Sq.shape[1]
     dsub = dim // m
     books = _pq_train_codebooks_int(Sq, m, ks, n_iter)
-    qq = quantize_mat(
-        np.asarray(qrow["u"], dtype=np.float64)[None, :], q_scale
-    )[0]
+    qq = quantize_mat(unit_clamped_np(qv[None, :]), q_scale)[0]
     # ADC lookup table: FULL integer squared-L2 per (subspace, code) —
     # the query is one fixed row, so no rel-dist shortcut applies (and
     # the oracle mirrors this exact definition)
@@ -781,7 +808,9 @@ def _pq_topk_quantized(
 
     @F.pandas_udf("array<int>")
     def encode_q(vecs: pd.Series) -> pd.Series:
-        mat = quantize_mat(np.stack(vecs.to_numpy()), q_scale)
+        mat = quantize_mat(
+            unit_clamped_np(np.stack(vecs.to_numpy())), q_scale
+        )
         codes = np.empty((len(mat), m), dtype=np.int32)
         for j in range(m):
             X = mat[:, j * dsub : (j + 1) * dsub]
@@ -794,7 +823,7 @@ def _pq_topk_quantized(
         return pd.Series(lut[np.arange(m), C].sum(axis=1))
 
     shortlist = (
-        normed.select("id", "v", encode_q(F.col("u")).alias("codes"))
+        base.select("id", "v", encode_q(F.col("v")).alias("codes"))
         .filter(F.col("id") != query_id)
         .withColumn("adc_d2", adc_q(F.col("codes")))
         .orderBy(F.col("adc_d2").asc(), F.col("id").asc())
@@ -994,8 +1023,7 @@ def _ivfpq_topk_quantized(
     per-probed-cell integer squared-L2 LUT. Replayed CTE-for-CTE by
     `ext_simsearch_ivfpq`'s oracle."""
     base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-    normed = unit_clamped(base)
-    qrow = normed.filter(F.col("id") == query_id).select("v", "u").head()
+    qrow = base.filter(F.col("id") == query_id).select("v").head()
     if qrow is None:
         raise ValueError(
             f"ivfpq_topk: query id {query_id!r} not found in {id_col!r}"
@@ -1007,12 +1035,14 @@ def _ivfpq_topk_quantized(
             "cosine undefined"
         )
     rows = (
-        normed.select("u")
+        base.select("v")
         .orderBy("id")
         .limit(max(train_n, 4 * n_lists))
         .collect()
     )
-    U = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    U = unit_clamped_np(
+        np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    )
     # coarse quantizer: integer Lloyd over the (already normalized,
     # already clamped) sample — pass it through so the quantize branch
     # sees the same grid the corpus UDF will
@@ -1026,9 +1056,7 @@ def _ivfpq_topk_quantized(
     dim = Uq.shape[1]
     dsub = dim // m
 
-    qq = quantize_mat(
-        np.asarray(qrow["u"], dtype=np.float64)[None, :], q_scale
-    )[0]
+    qq = quantize_mat(unit_clamped_np(qv[None, :]), q_scale)[0]
     probe = probe_cells_quantized(C, qq, n_probe)
     # per-probed-cell LUT: integer squared-L2 between the query's
     # cell-residual and each codeword — ascending sums rank candidates
@@ -1047,7 +1075,9 @@ def _ivfpq_topk_quantized(
 
     @F.pandas_udf("struct<cell:int,codes:array<int>>")
     def encode_q(vecs: pd.Series) -> pd.DataFrame:
-        mat = quantize_mat(np.stack(vecs.to_numpy()), q_scale)
+        mat = quantize_mat(
+            unit_clamped_np(np.stack(vecs.to_numpy())), q_scale
+        )
         cells = np.argmin(_int_rel_sq_dists(mat, C), axis=1)
         res = mat - C[cells] + shift
         codes = np.empty((len(mat), m), dtype=np.int32)
@@ -1068,8 +1098,8 @@ def _ivfpq_topk_quantized(
             out[mask] = luts[int(c)][np.arange(m), Cm[mask]].sum(axis=1)
         return pd.Series(out)
 
-    encoded = normed.select(
-        "id", "v", encode_q(F.col("u")).alias("e")
+    encoded = base.select(
+        "id", "v", encode_q(F.col("v")).alias("e")
     ).select(
         "id", "v", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes")
     )

@@ -336,3 +336,42 @@ def test_lsh_quantized_recall_parity_on_hub_corpus(spark):
         assert len(exact & quant) >= 3, f"quantized {len(exact & quant)}/10"
     finally:
         vecs.unpersist()
+
+
+def test_unit_clamped_np_bitwise_equals_hof_form(spark):
+    """The quantized ANN oracles replay `unit_clamped`'s HOF
+    normalization (the proven list_dot_product seam) while the Spark
+    hot paths normalize with `unit_clamped_np` inside Arrow UDFs — the
+    two MUST be bit-identical or every downstream quantization can
+    flip a grid cell. The numpy form accumulates strictly
+    left-to-right (numpy's own pairwise sums would drift a ulp);
+    pinned here on vectors including zero, negative, and clamp-edge
+    components."""
+    import math
+
+    import numpy as np
+
+    from etl_acordos_spark.operators.simsearch import (
+        unit_clamped,
+        unit_clamped_np,
+    )
+
+    vecs = [
+        [0.0] * 8,
+        [1.0] + [0.0] * 7,
+        [-1e-9, 2e-9, -3e-9, 5e-17, 0.1, -0.9, 0.30000000000000004, 7e-300],
+        [((7 * 37 + j * 11) % 101) / 101.0 - 0.49 for j in range(8)],
+    ] + [
+        [math.sin(i * 8 + j) for j in range(8)] for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "id bigint, v array<double>",
+    )
+    hof = {
+        r["id"]: list(r["u"])
+        for r in unit_clamped(df).select("id", "u").collect()
+    }
+    for i, v in enumerate(vecs):
+        got = unit_clamped_np(np.asarray(v)[None, :])[0]
+        assert [x for x in got] == hof[i], i  # exact, not approx
