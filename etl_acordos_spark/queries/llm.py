@@ -1549,6 +1549,96 @@ def _minhash_md5_ctes(
     )
 
 
+def _stream_dedup_fold_oracle(
+    n_batches: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> str:
+    """Exact DuckDB replay of the streaming dedup-index fold
+    (streaming/dedup_index.py with hash_fn='md5'), unrolled one stage
+    per microbatch — the same promotion shape that verified
+    ext_stream_cms/ext_stream_hll (streamed store == a deterministic
+    batch computation), except here the state is a keep-first FOLD, so
+    the oracle unrolls it:
+
+    - batch membership replays write_id_range_batches' split: the
+      driver's percentile_approx(id, k/n, 10000) boundary is EXACT at
+      verification scale (error < 1 rank for n <= accuracy) and equals
+      the value at 1-based rank ceil(k/n · count) — pinned empirically
+      in tests/test_streaming.py;
+    - bands/shingle sets are per-doc and batch-independent, so ONE
+      global md5 chain (`_minhash_md5_units`) serves every stage;
+    - stage i: bucket populations = kept-so-far index entries + the
+      batch's own entries (the persisted count-delta sum), cap 1000;
+      candidates = same-bucket pairs with doc_old < doc_new — ascending
+      id-range batches make every kept id smaller than every batch id,
+      so the one predicate covers BOTH the vs-corpus and the
+      within-batch sides of dedup_batch_against; verify is the
+      UNROUNDED exact Jaccard >= threshold (operators/dedup.py:jaccard
+      divides raw set sizes — not the 4-dp pairsq convention);
+    - survivors accumulate into ks{i+1}; the result is the settled
+      kept ids, the exact column the kept-store read returns."""
+    parts = [
+        "WITH ranked AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id)"
+        "  AS rn, count(*) OVER () AS n FROM documents),"
+        " cuts AS (SELECT "
+        + ", ".join(
+            f"max(CASE WHEN rn = CAST(ceil({k} / {n_batches}.0 * n) AS BIGINT)"
+            f" THEN doc_id END) AS e{k}"
+            for k in range(1, n_batches)
+        )
+        + " FROM ranked),"
+        " bmem AS MATERIALIZED (SELECT doc_id AS doc, CASE "
+        + " ".join(
+            f"WHEN doc_id <= e{k} THEN {k - 1}"
+            for k in range(1, n_batches)
+        )
+        + f" ELSE {n_batches - 1} END AS b FROM documents, cuts),"
+        " u AS (SELECT doc_id AS doc, text AS utext FROM documents"
+        "  WHERE text IS NOT NULL),"
+        + _minhash_perms_cte()
+        + ","
+        + _minhash_md5_units("")
+        + ","
+        " bv AS MATERIALIZED (SELECT v.doc, v.band_idx, v.band_val, m.b"
+        "  FROM bandv v JOIN bmem m ON v.doc = m.doc),"
+        " hx AS MATERIALIZED (SELECT doc, hs FROM hset),"
+        " ks0 AS (SELECT doc FROM bmem WHERE 1 = 0),"
+    ]
+    for i in range(n_batches):
+        parts.append(
+            f" eb{i} AS (SELECT doc, band_idx, band_val FROM bv"
+            f"  WHERE b = {i}),"
+            f" ic{i} AS (SELECT v.doc, v.band_idx, v.band_val FROM bv v"
+            f"  JOIN ks{i} k ON v.doc = k.doc),"
+            f" ok{i} AS (SELECT band_idx, band_val FROM ("
+            f"   SELECT band_idx, band_val FROM ic{i}"
+            f"   UNION ALL SELECT band_idx, band_val FROM eb{i})"
+            f"  GROUP BY 1, 2 HAVING count(*) <= {max_bucket_size}),"
+            f" cand{i} AS (SELECT DISTINCT n.doc AS doc_new,"
+            "   o.doc AS doc_old"
+            f"  FROM (SELECT e.* FROM eb{i} e JOIN ok{i}"
+            "    USING (band_idx, band_val)) n"
+            f"  JOIN (SELECT t.* FROM (SELECT * FROM ic{i}"
+            f"     UNION ALL SELECT * FROM eb{i}) t JOIN ok{i}"
+            "    USING (band_idx, band_val)) o"
+            "   ON n.band_idx = o.band_idx AND n.band_val = o.band_val"
+            "    AND o.doc < n.doc),"
+            f" dom{i} AS (SELECT DISTINCT c.doc_new AS doc FROM cand{i} c"
+            "  JOIN hx a ON a.doc = c.doc_new"
+            "  JOIN hx o ON o.doc = c.doc_old"
+            "  WHERE CAST(len(list_intersect(a.hs, o.hs)) AS DOUBLE)"
+            f"   / len(list_distinct(a.hs || o.hs)) >= {threshold}),"
+            f" surv{i} AS (SELECT doc FROM bmem WHERE b = {i}"
+            f"  EXCEPT SELECT doc FROM dom{i}),"
+            f" ks{i + 1} AS MATERIALIZED (SELECT doc FROM ks{i}"
+            f"  UNION ALL SELECT doc FROM surv{i}),"
+        )
+    parts.append(f" fin AS (SELECT doc FROM ks{n_batches})"
+                 " SELECT doc AS doc_id FROM fin")
+    return "".join(parts)
+
+
 def _dedup_simhash_oracle(max_hamming: int = 3) -> str:
     """Exact DuckDB twin of q_ext_dedup_simhash's md5-family SimHash
     (operators/dedup.py:simhash_pairs): token hash = first 16 md5 hex

@@ -161,10 +161,14 @@ def q_ext_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     `documents` delivered as 4 ascending-id microbatches; each batch
     probes the on-disk index, verifies collisions by exact Jaccard
     against the kept-docs store, and appends its survivors' bands (and
-    bucket-count deltas) back to the index. Rows-only: LSH banding is
-    not SQL-expressible; the settled kept-set's equality with folding
-    `incremental_minhash_dedup` over the batches in order is
-    unit-tested (tests/test_streaming.py)."""
+    bucket-count deltas) back to the index. Runs the md5 hash family:
+    every stage — batch split (the percentile_approx boundary is exact
+    at verification scale, pinned in tests/test_streaming.py), banding,
+    bucket cap, probe, Jaccard verify — is then SQL-replayable, and the
+    settled kept-set hash-verifies against `_stream_dedup_fold_oracle`
+    (the fold unrolled one stage per microbatch). The xxhash64 family
+    stays the production default; its fold-equality with
+    `incremental_minhash_dedup` remains unit-tested."""
     from etl_acordos_spark.queries.base import t
     from etl_acordos_spark.streaming.dedup_index import (
         streaming_dedup_index_run,
@@ -172,7 +176,8 @@ def q_ext_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return streaming_dedup_index_run(
-        spark, docs, "text", "doc_id", scratch_dir(), n_batches=4
+        spark, docs, "text", "doc_id", scratch_dir(), n_batches=4,
+        hash_fn="md5",
     )
 
 
@@ -347,6 +352,14 @@ def _stream_cms_oracle() -> str:
     return _cms_sketch_oracle()
 
 
+def _stream_dedup_index_oracle() -> str:
+    """The unrolled md5-family fold replay — see
+    queries/llm.py:_stream_dedup_fold_oracle."""
+    from etl_acordos_spark.queries.llm import _stream_dedup_fold_oracle
+
+    return _stream_dedup_fold_oracle()
+
+
 def _stream_ann_oracle() -> str:
     """The ext_simsearch_ivf oracle verbatim: ascending-id microbatch
     delivery makes the first batch the id-prefix training sample, so
@@ -368,7 +381,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_stream_sessions": QueryDef(q_ext_stream_sessions, _SESSIONS_ORACLE),
     "ext_stream_stateful": QueryDef(q_ext_stream_stateful, _STATEFUL_ORACLE),
     "ext_stream_upsert": QueryDef(q_ext_stream_upsert, _STREAM_UPSERT_ORACLE),
-    "ext_stream_dedup_index": QueryDef(q_ext_stream_dedup_index, None),
+    "ext_stream_dedup_index": QueryDef(q_ext_stream_dedup_index, _stream_dedup_index_oracle()),
     "ext_stream_ann_index": QueryDef(q_ext_stream_ann_index, _stream_ann_oracle()),
     "ext_stream_anomaly": QueryDef(q_ext_stream_anomaly, _anomaly_oracle()),
     # additive cells make the streamed sketch equal the batch build, so

@@ -59,12 +59,19 @@ from etl_acordos_spark.operators.dedup import (
 from etl_acordos_spark.streaming.batching import write_id_range_batches
 
 
-def _band_schema(doc_schema: T.StructType, id_col: str) -> T.StructType:
+def _band_schema(
+    doc_schema: T.StructType, id_col: str, hash_fn: str = "xxhash64"
+) -> T.StructType:
+    # the md5 family packs each band as the comma-joined signature
+    # STRING (reproducible verbatim in SQL); xxhash64 compresses it to
+    # one long — the empty-store stub must match or the probe join
+    # casts strings to BIGINT and throws
+    band_t = T.StringType() if hash_fn == "md5" else T.LongType()
     return T.StructType(
         [
             T.StructField("doc", doc_schema[id_col].dataType),
             T.StructField("band_idx", T.IntegerType()),
-            T.StructField("band_val", T.LongType()),
+            T.StructField("band_val", band_t),
         ]
     )
 
@@ -147,6 +154,7 @@ def _dedup_index_process_batch(
     shingle_n: int,
     max_bucket_size: int,
     probe_last_batches: int | None,
+    hash_fn: str = "xxhash64",
 ) -> None:
     """One microbatch of the dedup-index maintenance loop — module-level
     (not a closure) so the replay-idempotency test drives the EXACT
@@ -167,6 +175,7 @@ def _dedup_index_process_batch(
         bands,
         shingle_n,
         pin="checkpoint",
+        hash_fn=hash_fn,
     ).localCheckpoint(eager=False)
     corpus = _load_store(spark, kept_dir, batch_id, probe_last_batches)
     c_bands = _load_store(spark, index_dir, batch_id, probe_last_batches)
@@ -183,7 +192,9 @@ def _dedup_index_process_batch(
     if corpus is None:
         corpus = spark.createDataFrame([], doc_schema)
     if c_bands is None:
-        c_bands = spark.createDataFrame([], _band_schema(doc_schema, id_col))
+        c_bands = spark.createDataFrame(
+            [], _band_schema(doc_schema, id_col, hash_fn)
+        )
     survivors = dedup_batch_against(
         batch_df,
         b_bands,
@@ -196,6 +207,7 @@ def _dedup_index_process_batch(
         max_bucket_size=max_bucket_size,
         c_bucket_counts=counts,
         reusable=False,
+        hash_fn=hash_fn,
     ).localCheckpoint(eager=False)
 
     _store_batch(
@@ -231,6 +243,7 @@ def streaming_dedup_index_run(
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
     probe_last_batches: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Run *docs* through the streaming dedup-index pipeline as
     *n_batches* ascending-id microbatches; returns the settled kept-doc
@@ -307,6 +320,7 @@ def streaming_dedup_index_run(
                 shingle_n=shingle_n,
                 max_bucket_size=max_bucket_size,
                 probe_last_batches=probe_last_batches,
+                hash_fn=hash_fn,
             )
 
         (

@@ -686,3 +686,41 @@ def test_stream_hll_registers_equal_batch_build(spark, sf_oracle, tmp_path):
         ).collect()
     }
     assert replayed == batch
+
+
+def test_id_range_batch_boundaries_match_rank_rule(spark, sf_smoke):
+    """The stream-dedup fold oracle replays write_id_range_batches'
+    split as the value at 1-based rank ceil(k/n · count) — valid
+    because percentile_approx(accuracy=10000) is EXACT for n <= 10000
+    (rank error < 1). Pin the rule on the real documents table and on
+    awkward synthetic id sets (gaps, non-multiples)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    def cuts_of(df, col, n_batches=4):
+        return df.select(
+            F.percentile_approx(
+                col, [i / n_batches for i in range(1, n_batches)], 10000
+            )
+        ).head()[0]
+
+    def rank_rule(ids, n_batches=4):
+        srt = sorted(ids)
+        n = len(ids)
+        return [
+            srt[math.ceil(k / n_batches * n) - 1]
+            for k in range(1, n_batches)
+        ]
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    assert list(cuts_of(docs, "doc_id")) == rank_rule(ids)
+
+    for synth in (
+        list(range(0, 994, 2)),
+        [3, 7, 11, 20, 21, 22, 23, 500, 501, 502],
+        list(range(997)),
+    ):
+        df = spark.createDataFrame([(i,) for i in synth], "id long")
+        assert list(cuts_of(df, "id")) == rank_rule(synth), len(synth)
