@@ -324,8 +324,18 @@ def minhash_bands(
             f"minhash_bands: pin must be 'cache' or 'checkpoint', got {pin!r}"
         )
     rows_per_band = num_perm // bands
+    # NULL-text docs never band: NULL is UNKNOWN content, not identical
+    # content — without this filter every NULL-text doc collides in one
+    # degenerate bucket and they "verify" against each other at Jaccard
+    # 1.0 over [NULL] shingle sets (same contract as URL dedup's null
+    # keys, tests/test_advice_fixes.py). They flow through keep-first
+    # dedup untouched instead (never candidates, never dominated).
     base = shingle_sets(
-        ensure_parallelism(df), text_col, id_col, shingle_n, hash_fn
+        ensure_parallelism(df.filter(F.col(text_col).isNotNull())),
+        text_col,
+        id_col,
+        shingle_n,
+        hash_fn,
     )
     # fixed per-permutation multipliers/offsets (seeded ⇒ deterministic
     # across runs and engines), drawn from [1, p) / [0, p)

@@ -1577,13 +1577,23 @@ def _stream_dedup_fold_oracle(
       UNROUNDED exact Jaccard >= threshold (operators/dedup.py:jaccard
       divides raw set sizes — not the 4-dp pairsq convention);
     - survivors accumulate into ks{i+1}; the result is the settled
-      kept ids, the exact column the kept-store read returns."""
+      kept ids, the exact column the kept-store read returns;
+    - NULL-text docs never band on either side (minhash_bands filters
+      them — NULL is unknown content, not identical content), so they
+      survive every stage on both engines."""
     parts = [
         "WITH ranked AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id)"
         "  AS rn, count(*) OVER () AS n FROM documents),"
         " cuts AS (SELECT "
         + ", ".join(
-            f"max(CASE WHEN rn = CAST(ceil({k} / {n_batches}.0 * n) AS BIGINT)"
+            # the rank rule is percentile_approx-EXACT only while
+            # count <= accuracy (10000): past that, GK's rank error
+            # reaches a full rank and the replayed split can drift —
+            # fail loudly instead of hash-mismatching mysteriously
+            "max(CASE WHEN n > 10000 THEN error('fold oracle: the"
+            " batch-split replay needs count <= 10000 (the"
+            " percentile_approx accuracy bound)')"
+            f" WHEN rn = CAST(ceil({k} / {n_batches}.0 * n) AS BIGINT)"
             f" THEN doc_id END) AS e{k}"
             for k in range(1, n_batches)
         )

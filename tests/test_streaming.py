@@ -724,3 +724,45 @@ def test_id_range_batch_boundaries_match_rank_rule(spark, sf_smoke):
     ):
         df = spark.createDataFrame([(i,) for i in synth], "id long")
         assert list(cuts_of(df, "id")) == rank_rule(synth), len(synth)
+
+
+def test_stream_dedup_index_null_text_docs_all_survive(spark, tmp_path):
+    """The review-confirmed NULL seam: before the minhash_bands filter,
+    two NULL-text docs collided in one degenerate '' bucket and
+    'verified' at Jaccard 1.0 over [NULL] shingle sets — Spark dropped
+    doc 3 while the oracle (whose unit CTE filters NOT NULL) kept it.
+    NULL is unknown content, not identical content (the URL-dedup null
+    -key contract): every NULL-text doc must survive, on both engines."""
+    import duckdb
+
+    from etl_acordos_spark.queries.llm import _stream_dedup_fold_oracle
+    from etl_acordos_spark.streaming.dedup_index import (
+        streaming_dedup_index_run,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, None),
+        (3, None),
+        (4, "totally different words entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        r[0]
+        for r in streaming_dedup_index_run(
+            spark, docs, "text", "doc_id", str(tmp_path), n_batches=2,
+            hash_fn="md5",
+        ).collect()
+    )
+    assert got == [1, 2, 3, 4]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES"
+        " (1, 'alpha beta gamma delta'), (2, NULL), (3, NULL),"
+        " (4, 'totally different words entirely')) t(doc_id, text)"
+    )
+    want = sorted(
+        r[0]
+        for r in con.execute(_stream_dedup_fold_oracle(n_batches=2)).fetchall()
+    )
+    assert got == want
