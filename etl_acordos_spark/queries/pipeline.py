@@ -261,8 +261,13 @@ def q_ext_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction: lineitem deliberately fragmented into 64
     files (the streaming-writer pathology), then rewritten to
     target-size files. Output is the before/after audit (file counts +
-    row counts — the rewrite must be lossless). Rows-only: file counts
-    are physical-layout facts outside SQL."""
+    row counts — the rewrite must be lossless). The oracle encodes the
+    CONTRACT rather than recomputing the layout: 64 fragmented files in
+    (the key's own parameter), exactly one target-size file out at
+    verification volume (sf0.01's 4-column lineitem is far below the
+    64 MiB target), and SQL-derived row counts on both phases — so a
+    lossy rewrite OR a compaction that stops compacting now
+    hash-mismatches, strictly stronger than the old rows-only check."""
     base = scratch_dir()
     frag = os.path.join(base, "lineitem_fragmented")
     compacted = os.path.join(base, "lineitem_compacted")
@@ -866,7 +871,13 @@ _ORACLES: dict[str, str | None] = {
         " FROM z"
         " WHERE o_custkey BETWEEN 100 AND 200 AND dia BETWEEN 9000 AND 9500"
     ),
-    "ext_compaction": None,  # file counts are physical-layout facts
+    "ext_compaction": (
+        "SELECT * FROM ("
+        " SELECT 'fragmented' AS phase, 64 AS n_files,"
+        "  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem"
+        " UNION ALL"
+        " SELECT 'compacted', 1, CAST(count(*) AS BIGINT) FROM lineitem)"
+    ),
     "ext_schema_evolution": (
         "WITH m AS ("
         " SELECT o_orderkey, round(o_totalprice, 2) AS price,"
@@ -891,7 +902,7 @@ QUERIES: dict[str, QueryDef] = {
     "ext_histogram": QueryDef(q_ext_histogram, _ORACLES["ext_histogram"]),
     "ext_profile": QueryDef(q_ext_profile, _ORACLES["ext_profile"]),
     "ext_zorder": QueryDef(q_ext_zorder, _ORACLES["ext_zorder"]),
-    "ext_compaction": QueryDef(q_ext_compaction, None),
+    "ext_compaction": QueryDef(q_ext_compaction, _ORACLES["ext_compaction"]),
     "ext_schema_evolution": QueryDef(
         q_ext_schema_evolution, _ORACLES["ext_schema_evolution"]
     ),
