@@ -538,3 +538,47 @@ def test_cms_one_sided_and_matches_python_sketch(spark, vals):
             cells[(s, hashlib.md5(f"{s}:{v}".encode()).hexdigest()[:1])]
             for s in (1, 2)
         )
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=64,
+            ),
+            min_size=4,
+            max_size=16,
+        ).map(tuple),
+        min_size=1,
+        max_size=8,
+    ).filter(lambda vs: len({len(v) for v in vs}) == 1),
+)
+@_settings
+def test_unit_clamped_np_bitwise_equals_hof_property(spark, vecs):
+    """Property form of the quantized-ANN normalization seam: for ANY
+    finite vectors (including zero vectors and magnitudes far outside
+    the clamp), the strict left-to-right numpy fold must be BIT-equal
+    to the Catalyst HOF form the DuckDB oracles replay — a single-ulp
+    drift here can flip a quantized grid cell."""
+    import numpy as np
+
+    from etl_acordos_spark.operators.simsearch import (
+        unit_clamped,
+        unit_clamped_np,
+    )
+
+    df = spark.createDataFrame(
+        [(i, list(v)) for i, v in enumerate(vecs)],
+        "id bigint, v array<double>",
+    )
+    hof = {
+        r["id"]: list(r["u"])
+        for r in unit_clamped(df).select("id", "u").collect()
+    }
+    got = unit_clamped_np(np.asarray(vecs, dtype=np.float64))
+    for i in range(len(vecs)):
+        assert list(got[i]) == hof[i], (i, vecs[i])
