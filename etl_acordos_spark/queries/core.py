@@ -593,7 +593,14 @@ _ORACLES: dict[str, str | None] = {
         " FROM orders WHERE year(o_orderdate) = 1995"
     ),
     "snk_dbapi_upsert": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
-    "chk_exists": None,  # filesystem side effect — rows-only
+    # contract oracle (the ext_compaction recipe): the probe's expected
+    # answer is fully determined — region.parquet exists in every
+    # testdata dir, no_such_table.parquet never does — so a broken FS
+    # probe hash-mismatches instead of passing a rows-only check
+    "chk_exists": (
+        "SELECT * FROM (VALUES ('region.parquet', TRUE),"
+        " ('no_such_table.parquet', FALSE)) t(key, \"exists\")"
+    ),
     "ddl_infer": (
         "SELECT * FROM (VALUES"
         " ('o_orderkey','BIGINT'), ('o_custkey','BIGINT'),"
@@ -686,7 +693,14 @@ _ORACLES: dict[str, str | None] = {
         ")"
         " SELECT ano, status, count(*) AS n_combos FROM silver GROUP BY ano, status"
     ),
-    "flow_retry": None,  # retry side effect — rows-only
+    # contract oracle: attempts == 2 IS the policy contract (one
+    # transient failure + one retry), and the retried action's result
+    # is SQL-derived — a policy that stops retrying, retries forever,
+    # or drops the result now hash-mismatches
+    "flow_retry": (
+        "SELECT CAST(2 AS INTEGER) AS attempts,"
+        " CAST(count(*) AS INTEGER) AS region_rows FROM region"
+    ),
 }
 
 QUERIES: dict[str, QueryDef] = {
@@ -703,7 +717,7 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name FROM region",
     ),
     "snk_dbapi_upsert": QueryDef(q_snk_dbapi_upsert, _ORACLES["snk_dbapi_upsert"]),
-    "chk_exists": QueryDef(q_chk_exists, None),
+    "chk_exists": QueryDef(q_chk_exists, _ORACLES["chk_exists"]),
     "ddl_infer": QueryDef(q_ddl_infer, _ORACLES["ddl_infer"]),
     "prj_select": QueryDef(q_prj_select, _ORACLES["prj_select"]),
     "prj_rename_norm": QueryDef(q_prj_rename_norm, _ORACLES["prj_rename_norm"]),
@@ -723,5 +737,5 @@ QUERIES: dict[str, QueryDef] = {
     "agg_distinct": QueryDef(q_agg_distinct, _ORACLES["agg_distinct"]),
     "flow_fanout": QueryDef(q_flow_fanout, _ORACLES["flow_fanout"]),
     "flow_dag": QueryDef(q_flow_dag, _ORACLES["flow_dag"]),
-    "flow_retry": QueryDef(q_flow_retry, None),
+    "flow_retry": QueryDef(q_flow_retry, _ORACLES["flow_retry"]),
 }

@@ -94,3 +94,46 @@ def test_empty_source_raises(spark):
         raise AssertionError("expected EmptySourceError")
     except EmptySourceError:
         pass
+
+
+def test_run_with_retry_policy_contract():
+    """The policy behind flow_retry's contract oracle (attempts == 2):
+    success passes through untouched, a transient failure consumes
+    exactly one retry with the configured delay, and exhausting the
+    budget re-raises the LAST exception — never a swallow (the
+    documented divergence from the reference's bronze sink)."""
+    from unittest import mock
+
+    import pytest
+
+    from etl_acordos_spark.plans.retry import RetryPolicy, run_with_retry
+
+    calls = {"n": 0}
+
+    def ok():
+        calls["n"] += 1
+        return 42
+
+    assert run_with_retry(ok, RetryPolicy(retries=3, delay_seconds=0)) == 42
+    assert calls["n"] == 1
+
+    flaky_state = {"n": 0}
+
+    def flaky():
+        flaky_state["n"] += 1
+        if flaky_state["n"] < 2:
+            raise RuntimeError("transient")
+        return "done"
+
+    with mock.patch("etl_acordos_spark.plans.retry.time.sleep") as slept:
+        got = run_with_retry(flaky, RetryPolicy(retries=1, delay_seconds=7))
+    assert got == "done" and flaky_state["n"] == 2
+    slept.assert_called_once_with(7)
+
+    def always(_state={"n": 0}):
+        _state["n"] += 1
+        raise ValueError(f"boom {_state['n']}")
+
+    with mock.patch("etl_acordos_spark.plans.retry.time.sleep"):
+        with pytest.raises(ValueError, match="boom 3"):
+            run_with_retry(always, RetryPolicy(retries=2, delay_seconds=1))
