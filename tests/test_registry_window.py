@@ -48,8 +48,11 @@ def test_green_set_reflects_committed_rounds() -> None:
     it now counts as green (its earlier ERR rows alone would not)."""
     green = driver_green_keys()
     assert "src_parquet" in green and "ext_join_star" in green
-    assert "chk_exists" in green  # rows-only (no_oracle) counts
-    assert "ext_approx" in green  # rows-only green since r3
+    # historical no_oracle rows keep counting even after a key gains an
+    # oracle (chk_exists promoted r9 — the rotation re-fronts it for a
+    # fresh hash verification rather than un-greening history)
+    assert "chk_exists" in green
+    assert "ext_approx" in green  # still rows-only: no_oracle + rows counts
 
 
 def test_err_only_and_zero_row_rows_never_green(tmp_path, monkeypatch) -> None:
