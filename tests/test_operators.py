@@ -997,22 +997,35 @@ def test_hll_sketch_merge_consistency_and_error(spark, sf_oracle):
     """The rollup total row (merged monthly sketches) must agree with
     the direct whole-table sketch estimate to within HLL error (union
     promotes sparse-mode sketches, so exact equality does not hold) —
-    the mergeability contract the stored-sketch pattern rests on — and
-    every estimate must sit within HLL error of the exact count."""
+    the mergeability contract the stored-sketch pattern rests on. The
+    per-slice error bound itself now lives IN q_ext_hll_sketch's output
+    (contract oracle), so here: every hll_ok flag must be True, every
+    exact_clientes must match an independent recount, and the merged
+    grand-total estimate (recomputed the same way the query builds it)
+    must track the direct whole-table sketch."""
     from pyspark.sql import functions as F
 
     from etl_acordos_spark.queries.base import t
     from etl_acordos_spark.queries.relational import q_ext_hll_sketch
 
     rows = {
-        r["ano"]: r["approx_clientes"]
+        r["ano"]: (r["exact_clientes"], r["hll_ok"])
         for r in q_ext_hll_sketch(spark, sf_oracle).collect()
     }
     orders = t(spark, sf_oracle, "orders")
+    merged_total = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("ano"),
+            F.month("o_orderdate").alias("mes"),
+        )
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .head()["e"]
+    )
     direct = orders.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")
     ).head()["e"]
-    assert abs(rows[None] - direct) / direct < 0.02
+    assert abs(merged_total - direct) / direct < 0.02
     exact = {
         r["ano"]: r["n"]
         for r in orders.groupBy(F.year("o_orderdate").alias("ano"))
@@ -1020,9 +1033,10 @@ def test_hll_sketch_merge_consistency_and_error(spark, sf_oracle):
         .collect()
     }
     exact[None] = orders.select("o_custkey").distinct().count()
-    for ano, approx in rows.items():
-        err = abs(approx - exact[ano]) / exact[ano]
-        assert err < 0.05, f"ano={ano}: {approx} vs exact {exact[ano]}"
+    assert set(rows) == set(exact)
+    for ano, (exact_out, ok) in rows.items():
+        assert ok is True, f"ano={ano}: sketch outside 3·rsd of exact"
+        assert exact_out == exact[ano], (ano, exact_out, exact[ano])
 
 
 def test_bm25_ranks_term_dense_docs_first(spark):

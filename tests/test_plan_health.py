@@ -76,6 +76,7 @@ QUADRATIC_BY_DESIGN = {
     "ext_simsearch",  # exact top-k baseline: scan × 1 broadcast query row
     "ext_simsearch_ann",  # exact re-rank joins the 1-row query vector
     "ext_simsearch_ivf",
+    "ext_approx",  # 1-row sketch-estimate broadcast join (rank-contract probe)
     "ext_tfidf",  # 1-row corpus-size broadcast join
     "ext_bm25",  # 1-row corpus-stats broadcast join
     "ext_hybrid_rrf",  # BM25 side carries the same 1-row stats join

@@ -52,7 +52,9 @@ def test_green_set_reflects_committed_rounds() -> None:
     # oracle (chk_exists promoted r9 — the rotation re-fronts it for a
     # fresh hash verification rather than un-greening history)
     assert "chk_exists" in green
-    assert "ext_approx" in green  # still rows-only: no_oracle + rows counts
+    # ext_approx's history is no_oracle + rows rows (promoted to a
+    # contract oracle in r9 — rotation re-fronts it for a fresh hash run)
+    assert "ext_approx" in green
 
 
 def test_err_only_and_zero_row_rows_never_green(tmp_path, monkeypatch) -> None:
