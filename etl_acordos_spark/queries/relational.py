@@ -349,15 +349,23 @@ def q_ext_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantile sketch is computed ONCE (single percentile_approx
     buffer); the rank probe is one extra scan joined to the 1-row
     estimate frame (broadcast nested loop of 1 row — the repo's
-    standard stats-join shape)."""
+    standard stats-join shape). The sketch aggregates and the exact
+    distinct counts run as SEPARATE 1-row jobs cross-joined together:
+    mixing two DISTINCT columns with imperative sketch buffers in one
+    aggregate forces the multi-distinct Expand (3× the rows) through
+    the object-buffer aggregation path — measured 4.4 s vs 1.0 s split
+    at sf0.1."""
     lineitem = t(spark, sf_dir, "lineitem")
-    est = lineitem.agg(
+    sketches = lineitem.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("pq"),
     )
+    exacts = lineitem.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    est = sketches.crossJoin(F.broadcast(exacts))
     probe = lineitem.select("l_extendedprice").crossJoin(F.broadcast(est))
     fracs = probe.agg(
         F.first("exact_orders").alias("exact_orders"),

@@ -76,3 +76,29 @@ def test_ext_approx_estimates_within_documented_error(spark, sf_oracle):
     ).head()
     assert got["exact_orders"] == exact_orders
     assert got["exact_parts"] == exact_parts
+
+
+def test_sketch_contract_flags_are_computed_not_hardcoded(spark, sf_oracle):
+    """The contract-oracle design only verifies anything if the TRUE
+    flags are genuinely computed from sketch-vs-exact comparisons — a
+    refactor that replaces them with literal TRUE would stay green
+    against the oracle forever. Pin the analyzed plans: both keys must
+    still evaluate their sketch aggregate AND the exact aggregate AND
+    an abs(...)-bounded comparison."""
+    plans = {
+        "ext_approx": (
+            "approx_count_distinct",
+            "count(distinct",
+            "abs(",
+        ),
+        "ext_hll_sketch": (
+            "hll_union_agg",
+            "count(distinct",
+            "abs(",
+        ),
+    }
+    for key, needles in plans.items():
+        df = contract.queries()[key](spark, sf_oracle)
+        plan = df._jdf.queryExecution().analyzed().toString().lower()
+        for needle in needles:
+            assert needle in plan, f"{key}: {needle!r} missing from plan"
