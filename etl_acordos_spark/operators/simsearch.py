@@ -895,7 +895,9 @@ def ivfpq_topk(
     cells are unreachable by construction) while the shortlist stays
     k·refine rows — driver-trivial at any corpus size.
 
-    Approximate by design → rows-only registry check; recall is
+    Approximate by design, but the registry key runs the quantized
+    exact-integer variant and hash-verifies against a full DuckDB
+    oracle (cell argmin + ADC replayed as integer CTEs); recall is
     unit-tested against `exact_topk` at floors at least as tight as
     the IVF and PQ singles (tests/test_operators.py).
 

@@ -24,8 +24,10 @@ point of an IVF layout at 100 TB, where the probe set is a handful of
 partitions out of thousands. The exact cosine re-rank runs only on the
 pruned slice.
 
-Correctness story (rows-only key — ANN is not SQL-expressible): recall
-against `exact_topk` plus the partition-pruning plan shape are pinned
+Correctness story: the registry key runs the quantized exact-integer
+IVF family, so the stored index's probe hash-verifies against a DuckDB
+oracle (cell assignment replayed as an integer argmin CTE); recall
+against `exact_topk` plus the partition-pruning plan shape stay pinned
 in tests/test_streaming.py.
 
 No reference parity: the reference has neither vectors nor streaming;
