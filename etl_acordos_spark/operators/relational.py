@@ -57,6 +57,12 @@ def asof_join(
     explosion; ties at equal ts sort the right row first (matching
     DuckDB/Pandas ASOF `>=` semantics). Skewed hot keys behave like any
     window: AQE-split, state O(1) per carried column.
+
+    DUPLICATE right rows at the same (key, ts) carry an arbitrary one
+    of them (the window order is a tie) — dedup the right side first,
+    or add a total-order tiebreaker column, if that case can occur.
+    The brute-force property test generates unique (key, ts) right
+    rows for exactly this reason (tests/test_properties.py).
     """
     lcols = left.columns
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))

@@ -582,3 +582,90 @@ def test_unit_clamped_np_bitwise_equals_hof_property(spark, vecs):
     got = unit_clamped_np(np.asarray(vecs, dtype=np.float64))
     for i in range(len(vecs)):
         assert list(got[i]) == hof[i], (i, vecs[i])
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-5, 5)),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),  # dup right ts per key would
+        # make "latest" ambiguous — see asof_join's tie note
+    ),
+)
+@_settings
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join (union + carry-forward window) vs the definition: for
+    each left row, the right row with the MAX right.ts <= left.ts for
+    the same key, or NULL when no right row qualifies — including the
+    tie case right.ts == left.ts (eligible, DuckDB/Pandas `>=`
+    semantics), keys absent from one side, and empty right."""
+    from etl_acordos_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "lid int, k int, ts long",
+    )
+    rdf = spark.createDataFrame(
+        right, "k int, ts long, val int"
+    ) if right else spark.createDataFrame([], "k int, ts long, val int")
+    got = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["val"]).collect()
+    }
+    assert set(got) == set(range(len(left)))
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, ts, cands, got[i])
+
+
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, width=32),
+        min_size=1,
+        max_size=25,
+    ),
+    ranges=st.lists(
+        st.tuples(
+            st.floats(-100, 100, width=32),
+            st.floats(0.015625, 60, width=32),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    bin_width=st.sampled_from([1.0, 7.5, 50.0]),
+)
+@_settings
+def test_range_join_binned_matches_inequality_join(spark, vals, ranges, bin_width):
+    """range_join_binned (bin-explode + equi-join + exact refine) must
+    produce EXACTLY the half-open inequality-join pairs lo <= v < hi —
+    for overlapping ranges (multiple matches per value), boundary hits
+    on lo (in) and hi (out), negative values (floor-toward--inf
+    binning), and bin widths from finer than a range to coarser than
+    the whole domain."""
+    from etl_acordos_spark.operators.relational import range_join_binned
+
+    tiers = [(lo, lo + w, f"t{j}") for j, (lo, w) in enumerate(ranges)]
+    fact = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "fid int, v double"
+    )
+    rdf = spark.createDataFrame(tiers, "lo double, hi double, tier string")
+    got = {
+        (r["fid"], r["tier"])
+        for r in range_join_binned(fact, "v", rdf, "lo", "hi", bin_width)
+        .select("fid", "tier")
+        .collect()
+    }
+    want = {
+        (i, name)
+        for i, v in enumerate(vals)
+        for lo, hi, name in tiers
+        if lo <= v < hi
+    }
+    assert got == want
