@@ -338,9 +338,10 @@ def q_ext_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each estimate is checked in-plan against the exact value on the
     same data: approx_count_distinct at the default rsd=0.05 must land
     within 3·rsd (15%) of exact; percentile_approx at the default
-    accuracy=10000 must place its estimate within ±0.005 rank fraction
-    of the target (50× the ε=1/accuracy guarantee; measured deviation
-    ≤ 2e-4 at sf0.001–0.1). The DuckDB oracle states the exact counts
+    accuracy=10000 must place its estimate within ±1e-3 rank fraction
+    of the target (10× the ε=1/accuracy guarantee — the bound the old
+    unit test enforced; measured deviation ≤ 2e-4 at sf0.001–0.1). The
+    DuckDB oracle states the exact counts
     + TRUE flags, so a sketch that breaks its documented bound
     hash-mismatches instead of passing a rows-only check. Estimate
     VALUES stay engine-internal by design — the closed-form twins
@@ -366,6 +367,13 @@ def q_ext_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
     est = sketches.crossJoin(F.broadcast(exacts))
+    # every estimate/exact column rides the probe scan once via
+    # first() — threading the 1-row est through the aggregate keeps
+    # each sub-aggregate computed exactly once (a second broadcast of
+    # `sketches` would recompute the whole sketch job). coalesce: on an
+    # EMPTY table first()/avg() return NULL while the contract answers
+    # are fully determined (counts 0, rank checks vacuously true —
+    # exactly what the oracle states)
     probe = lineitem.select("l_extendedprice").crossJoin(F.broadcast(est))
     fracs = probe.agg(
         F.first("exact_orders").alias("exact_orders"),
@@ -377,19 +385,21 @@ def q_ext_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg((F.col("l_extendedprice") <= F.col("pq")[2]).cast("double")).alias("f99"),
     )
     return fracs.select(
-        "exact_orders",
-        "exact_parts",
-        (
+        F.coalesce(F.col("exact_orders"), F.lit(0)).alias("exact_orders"),
+        F.coalesce(F.col("exact_parts"), F.lit(0)).alias("exact_parts"),
+        F.coalesce(
             F.abs(F.col("approx_orders") - F.col("exact_orders"))
-            <= 0.15 * F.col("exact_orders")
+            <= 0.15 * F.col("exact_orders"),
+            F.lit(True),
         ).alias("orders_ok"),
-        (
+        F.coalesce(
             F.abs(F.col("approx_parts") - F.col("exact_parts"))
-            <= 0.15 * F.col("exact_parts")
+            <= 0.15 * F.col("exact_parts"),
+            F.lit(True),
         ).alias("parts_ok"),
-        (F.abs(F.col("f50") - F.lit(0.50)) <= 0.005).alias("p50_ok"),
-        (F.abs(F.col("f95") - F.lit(0.95)) <= 0.005).alias("p95_ok"),
-        (F.abs(F.col("f99") - F.lit(0.99)) <= 0.005).alias("p99_ok"),
+        F.coalesce(F.abs(F.col("f50") - F.lit(0.50)) <= 0.001, F.lit(True)).alias("p50_ok"),
+        F.coalesce(F.abs(F.col("f95") - F.lit(0.95)) <= 0.001, F.lit(True)).alias("p95_ok"),
+        F.coalesce(F.abs(F.col("f99") - F.lit(0.99)) <= 0.001, F.lit(True)).alias("p99_ok"),
     )
 
 
@@ -417,18 +427,28 @@ def q_ext_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("ano"),
         F.month("o_orderdate").alias("mes"),
     ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    # grouping() rides along on both sides: with NULL order dates a
+    # NULL-year DATA group and the rollup grand-total row would both
+    # carry ano=NULL, and a bare null-safe join would cross-match them
+    # (fan-out + sketches checked against the wrong exact counts)
     merged = monthly.rollup("ano").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_clientes")
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_clientes"),
+        F.grouping("ano").alias("gid"),
     )
     exact = (
-        orders.rollup(F.year("o_orderdate").alias("ano"))
-        .agg(F.countDistinct("o_custkey").alias("exact_clientes"))
+        orders.select(F.year("o_orderdate").alias("ano"), "o_custkey")
+        .rollup("ano")  # grouping() can't see through an inline alias
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_clientes"),
+            F.grouping("ano").alias("gid_ex"),
+        )
         .withColumnRenamed("ano", "ano_ex")
     )
     return (
         merged.join(
             F.broadcast(exact),
-            merged["ano"].eqNullSafe(F.col("ano_ex")),
+            merged["ano"].eqNullSafe(F.col("ano_ex"))
+            & (F.col("gid") == F.col("gid_ex")),
         )
         .select(
             "ano",
@@ -1856,6 +1876,13 @@ _ORACLES: dict[str, str | None] = {
         " TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok"
         " FROM lineitem"
     ),
+    # contract oracle: exact rollup + TRUE flags (see q_ext_hll_sketch)
+    "ext_hll_sketch": (
+        "SELECT CAST(year(o_orderdate) AS INTEGER) AS ano,"
+        " CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_clientes,"
+        " TRUE AS hll_ok"
+        " FROM orders GROUP BY ROLLUP (year(o_orderdate))"
+    ),
     "ext_topk": (
         "SELECT regiao, c_custkey, receita, posicao FROM ("
         "  SELECT regiao, c_custkey, receita,"
@@ -1996,14 +2023,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_agg_stats": QueryDef(q_ext_agg_stats, _ORACLES["ext_agg_stats"]),
     "ext_approx": QueryDef(q_ext_approx, _ORACLES["ext_approx"]),
-    # contract oracle: exact rollup + TRUE flags (see q_ext_hll_sketch)
-    "ext_hll_sketch": QueryDef(
-        q_ext_hll_sketch,
-        "SELECT CAST(year(o_orderdate) AS INTEGER) AS ano,"
-        " CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_clientes,"
-        " TRUE AS hll_ok"
-        " FROM orders GROUP BY ROLLUP (year(o_orderdate))",
-    ),
+    "ext_hll_sketch": QueryDef(q_ext_hll_sketch, _ORACLES["ext_hll_sketch"]),
     "ext_hll_md5": QueryDef(q_ext_hll_md5, _hll_md5_oracle()),
     "ext_topk": QueryDef(q_ext_topk, _ORACLES["ext_topk"]),
     "ext_window_running": QueryDef(

@@ -2734,3 +2734,33 @@ def test_incremental_dedup_hash_families_agree(spark, sf_oracle):
     assert out["md5"] and out["xxhash64"]
     agree = len(out["md5"] & out["xxhash64"]) / len(out["md5"] | out["xxhash64"])
     assert agree >= 0.95, f"families diverge beyond hash luck: {agree:.3f}"
+
+
+def test_hll_sketch_null_dates_do_not_fan_out_the_rollup_join(spark, tmp_path):
+    """With NULL order dates, a NULL-year DATA group and the rollup
+    grand-total row both carry ano=NULL; the contract join must pair
+    each with its own exact count via grouping() — a bare null-safe
+    join cross-matches them (4 rows instead of 2, and the NULL-group
+    sketch checked against the grand total)."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.queries.base import t
+    from etl_acordos_spark.queries.relational import q_ext_hll_sketch
+
+    orders = t(spark, "/root/testdata/sf0.001", "orders")
+    null_row = orders.limit(1).withColumn(
+        "o_orderdate",
+        F.lit(None).cast(orders.schema["o_orderdate"].dataType),
+    )
+    out = str(tmp_path / "orders.parquet")
+    orders.unionByName(null_row).write.parquet(out)
+    rows = q_ext_hll_sketch(spark, str(tmp_path)).collect()
+    null_rows = sorted(
+        (r["exact_clientes"], r["hll_ok"])
+        for r in rows
+        if r["ano"] is None
+    )
+    total = orders.select("o_custkey").distinct().count()
+    # exactly two NULL-ano rows: the 1-customer NULL data group and the
+    # grand total — each with ITS OWN exact count, both within bounds
+    assert null_rows == [(1, True), (total, True)], null_rows

@@ -57,7 +57,7 @@ def test_ext_approx_estimates_within_documented_error(spark, sf_oracle):
     chk_exists/flow_retry contract-oracle recipe): the query compares
     each sketch estimate against the exact value in-plan — HLL++ at the
     default rsd=0.05 within 3·rsd (15%), percentile_approx at the
-    default accuracy=10000 within ±0.005 rank fraction — and emits
+    default accuracy=10000 within ±1e-3 rank fraction — and emits
     boolean flags the DuckDB oracle states as TRUE. This test pins the
     flags directly (a sketch regression flips one to False) and
     re-derives the exact counts independently so a broken exact side

@@ -614,10 +614,11 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     rdf = spark.createDataFrame(
         right, "k int, ts long, val int"
     ) if right else spark.createDataFrame([], "k int, ts long, val int")
-    got = {
-        r["lid"]: r["asof_val"]
-        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["val"]).collect()
-    }
+    rows = asof_join(ldf, rdf, "k", "ts", "ts", ["val"]).collect()
+    # exactly one output row per left row — a fan-out regression would
+    # survive the dict comparison below
+    assert len(rows) == len(left)
+    got = {r["lid"]: r["asof_val"] for r in rows}
     assert set(got) == set(range(len(left)))
     for i, (k, ts) in enumerate(left):
         cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
@@ -656,12 +657,12 @@ def test_range_join_binned_matches_inequality_join(spark, vals, ranges, bin_widt
         [(i, v) for i, v in enumerate(vals)], "fid int, v double"
     )
     rdf = spark.createDataFrame(tiers, "lo double, hi double, tier string")
-    got = {
-        (r["fid"], r["tier"])
-        for r in range_join_binned(fact, "v", rdf, "lo", "hi", bin_width)
+    rows = (
+        range_join_binned(fact, "v", rdf, "lo", "hi", bin_width)
         .select("fid", "tier")
         .collect()
-    }
+    )
+    got = {(r["fid"], r["tier"]) for r in rows}
     want = {
         (i, name)
         for i, v in enumerate(vals)
@@ -669,3 +670,7 @@ def test_range_join_binned_matches_inequality_join(spark, vals, ranges, bin_widt
         if lo <= v < hi
     }
     assert got == want
+    # each (value, tier) pair must appear exactly once — a range
+    # spanning many bins duplicating its matches would survive the
+    # set comparison above
+    assert len(rows) == len(want)
