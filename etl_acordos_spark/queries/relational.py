@@ -421,7 +421,13 @@ def q_ext_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states the exact rollup + TRUE flags, so a sketch or a
     broken union hash-mismatches. Merge-consistency vs the direct
     whole-table sketch stays unit-tested (union promotes sparse-mode
-    sketches, so exact equality does not hold)."""
+    sketches, so exact equality does not hold).
+
+    PRECONDITION: non-empty orders. Spark's Expand-based rollup emits
+    ZERO rows on empty input while SQL ROLLUP emits the grand-total
+    row (verified empirically on both engines) — an engine-semantics
+    divergence this contract inherits rather than papering over with
+    a synthetic total row; every shipped fixture is non-empty."""
     orders = t(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.year("o_orderdate").alias("ano"),

@@ -2736,7 +2736,9 @@ def test_incremental_dedup_hash_families_agree(spark, sf_oracle):
     assert agree >= 0.95, f"families diverge beyond hash luck: {agree:.3f}"
 
 
-def test_hll_sketch_null_dates_do_not_fan_out_the_rollup_join(spark, tmp_path):
+def test_hll_sketch_null_dates_do_not_fan_out_the_rollup_join(
+    spark, sf_smoke, tmp_path
+):
     """With NULL order dates, a NULL-year DATA group and the rollup
     grand-total row both carry ano=NULL; the contract join must pair
     each with its own exact count via grouping() — a bare null-safe
@@ -2747,7 +2749,7 @@ def test_hll_sketch_null_dates_do_not_fan_out_the_rollup_join(spark, tmp_path):
     from etl_acordos_spark.queries.base import t
     from etl_acordos_spark.queries.relational import q_ext_hll_sketch
 
-    orders = t(spark, "/root/testdata/sf0.001", "orders")
+    orders = t(spark, sf_smoke, "orders")
     null_row = orders.limit(1).withColumn(
         "o_orderdate",
         F.lit(None).cast(orders.schema["o_orderdate"].dataType),
