@@ -185,6 +185,12 @@ def canonical_url(url: Column) -> Column:
     catches the recrawl/mirror duplicates that differ only in tracking
     decoration, at zero content cost):
 
+    - strip ASCII tab/CR/LF anywhere (WHATWG URL preprocessing),
+      extended to NEL/LS/PS (U+0085/U+2028/U+2029) so the Java-regex
+      ``.`` patterns below and the oracle's RE2 twins agree on EVERY
+      input, not just terminator-free ones (Java ``.`` excludes all
+      five line terminators, RE2 ``.`` only ``\\n`` — the same seam
+      the BPE oracle spells out explicitly),
     - drop the ``#fragment`` (client-side only),
     - lowercase the scheme and host (case-insensitive per RFC 3986;
       the path is NOT lowercased — it is case-sensitive — and neither
@@ -203,6 +209,9 @@ def canonical_url(url: Column) -> Column:
     ext_dedup_url oracle — keep the two in lockstep (the oracle omits
     the scheme-less guard only because its synthetic URLs always carry
     one)."""
+    url = F.regexp_replace(
+        url, "[\\t\\n\\r\\x{0085}\\x{2028}\\x{2029}]", ""
+    )
     pre = F.substring_index(url, "#", 1)
     base = F.substring_index(pre, "?", 1)
     # everything after the FIRST '?' — substring_index(pre, '?', -1)

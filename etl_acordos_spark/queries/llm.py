@@ -1880,13 +1880,20 @@ _DEDUP_URL_ORACLE = (
     "           WHEN doc_id % 7 = 5 THEN '?utm_campaign=x'"
     "           ELSE '' END AS url"
     " FROM documents),"
+    # WHATWG tab/CR/LF strip extended to all Java line terminators —
+    # lockstep with canonical_url's step 0 (keeps the '.'-based
+    # patterns below exact twins on every input, not just the
+    # terminator-free synthetic URLs)
+    " rawn AS (SELECT doc_id, text, regexp_replace(url,"
+    "   '[\\t\\n\\r\\x{0085}\\x{2028}\\x{2029}]', '', 'g') AS url"
+    "  FROM raw),"
     " pq AS (SELECT doc_id, text,"
     "   split_part(split_part(url, '#', 1), '?', 1) AS base,"
     # everything after the FIRST '?' (split_part field 2 would stop at
     # a second '?') — lockstep with operators/dedup.py:canonical_url
     "   regexp_extract(split_part(url, '#', 1),"
     "    '^[^?]*\\?(.*)$', 1) AS q"
-    "  FROM raw),"
+    "  FROM rawn),"
     " kp AS (SELECT *, list_sort(list_filter(string_split(q, '&'),"
     "   x -> x <> '' AND NOT regexp_matches(x,"
     "    '^(utm_[^=]*|ref|fbclid|gclid|mc_[^=]*)='))) AS kept FROM pq),"

@@ -426,3 +426,30 @@ def test_kmeans_oracle_derives_dim_from_data(spark):
     )
     assert got == want
     assert len({c for _, c in got}) > 1  # a real clustering, not one blob
+
+
+def test_canonical_url_strips_line_terminators_whatwg_style(spark):
+    """canonical_url step 0 strips tab/CR/LF (WHATWG URL preprocessing)
+    plus NEL/LS/PS — this is what makes the operator's Java-regex '.'
+    patterns and the oracle's RE2 twins agree on EVERY input (Java '.'
+    excludes all five line terminators, RE2 '.' only newline — the BPE
+    oracle seam). A terminator-bearing URL must canonicalize exactly
+    like its pre-stripped form, including a tab splitting the scheme."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.dedup import canonical_url
+
+    pairs = [
+        (
+            "http://EXAMPLE.com/a\r/b/?z=1&utm_source=x\n",
+            "http://EXAMPLE.com/a/b/?z=1&utm_source=x",
+        ),
+        ("ht\ttp://Host.COM/p", "http://Host.COM/p"),
+        ("http://user@HOST.com/x ", "http://user@HOST.com/x"),
+    ]
+    df = spark.createDataFrame(pairs, "dirty string, clean string").select(
+        canonical_url(F.col("dirty")).alias("a"),
+        canonical_url(F.col("clean")).alias("b"),
+    )
+    for r in df.collect():
+        assert r["a"] == r["b"], (r["a"], r["b"])
