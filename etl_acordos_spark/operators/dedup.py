@@ -201,9 +201,11 @@ def canonical_url(url: Column) -> Column:
       rest sorted so param order can't split identical resources.
 
     Scheme-less inputs (relative references, protocol-relative
-    ``//host/...``) pass through UNCHANGED: without an authority there
-    is nothing safe to canonicalize, and mapping them all onto one
-    degenerate ``://`` form would merge distinct documents.
+    ``//host/...``) pass through terminator-stripped but otherwise
+    UNCHANGED (the step-0 strip is preprocessing, before any parsing):
+    without an authority there is nothing further safe to
+    canonicalize, and mapping them all onto one degenerate ``://``
+    form would merge distinct documents.
 
     Pure string expressions (no UDF) with an exact DuckDB twin in the
     ext_dedup_url oracle — keep the two in lockstep (the oracle omits

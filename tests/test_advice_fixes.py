@@ -445,7 +445,13 @@ def test_canonical_url_strips_line_terminators_whatwg_style(spark):
             "http://EXAMPLE.com/a/b/?z=1&utm_source=x",
         ),
         ("ht\ttp://Host.COM/p", "http://Host.COM/p"),
-        ("http://user@HOST.com/x ", "http://user@HOST.com/x"),
+        (
+            # NEL (U+0085) in userinfo, LS (U+2028) in path --
+            # explicit escapes so formatters cannot silently
+            # destroy the coverage
+            "http://u\u0085ser@HOST.com/x\u2028",
+            "http://user@HOST.com/x",
+        ),
     ]
     df = spark.createDataFrame(pairs, "dirty string, clean string").select(
         canonical_url(F.col("dirty")).alias("a"),
