@@ -674,3 +674,54 @@ def test_range_join_binned_matches_inequality_join(spark, vals, ranges, bin_widt
     # spanning many bins duplicating its matches would survive the
     # set comparison above
     assert len(rows) == len(want)
+
+
+@given(
+    existing=st.dictionaries(
+        st.integers(0, 8),
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.integers(0, 99)),
+        max_size=9,
+    ),
+    updates=st.dictionaries(
+        st.integers(0, 8),
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.integers(0, 99)),
+        max_size=9,
+    ),
+)
+@_settings
+def test_merge_upsert_keeps_exactly_the_latest_row_per_key(
+    spark, existing, updates
+):
+    """merge_upsert (union + version-desc window) vs the MERGE
+    definition: per key the surviving row is the updates row iff its
+    version is >= the existing version (ties break toward updates),
+    else the existing row; keys present on one side only pass through;
+    NULL versions order last (lose to any non-NULL). One row per key,
+    always — snapshot semantics."""
+    from etl_acordos_spark.operators.relational import merge_upsert
+
+    edf = spark.createDataFrame(
+        [(k, v, p) for k, (v, p) in existing.items()],
+        "k int, version int, payload int",
+    )
+    udf_ = spark.createDataFrame(
+        [(k, v, p) for k, (v, p) in updates.items()],
+        "k int, version int, payload int",
+    )
+    rows = merge_upsert(edf, udf_, "k", "version").collect()
+    got = {r["k"]: (r["version"], r["payload"]) for r in rows}
+    assert len(rows) == len(got), "more than one survivor for a key"
+
+    def rank(v):  # NULL version orders last under version DESC
+        return -float("inf") if v is None else v
+
+    want = {}
+    for k in set(existing) | set(updates):
+        if k not in updates:
+            want[k] = existing[k]
+        elif k not in existing:
+            want[k] = updates[k]
+        else:
+            ev, uv = existing[k][0], updates[k][0]
+            want[k] = updates[k] if rank(uv) >= rank(ev) else existing[k]
+    assert got == want
