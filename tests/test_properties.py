@@ -725,3 +725,49 @@ def test_merge_upsert_keeps_exactly_the_latest_row_per_key(
             ev, uv = existing[k][0], updates[k][0]
             want[k] = updates[k] if rank(uv) >= rank(ev) else existing[k]
     assert got == want
+
+
+@given(
+    data=st.dictionaries(
+        st.integers(0, 2),  # key
+        st.dictionaries(  # version -> attr (unique versions per key)
+            st.integers(0, 9),
+            st.one_of(st.none(), st.integers(0, 2)),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@_settings
+def test_scd2_history_matches_run_length_bruteforce(spark, data):
+    """scd2_history vs the SCD-2 definition: per key, sort snapshots by
+    version, collapse consecutive runs of the (null-safe) same attr
+    value into one interval; valid_from = the run's first version,
+    valid_to = the next run's valid_from (NULL + is_current on the
+    last). Covers NULL attrs, re-appearing values (a->b->a must yield
+    THREE intervals, not two) and single-snapshot keys."""
+    from etl_acordos_spark.operators.relational import scd2_history
+
+    rows = [
+        (k, v, a) for k, vers in data.items() for v, a in vers.items()
+    ]
+    df = spark.createDataFrame(rows, "k int, version int, a int")
+    srt = lambda rows: sorted(rows, key=lambda t: tuple(map(repr, t)))
+    got = srt(
+        (r["k"], r["a"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, "k", "version", ["a"]).collect()
+    )
+    want = []
+    for k, vers in data.items():
+        runs = []
+        for v in sorted(vers):
+            if runs and runs[-1][0] == vers[v]:
+                runs[-1][1].append(v)
+            else:
+                runs.append((vers[v], [v]))
+        for i, (a, vs) in enumerate(runs):
+            nxt = runs[i + 1][1][0] if i + 1 < len(runs) else None
+            want.append((k, a, vs[0], nxt, nxt is None))
+    assert got == srt(want)
