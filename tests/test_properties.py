@@ -771,3 +771,38 @@ def test_scd2_history_matches_run_length_bruteforce(spark, data):
             nxt = runs[i + 1][1][0] if i + 1 < len(runs) else None
             want.append((k, a, vs[0], nxt, nxt is None))
     assert got == srt(want)
+
+
+@given(
+    fact=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 4)), st.integers(0, 99)),
+        max_size=30,
+    ),
+    dim=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 4)), st.integers(0, 9)),
+        max_size=10,
+    ),
+    buckets=st.sampled_from([1, 3, 8]),
+)
+@_settings
+def test_salted_join_equals_plain_join(spark, fact, dim, buckets):
+    """salted_join's contract line — 'Result equals the plain join
+    exactly' — over random fact/dim multisets: duplicate keys on both
+    sides (multiplicative fan-out), NULL keys (dropped by equi-join
+    semantics in both forms), dim keys with no fact rows, and bucket
+    counts from degenerate (1) to wider than the key space."""
+    from collections import Counter
+
+    from etl_acordos_spark.operators.relational import salted_join
+
+    fdf = spark.createDataFrame(fact or [(None, 0)], "k int, fv int")
+    ddf = spark.createDataFrame(dim or [(None, 0)], "k int, dv int")
+    got = Counter(
+        (r["k"], r["fv"], r["dv"])
+        for r in salted_join(fdf, ddf, "k", salt_buckets=buckets).collect()
+    )
+    want = Counter(
+        (r["k"], r["fv"], r["dv"])
+        for r in fdf.join(ddf, "k").collect()
+    )
+    assert got == want
