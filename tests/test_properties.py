@@ -806,3 +806,64 @@ def test_salted_join_equals_plain_join(spark, fact, dim, buckets):
         for r in fdf.join(ddf, "k").collect()
     )
     assert got == want
+
+
+@given(
+    users=st.dictionaries(
+        st.integers(0, 2),  # user_id
+        st.lists(st.integers(0, 7200), min_size=1, max_size=12),  # secs
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_sessionize_gaps_and_islands_matches_bruteforce(
+    spark, users, tmp_path_factory
+):
+    """q_ext_sessionize_batch's gaps-and-islands logic vs a sequential
+    scan: per user, sorted events split into sessions at gaps >= 30
+    minutes; each session reports (start, n_events, sum_value). Random
+    offsets cover duplicate timestamps (gap 0 — same session), exact
+    30-minute boundaries (NEW session: the rule is >=), and single-event
+    users."""
+    import datetime as dt
+
+    from etl_acordos_spark.queries.relational import q_ext_sessionize_batch
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, offs in users.items():
+        for o in offs:
+            rows.append(
+                (eid, u, base + dt.timedelta(seconds=o), "click", float(o % 7))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+    out_dir = str(tmp_path_factory.mktemp("sess"))
+    df.write.mode("overwrite").parquet(out_dir + "/events.parquet")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in q_ext_sessionize_batch(spark, out_dir).collect()
+    )
+    want = []
+    for u, offs in users.items():
+        sess = []
+        for o in sorted(offs):
+            if sess and (o - sess[-1][-1]) < 1800:
+                sess[-1].append(o)
+            else:
+                sess.append([o])
+        for s in sess:
+            want.append(
+                (
+                    u,
+                    base + dt.timedelta(seconds=s[0]),
+                    len(s),
+                    round(sum(float(o % 7) for o in s), 4),
+                )
+            )
+    assert got == sorted(want)
