@@ -867,3 +867,55 @@ def test_sessionize_gaps_and_islands_matches_bruteforce(
                 )
             )
     assert got == sorted(want)
+
+
+@given(
+    series=st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.lists(
+            st.tuples(st.integers(0, 96), st.integers(-9, 9)),  # (hour-offset, value)
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=2,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_gap_fill_hours_matches_sequential_forward_fill(spark, series):
+    """gap_fill_hours vs the definition: one row per (series, hour)
+    across the series' observed span, hourly sums where observed,
+    forward-filled values in the gaps, was_gap marking synthetic rows.
+    Random offsets cover multiple observations in one hour (summed),
+    spans with every hour observed (no gaps), and single-hour series."""
+    import datetime as dt
+
+    from etl_acordos_spark.operators.relational import gap_fill_hours
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (s, base + dt.timedelta(hours=h, minutes=int(v) % 60), float(v))
+        for s, obs in series.items()
+        for h, v in obs
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    )
+    got = sorted(
+        (r["series"], r["hour"], r["v_filled"], r["was_gap"])
+        for r in gap_fill_hours(df, "event_type", "ts", "value").collect()
+    )
+    want = []
+    for s, obs in series.items():
+        sums = {}
+        for h, v in obs:
+            sums[h] = round(sums.get(h, 0.0) + float(v), 4)
+        lo, hi = min(sums), max(sums)
+        last = None
+        for h in range(lo, hi + 1):
+            if h in sums:
+                last = sums[h]
+                want.append((s, base + dt.timedelta(hours=h), last, 0))
+            else:
+                want.append((s, base + dt.timedelta(hours=h), last, 1))
+    assert got == sorted(want)
