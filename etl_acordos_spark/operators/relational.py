@@ -353,10 +353,17 @@ def funnel_steps(
         )
         counts = row if counts is None else counts.unionByName(row)
     w = Window.orderBy("step_idx")
+    # try_divide: a step that converted NOBODY makes the next step's
+    # denominator 0, which a plain division turns into a hard
+    # DIVIDE_BY_ZERO crash under ANSI mode (hypothesis-found; the
+    # fixture funnel never empties a step) — NULL is the honest pct
     return counts.withColumn(
         "pct_of_prev",
         F.round(
-            F.col("n_users").cast("double") / F.lag("n_users").over(w), 4
+            F.try_divide(
+                F.col("n_users").cast("double"), F.lag("n_users").over(w)
+            ),
+            4,
         ),
     )
 

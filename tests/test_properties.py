@@ -919,3 +919,71 @@ def test_gap_fill_hours_matches_sequential_forward_fill(spark, series):
             else:
                 want.append((s, base + dt.timedelta(hours=h), last, 1))
     assert got == sorted(want)
+
+
+@given(
+    users=st.dictionaries(
+        st.integers(0, 3),
+        st.lists(
+            st.tuples(
+                st.integers(0, 40),  # ts offset
+                st.sampled_from(["view", "click", "purchase", "other"]),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_funnel_steps_matches_greedy_min_chain(spark, users):
+    """funnel_steps vs the funnel definition computed sequentially per
+    user: t_i = min ts of step-i events STRICTLY after t_{i-1} (greedy
+    earliest — optimal for strictly-ordered funnels). Random streams
+    cover same-timestamp step events (strictness: ts > t_prev, so a
+    click AT the view time does not convert), step events with no
+    prior step, non-step noise, and users dropping at every depth."""
+    import datetime as dt
+
+    from etl_acordos_spark.operators.relational import funnel_steps
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (u, base + dt.timedelta(minutes=o), t)
+        for u, evs in users.items()
+        for o, t in evs
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string"
+    )
+    steps = ["view", "click", "purchase"]
+    got = {
+        r["step_idx"]: (r["step"], r["n_users"], r["pct_of_prev"])
+        for r in funnel_steps(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    counts = []
+    for i, step in enumerate(steps):
+        n = 0
+        for evs in users.values():
+            t_prev = None
+            ok = True
+            for j in range(i + 1):
+                cands = [
+                    o
+                    for o, t in evs
+                    if t == steps[j] and (t_prev is None or o > t_prev)
+                ]
+                if not cands:
+                    ok = False
+                    break
+                t_prev = min(cands)
+            n += ok
+        counts.append(n)
+    for i, step in enumerate(steps):
+        want_pct = (
+            None if i == 0 else round(counts[i] / counts[i - 1], 4)
+            if counts[i - 1]
+            else None
+        )
+        assert got[i + 1] == (step, counts[i], want_pct), (i, got, counts)
