@@ -216,11 +216,13 @@ def test_rotation_fronts_seg_changed_before_stable(monkeypatch) -> None:
 
 def test_ext_rfm_is_refronted_this_round() -> None:
     """The concrete round-7 acceptance: ext_rfm (rewritten r6, last
-    green r5) sits in the driver window until a fresh green lands."""
+    green r5) sits in the driver window until a fresh green lands.
+    Once the manifest records the re-verified fingerprint, the
+    re-fronting obligation is discharged and either state is healthy."""
     m = manifest.load_manifest()
     cur = manifest.current_fingerprints()
     if m and m.get("ext_rfm") == cur.get("ext_rfm"):
-        pytest.skip("ext_rfm re-verified; manifest refreshed")
+        return  # re-verified and manifest refreshed — obligation discharged
     keys = list(contract.queries())
     assert keys.index("ext_rfm") < DRIVER_CAP
 
