@@ -148,7 +148,14 @@ def shingle_sets(
 
 
 def jaccard(a: str, b: str) -> Column:
-    """Exact set Jaccard between two array columns."""
+    """Exact set Jaccard between two array columns.
+
+    ANSI-safe by construction for every in-repo caller: both shingle
+    builders (`word_shingles`, `hashed_word_shingles`) emit the whole
+    text as one shingle for short docs, so a non-NULL shingle array is
+    never empty and the union size is >= 1; a NULL text propagates a
+    NULL array -> NULL jaccard (division by NULL is NULL, not
+    DIVIDE_BY_ZERO) — pinned by tests/test_divide_safety.py."""
     return (
         F.size(F.array_intersect(F.col(a), F.col(b)))
         / F.size(F.array_union(F.col(a), F.col(b)))
@@ -1192,6 +1199,10 @@ def containment_pairs(
     return (
         a.join(b, F.col("doc_a") != F.col("doc_b"))
         .withColumn(
+            # size(s_a) >= 1 even at min_tokens=0: split() yields at
+            # least [""] and both set builders (word_shingles /
+            # array_distinct) preserve >= 1 element, so the divisor is
+            # structurally positive (ANSI-safe)
             "containment",
             F.round(
                 F.size(F.array_intersect("s_a", "s_b"))

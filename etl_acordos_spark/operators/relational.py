@@ -1171,6 +1171,12 @@ def conversion_ztest(
         .cast("bigint")
         .alias("x_b"),
     )
+    # ANSI-safe by construction: n_a/n_b are sums of per-variant group
+    # counts, so each is either NULL (variant absent — the conditional
+    # sum saw no rows) or >= 1; a ZERO denominator is unreachable, and
+    # division by NULL yields NULL (not DIVIDE_BY_ZERO), cascading to a
+    # NULL z for the degenerate one-variant experiment — pinned by
+    # tests/test_divide_safety.py::test_ztest_*
     p_a = F.col("x_a") / F.col("n_a")
     p_b = F.col("x_b") / F.col("n_b")
     p = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
@@ -1588,6 +1594,10 @@ def _ntile_from_rank(rn: Column, n: Column, buckets: int) -> Column:
     q = F.floor(n / buckets)
     r = n % buckets
     cutoff = r * (q + 1)
+    # ANSI-safe: when n < buckets, q = 0 — but then cutoff = n·1 = n,
+    # so EVERY rank takes the when-branch and the otherwise's `/ q` is
+    # never evaluated (CASE WHEN branches are lazy in Spark codegen);
+    # pinned by test_divide_safety.py::test_rfm_fewer_customers...
     return (
         F.when(rn <= cutoff, F.floor((rn - 1) / (q + 1)) + 1)
         .otherwise(r + F.floor((rn - 1 - cutoff) / q) + 1)
@@ -1705,6 +1715,11 @@ def association_rules(
         F.count("*").cast("bigint").alias("_n")
     )
     grid = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    # ANSI-safe by construction (even at min_pair=0): a rule row exists
+    # only for a pair seen in >= 1 basket, so n_ab >= 1; the inner
+    # joins guarantee _ca/_cb >= 1 (both items occur in li) and
+    # _n >= 1 (a basket containing the pair exists) — every denominator
+    # is structurally positive; pinned by test_divide_safety.py
     support = F.col("n_ab") / F.col("_n")
     confidence = F.col("n_ab") / F.col("_ca")
     lift = (F.col("n_ab") / F.col("_ca")) / (F.col("_cb") / F.col("_n"))
@@ -1882,6 +1897,9 @@ def active_user_stickiness(
         .agg(F.count_distinct(user_col).alias("_dau"))
         .groupBy("week")
         .agg(
+            # count(*) counts observed-day rows per week group — a
+            # group only exists with >= 1 row, so the denominator is
+            # structurally positive (ANSI-safe)
             (
                 F.floor(
                     F.sum("_dau") / F.count("*") * 10000.0 + 0.5
@@ -1899,8 +1917,14 @@ def active_user_stickiness(
             "week",
             "wau",
             "avg_dau",
+            # try_divide: a week whose events all carry NULL user ids
+            # has wau = 0 (count_distinct skips NULLs) — stickiness is
+            # NULL, not an ANSI DIVIDE_BY_ZERO crash
             (
-                F.floor(F.col("avg_dau") / F.col("wau") * 10000.0 + 0.5)
+                F.floor(
+                    F.try_divide(F.col("avg_dau"), F.col("wau")) * 10000.0
+                    + 0.5
+                )
                 / 10000.0
             ).alias("stickiness"),
         )

@@ -46,7 +46,12 @@ def norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity between two array columns. A zero vector has
+    no defined direction, so its similarity is NULL (try_divide) rather
+    than an ANSI DIVIDE_BY_ZERO crash — downstream ``>= threshold`` /
+    ``ORDER BY`` treat NULL as non-matching/last, which is the right
+    behavior for a degenerate embedding."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _safe_norms(mat: np.ndarray) -> np.ndarray:
@@ -1236,7 +1241,9 @@ def quantize_int8(
         F.expr(
             "aggregate(q, cast(0 as bigint), (acc, qi) -> acc + abs(qi))"
         ).alias("q_l1"),
-        F.round(F.sqrt(sq_err / F.size("v")), 6).alias("rmse"),
+        # try_divide: a zero-dimension vector (size 0) gets NULL rmse
+        # instead of an ANSI 0/0 crash
+        F.round(F.sqrt(F.try_divide(sq_err, F.size("v"))), 6).alias("rmse"),
     )
 
 

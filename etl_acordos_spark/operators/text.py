@@ -94,6 +94,9 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("tok")
     )
+    # split() returns at least [""] for any non-NULL string, so
+    # n_tokens >= 1; a NULL text gives NULL size -> NULL ratios (ANSI:
+    # division by NULL is NULL, never DIVIDE_BY_ZERO)
     n_tokens = F.size("tok")
     distinct_ratio = F.size(F.array_distinct("tok")) / n_tokens
     avg_token_len = (
@@ -543,6 +546,8 @@ def lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     probs = (
         vocab.withColumn("_k", F.lit(1))
         .join(F.broadcast(total), "_k")
+        # n = sum of vocab counts >= c >= 1 whenever a vocab row exists
+        # — the divisor is structurally positive (ANSI-safe)
         .select("w", F.log2(F.col("c") / F.col("n")).alias("logp"))
     )
     return (
@@ -617,6 +622,9 @@ def bigram_lm_score(
     bi_model = (
         c2.filter(F.col("c2") >= min_count)
         .join(cctx, "w1")
+        # cc = sum of c2 over the context >= c2 >= 1, so the divisor is
+        # structurally positive (ANSI-safe); same for the unigram
+        # n >= c1 >= 1 below
         .select(
             "w1", "w2", F.log2(F.col("c2") / F.col("cc")).alias("logp_bi")
         )
