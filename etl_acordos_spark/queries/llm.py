@@ -76,7 +76,10 @@ def q_ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise token-set Jaccard ≥ 0.9 — the oracle-able
-    small-scale truth that the MinHash-LSH variant approximates."""
+    small-scale truth that the MinHash-LSH variants approximate.
+    All-pairs verification baseline by design; the 100 TB scale paths
+    are ext_dedup_near / ext_dedup_star (banded LSH candidates, never
+    all-pairs) with this predicate as the per-bucket verify step."""
     return jaccard_pairs(
         t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.9
     )

@@ -397,6 +397,15 @@ def q_ext_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("exact_parts"),
             F.lit(True),
         ).alias("parts_ok"),
+        # NEAR-CONTINUITY ASSUMPTION (ADVICE r9 #2): percentile_approx
+        # bounds RANK error, not the tie mass at the returned value —
+        # the `<=`-fraction check below is only guaranteed within the
+        # 1e-3 bound when values are near-continuous (ties at the
+        # estimate carry negligible probability mass). l_extendedprice
+        # is a ~900k-distinct-value price column at sf0.01+, so the
+        # assumption holds for the verified fixture; a heavy-tie column
+        # would need the half-open bracket (count of strictly-less vs
+        # <= rows brackets the target) instead.
         F.coalesce(F.abs(F.col("f50") - F.lit(0.50)) <= 0.001, F.lit(True)).alias("p50_ok"),
         F.coalesce(F.abs(F.col("f95") - F.lit(0.95)) <= 0.001, F.lit(True)).alias("p95_ok"),
         F.coalesce(F.abs(F.col("f99") - F.lit(0.99)) <= 0.001, F.lit(True)).alias("p99_ok"),
@@ -1704,9 +1713,14 @@ _FUNNEL_ORACLE = (
     "   (SELECT count(*) FROM t1) AS n_users"
     "  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)"
     "  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3))"
+    # nullif on the lag keeps the oracle DuckDB-version-independent:
+    # 1.0.x returns NULL for x/0 but >= 1.1 ieee_floating_point_ops
+    # yields inf/NaN for DOUBLE division — nullif makes an empty step
+    # NULL in both, matching Spark's try_divide
     " SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,"
     "  round(CAST(n_users AS DOUBLE)"
-    "   / lag(n_users) OVER (ORDER BY step_idx), 4) AS pct_of_prev"
+    "   / nullif(lag(n_users) OVER (ORDER BY step_idx), 0), 4)"
+    "   AS pct_of_prev"
     " FROM counts"
 )
 

@@ -97,8 +97,18 @@ def test_sketch_contract_flags_are_computed_not_hardcoded(spark, sf_oracle):
             "abs(",
         ),
     }
+    import contextlib
+    import io
+
     for key, needles in plans.items():
         df = contract.queries()[key](spark, sf_oracle)
-        plan = df._jdf.queryExecution().analyzed().toString().lower()
+        # capture the public explain() output instead of the private
+        # _jdf.queryExecution() JVM handle — explain() exists under
+        # both classic and Connect sessions, so the anti-hardcoding
+        # guard survives a runtime migration (ADVICE r9 #3)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(extended=True)
+        plan = buf.getvalue().lower()
         for needle in needles:
             assert needle in plan, f"{key}: {needle!r} missing from plan"
