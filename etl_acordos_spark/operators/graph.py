@@ -267,7 +267,7 @@ def _pagerank_iteration(
 
 
 def hierarchy_flatten(
-    edges: DataFrame, rounds: int = 6
+    edges: DataFrame, rounds: int = 20
 ) -> DataFrame:
     """Resolve every node of a forest to its (root, depth) — the
     hierarchy-flattening behind BOM explosions, org charts, and
@@ -276,19 +276,26 @@ def hierarchy_flatten(
 
     *edges* is (node, parent) with parent NULL for roots; every
     non-NULL parent must itself appear as a node. Uses pointer
-    doubling: each round joins the state table to itself, so after r
-    rounds every node ≤ 2^r levels deep is fully resolved —
-    ``rounds=6`` covers depth 64; raise it logarithmically, not
-    linearly, for deeper trees. After the loop every pointer is
-    checked against the root set and a ``ValueError`` is raised if any
-    node is unresolved (tree deeper than 2^rounds, or a cycle in bad
-    edge data) — wrong hierarchy data must never come back silently.
-    Each round is ONE self-join on ids
-    (state rows are (node, ptr, depth) triples) with a lineage cut, so
-    a 10^9-node catalog costs log(depth) shuffles, not depth — the
-    standard distributed formulation, same family as the
-    pointer-jumping connected-components labeller in
-    operators/dedup.py.
+    doubling iterated TO FIXPOINT: each round joins the state table to
+    itself (so round r resolves every node ≤ 2^r levels deep), and the
+    loop stops as soon as every pointer has reached the root set —
+    ``rounds`` is a safety CAP, not the iteration count. The default
+    cap of 20 covers depth 2^20 ≈ 1M, so any real tree converges in
+    ceil(log2(depth)) joins and only a CYCLE (or a cap lowered by the
+    caller) exhausts it — in which case a ``ValueError`` is raised;
+    wrong hierarchy data must never come back silently. A dangling
+    parent reference (parent not in the node set) drops its node from
+    the self-join and is caught by the row-count guard.
+
+    Each round is ONE self-join on ids (state rows are (node, ptr,
+    depth) triples) with a lineage cut, so a 10^9-node catalog costs
+    log(depth) shuffles, not depth — the standard distributed
+    formulation, same family as the pointer-jumping
+    connected-components labeller in operators/dedup.py. The per-round
+    convergence probe is a left-anti count against the (dim-sized)
+    root set over the just-checkpointed state — one cheap job that
+    both enables early exit for shallow forests (most are) and makes
+    depth a runtime observation instead of a caller guess.
 
     Returns (node, root, depth): depth 0 for roots.
     """
@@ -300,7 +307,17 @@ def hierarchy_flatten(
         .cast("int")
         .alias("depth"),
     ).localCheckpoint(eager=True)
+    roots = edges.filter(F.col("parent").isNull()).select(
+        F.col("node").alias("_root")
+    )
+
+    def unresolved_count(s: DataFrame) -> int:
+        return s.join(roots, s.ptr == roots._root, "left_anti").count()
+
+    unresolved = unresolved_count(state)
     for _ in range(rounds):
+        if unresolved == 0:
+            break
         lookup = state.select(
             F.col("node").alias("_n"),
             F.col("ptr").alias("_p"),
@@ -315,22 +332,17 @@ def hierarchy_flatten(
             )
             .localCheckpoint(eager=True)
         )
-    roots = edges.filter(F.col("parent").isNull()).select(
-        F.col("node").alias("_root")
-    )
-    # two failure modes, two guards: a node whose pointer never reached
-    # a root (too-shallow `rounds`, or a cycle) survives with a non-root
-    # ptr; a node whose parent is missing from the node set was DROPPED
-    # by the join, so compare row counts as well
-    unresolved = state.join(
-        roots, state.ptr == roots._root, "left_anti"
-    ).count()
+        unresolved = unresolved_count(state)
+    # two failure modes, two guards: a pointer that never reached a
+    # root after the cap (cycle, or a caller-lowered cap on a deeper
+    # tree); a node whose parent is missing from the node set was
+    # DROPPED by the self-join, so compare row counts as well
     dropped = edges.count() - state.count()
     if unresolved or dropped:
         raise ValueError(
             f"hierarchy_flatten: {unresolved} nodes unresolved and "
-            f"{dropped} dropped after {rounds} rounds — tree deeper "
-            f"than 2^{rounds}, a cycle, or a dangling parent "
-            "reference; raise `rounds` or fix the edge data"
+            f"{dropped} dropped after the {rounds}-round cap — a "
+            f"cycle, a tree deeper than 2^{rounds}, or a dangling "
+            "parent reference; raise `rounds` or fix the edge data"
         )
     return state.select("node", F.col("ptr").alias("root"), "depth")

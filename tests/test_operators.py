@@ -1991,6 +1991,51 @@ def test_hierarchy_flatten_resolves_deep_chain(spark):
     assert got == {**{i: (0, i) for i in range(8)}, 100: (100, 0)}
 
 
+def test_hierarchy_flatten_fixpoint_converges_past_depth_64(spark):
+    """The r9 verdict case: a depth-65 chain used to exhaust the fixed
+    rounds=6 (2^6 = 64) and raise; the fixpoint loop now converges in
+    ceil(log2(65)) = 7 joins under the 20-round cap. Random-ish deeper
+    chains (picked to straddle power-of-two boundaries) all resolve
+    with exact depths, and the early exit means a flat forest does
+    ZERO pointer-doubling joins."""
+    from etl_acordos_spark.operators.graph import hierarchy_flatten
+
+    for depth in (65, 100, 129):
+        edges = spark.createDataFrame(
+            [(i, i - 1 if i > 0 else None) for i in range(depth + 1)],
+            ["node", "parent"],
+        )
+        got = {
+            r["node"]: (r["root"], r["depth"])
+            for r in hierarchy_flatten(edges).collect()
+        }
+        assert got == {i: (0, i) for i in range(depth + 1)}, depth
+    # flat forest: every node is a root — converges before any join
+    flat = spark.createDataFrame(
+        [(i, None) for i in range(5)], "node int, parent int"
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(flat).collect()
+    }
+    assert got == {i: (i, 0) for i in range(5)}
+
+
+def test_hierarchy_flatten_cycle_raises_at_cap(spark):
+    """A 2-cycle (plus a root so the root set is non-empty) can never
+    converge — the cap must trip with the unresolved error, not loop
+    forever or return a fabricated root."""
+    import pytest
+
+    from etl_acordos_spark.operators.graph import hierarchy_flatten
+
+    cyc = spark.createDataFrame(
+        [(0, None), (1, 2), (2, 1)], ["node", "parent"]
+    )
+    with pytest.raises(ValueError, match="unresolved"):
+        hierarchy_flatten(cyc, rounds=4)
+
+
 def test_hierarchy_flatten_raises_on_unresolvable_input(spark):
     """A chain deeper than 2^rounds raises (never silently returns a
     mid-tree 'root'); so does a dangling parent reference."""
