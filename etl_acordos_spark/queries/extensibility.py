@@ -187,6 +187,8 @@ def salted_agg(
             F.sum("_n").alias("n"),
             F.round(F.sum("_s"), 4).alias("total"),
         )
+        # n = sum of per-salt group counts >= 1 whenever the group
+        # exists — structurally positive (ANSI-safe)
         .withColumn("mean", F.round(F.col("total") / F.col("n"), 4))
     )
 
