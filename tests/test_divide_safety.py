@@ -12,6 +12,21 @@ Hypothesis is used where the degenerate region is a *family* of inputs
 (random event streams with NULL-user weeks, random variant layouts);
 direct fixtures where the degenerate case is a single shape (zero
 vector, empty array).
+
+The same r10 sweep audited the OTHER ANSI runtime-error classes:
+
+- ``element_at`` / ``arr[i]`` out-of-bounds: every index is generated
+  from a size-bounded ``sequence`` (shingles, positional bigrams, BPE
+  pair extraction) or guarded in the same short-circuiting AND (the
+  BPE fold's ``size(acc) > 0 & element_at(acc, -1)``), and the bloom
+  probe index is ``p div 64 + 1`` with ``p < m`` by construction.
+- cast failures: the only string→temporal parse is
+  ``try_to_date`` (functions/cleaning.py); every numeric cast sits on
+  a numeric expression (counts, floors), never raw strings.
+- integer overflow: the multiplicative sampling hashes compute in
+  DECIMAL(38,0) precisely to stay wrap-free over the int64 id range
+  (functions/hashing.py); other long arithmetic is bitwise (z-order
+  interleave) or count-bounded.
 """
 
 from __future__ import annotations
