@@ -809,29 +809,45 @@ def pack_best_fit(
     id_c, ch_c, tok_c = id_col, chunk_col, tokens_col
 
     def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import heapq
+
         pdf = pdf.sort_values(
             [tok_c, id_c, ch_c], ascending=[False, True, True]
         )
         shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
         fills: list[int] = []
         counts: list[int] = []
+        # fill-level bucket index: at_level[f] holds a min-heap of the
+        # indices of open bins currently filled to exactly f tokens.
+        # Placement = scan levels budget-tok .. 0 downward for the
+        # first non-empty bucket (the FULLEST feasible fill) and pop
+        # its smallest bin index — identical choices to the naive
+        # "argmax fill, first index wins" scan, but O(budget) per
+        # chunk instead of O(open bins): the naive scan made a 10x
+        # shard go 100x (alpha 1.26 at the r10 scale smoke); this is
+        # O(n·budget + n log n) per shard — linear in chunks.
+        at_level: list[list[int]] = [[] for _ in range(budget + 1)]
         for tok in pdf[tok_c].astype("int64").to_numpy():
+            tok = int(tok)
             if tok > budget:
                 raise ValueError(
                     f"pack_best_fit: chunk of {int(tok)} tokens exceeds "
                     f"the {budget}-token budget — split oversize chunks "
                     "upstream (doc_chunks) before packing"
                 )
-            best, best_fill = -1, -1
-            for i, f in enumerate(fills):
-                if f + tok <= budget and f > best_fill:
-                    best, best_fill = i, f
+            best = -1
+            for lvl in range(budget - tok, -1, -1):
+                if at_level[lvl]:
+                    best = heapq.heappop(at_level[lvl])
+                    break
             if best < 0:
-                fills.append(int(tok))
+                best = len(fills)
+                fills.append(tok)
                 counts.append(1)
             else:
-                fills[best] += int(tok)
+                fills[best] += tok
                 counts[best] += 1
+            heapq.heappush(at_level[fills[best]], best)
         return pd.DataFrame(
             {
                 "shard": shard,

@@ -2236,6 +2236,62 @@ def test_iqr_outliers_flags_planted_extreme(spark):
     assert got[0]["hi"] < 1000.0 and got[0]["lo"] <= 0.0
 
 
+def test_pack_best_fit_bucket_index_matches_naive_scan():
+    """The r10 fill-level bucket index (O(n·budget) placement) must
+    make IDENTICAL bin choices to the naive O(n·bins) argmax scan it
+    replaced (fullest feasible fill, lowest creation index on ties) —
+    same fills, same counts, same pack ids — over randomized
+    descending-sorted workloads. Pure-Python pin of the executor-side
+    algorithm (the SQL oracle replays the same semantics end-to-end)."""
+    import heapq
+    import random
+
+    def naive(tokens: list[int], budget: int):
+        fills: list[int] = []
+        counts: list[int] = []
+        for tok in tokens:
+            best, best_fill = -1, -1
+            for i, f in enumerate(fills):
+                if f + tok <= budget and f > best_fill:
+                    best, best_fill = i, f
+            if best < 0:
+                fills.append(tok)
+                counts.append(1)
+            else:
+                fills[best] += tok
+                counts[best] += 1
+        return fills, counts
+
+    def bucket(tokens: list[int], budget: int):
+        fills: list[int] = []
+        counts: list[int] = []
+        at_level: list[list[int]] = [[] for _ in range(budget + 1)]
+        for tok in tokens:
+            best = -1
+            for lvl in range(budget - tok, -1, -1):
+                if at_level[lvl]:
+                    best = heapq.heappop(at_level[lvl])
+                    break
+            if best < 0:
+                best = len(fills)
+                fills.append(tok)
+                counts.append(1)
+            else:
+                fills[best] += tok
+                counts[best] += 1
+            heapq.heappush(at_level[fills[best]], best)
+        return fills, counts
+
+    rng = random.Random(7)
+    for _ in range(500):
+        budget = rng.choice([8, 16, 64, 256])
+        n = rng.randint(0, 120)
+        toks = sorted(
+            (rng.randint(0, budget) for _ in range(n)), reverse=True
+        )
+        assert naive(toks, budget) == bucket(toks, budget), (budget, toks)
+
+
 def test_pack_best_fit_validity_and_beats_naive_no_split(spark, sf_oracle):
     """BFD manifest invariants: conserves chunks and tokens, never
     overfills a pack, numbers packs contiguously per shard — and per
