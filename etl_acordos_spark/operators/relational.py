@@ -1774,6 +1774,13 @@ def grid_neighbor_join(
     half the points) behave like any hot join key: AQE splits them, or
     shrink ``cell`` to re-balance.
 
+    Scale behavior is OUTPUT-bound: pairs grow Θ(n²·r²/A), so the plan
+    is linear at constant point density (r10 measured alpha 0.66 at
+    10x with area scaled alongside n) but a fixed area densifying 10x
+    emits ~82x the pairs and pays for them (alpha 1.44-1.70, see
+    BASELINE.md round-10 adjudication) — shrink ``radius``/``cell``
+    with density, the same knob as above.
+
     Returns (id_a, id_b, dist2) with id_a < id_b, dist2 grid-floored
     at 1e-9.
     """
