@@ -987,3 +987,76 @@ def test_funnel_steps_matches_greedy_min_chain(spark, users):
             else None
         )
         assert got[i + 1] == (step, counts[i], want_pct), (i, got, counts)
+
+
+@given(
+    edge_bits=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_triangle_counts_match_bruteforce(spark, edge_bits):
+    """triangle_counts (degree-orientation wedge join) vs brute-force
+    triangle enumeration over random small graphs — per-vertex
+    participation must match exactly, including multi-edges collapsing
+    (input is distinct src<dst) and vertices in no triangle being
+    absent. Randomization covers what the planted-graph fixture can't:
+    degree ties (the orientation tie-break), isolated edges, and
+    near-cliques."""
+    from itertools import combinations
+
+    from etl_acordos_spark.operators.graph import triangle_counts
+
+    edges = {(min(a, b), max(a, b)) for a, b in edge_bits if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(
+        sorted(edges), "src long, dst long"
+    )
+    got = {
+        r["vertex"]: r["n_triangles"]
+        for r in triangle_counts(df, k=100).collect()
+    }
+    verts = sorted({v for e in edges for v in e})
+    want: dict[int, int] = {}
+    for a, b, c in combinations(verts, 3):
+        if (
+            (a, b) in edges and (a, c) in edges and (b, c) in edges
+        ):
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+
+
+@given(
+    parents=st.lists(st.integers(0, 40), min_size=1, max_size=40),
+)
+@settings(max_examples=15, deadline=None)
+def test_hierarchy_flatten_matches_sequential_resolver(spark, parents):
+    """hierarchy_flatten (pointer doubling to fixpoint) vs a sequential
+    per-node walk over random forests: node i's parent is
+    parents[i] % i (a root when the draw lands on itself via i=0's
+    forced None) — always acyclic, arbitrary depth/branching. Root and
+    exact depth must match for every node."""
+    from etl_acordos_spark.operators.graph import hierarchy_flatten
+
+    rows = [(0, None)] + [
+        (i, parents[i] % i if parents[i] % (i + 1) != i else None)
+        for i in range(1, len(parents))
+    ]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(df).collect()
+    }
+    parent_of = {n: p for n, p in rows}
+    want = {}
+    for n in parent_of:
+        depth, cur = 0, n
+        while parent_of[cur] is not None:
+            cur = parent_of[cur]
+            depth += 1
+        want[n] = (cur, depth)
+    assert got == want
