@@ -979,8 +979,14 @@ def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash document fingerprints."""
-    return fingerprints(t(spark, sf_dir, "documents"), "text", "doc_id")
+    """Winnowing-style rolling-hash document fingerprints. The
+    registered key runs the md5 hash family so the DuckDB oracle
+    replays the digests verbatim; the production default is xxhash64
+    (same winnowing structure, ~cheaper per window — the dedup
+    family's hash_fn convention)."""
+    return fingerprints(
+        t(spark, sf_dir, "documents"), "text", "doc_id", hash_fn="md5"
+    )
 
 
 def q_ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

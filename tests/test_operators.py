@@ -2867,3 +2867,47 @@ def test_hll_sketch_null_dates_do_not_fan_out_the_rollup_join(
     # exactly two NULL-ano rows: the 1-customer NULL data group and the
     # grand total — each with ITS OWN exact count, both within bounds
     assert null_rows == [(1, True), (total, True)], null_rows
+
+
+def test_fingerprints_hash_families_share_winnowing_structure(spark):
+    """Both hash families (md5 — the oracle-pinned registry path — and
+    xxhash64 — the production default) must agree on the winnowing
+    STRUCTURE: identical n_windows per doc (windows are defined by
+    length/window/step arithmetic, not by the digest), exactly one
+    window for a doc shorter than the window, deterministic
+    fingerprints per family, and the documented output types (hex
+    string vs long)."""
+    import pytest
+
+    from etl_acordos_spark.operators.text import fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 7),                 # shorter than window -> 1 window
+            (2, "abcdefghijklmnop"),      # exactly window chars -> 1
+            (3, "x" * 16 + "y" * 8),      # 24 chars -> windows at 1,5,9
+            (4, "the quick brown fox jumps over the lazy dog " * 3),
+        ],
+        "doc_id bigint, text string",
+    )
+    xx = {r["doc_id"]: r for r in fingerprints(docs, "text", "doc_id").collect()}
+    md = {
+        r["doc_id"]: r
+        for r in fingerprints(docs, "text", "doc_id", hash_fn="md5").collect()
+    }
+    for d in (1, 2, 3, 4):
+        assert xx[d]["n_windows"] == md[d]["n_windows"], d
+        assert isinstance(xx[d]["fingerprint"], int), d
+        assert (
+            isinstance(md[d]["fingerprint"], str)
+            and len(md[d]["fingerprint"]) == 32
+        ), d
+    assert xx[1]["n_windows"] == 1 and xx[2]["n_windows"] == 1
+    assert xx[3]["n_windows"] == 3  # ceil((24-15-1)/4)+1 over starts 1,5,9
+    # determinism: a rerun is bit-identical per family
+    assert xx == {
+        r["doc_id"]: r
+        for r in fingerprints(docs, "text", "doc_id").collect()
+    }
+    with pytest.raises(ValueError, match="hash_fn"):
+        fingerprints(docs, "text", "doc_id", hash_fn="sha1")
