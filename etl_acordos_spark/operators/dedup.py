@@ -1243,3 +1243,110 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    use_shingles: bool = False,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT similarity join via prefix filtering (AllPairs/PPJoin
+    family — Bayardo et al. WWW'07, Xiao et al. WWW'08): all pairs
+    with token-set Jaccard >= *threshold*, identical output to
+    :func:`jaccard_pairs`, WITHOUT the all-pairs cross join.
+
+    This is the deterministic-recall complement to the MinHash-LSH
+    paths (`ext_dedup_near`/`ext_dedup_star` trade borderline-pair
+    recall for banding probability; this misses NOTHING): order every
+    doc's tokens by a global rarity order (corpus frequency asc, token
+    asc), keep only each doc's PREFIX — the first
+    ``l - ceil(t·l) + 1`` tokens of its ``l`` — and bucket-join docs
+    on shared prefix tokens. Completeness: a qualifying pair has
+    ``|A∩B| >= ceil(t·|A|)`` (since ``|A∪B| >= |A|``), and the
+    SMALLEST common token in the global order has at least
+    ``ceil(t·|X|) - 1`` common tokens after it in both sorted lists,
+    so it sits inside BOTH prefixes — every qualifying pair shares a
+    prefix-token bucket. The exact `jaccard` then verifies candidates
+    (same verify stage as the LSH paths).
+
+    Scale shape: one explode+count builds the frequency table (token-
+    keyed shuffle; dim-sized -> AQE broadcast on the join back), one
+    per-doc sort_array builds the rarity-ordered list map-side, and
+    the candidate join buckets on the RAREST tokens per doc — exactly
+    the tokens with the smallest buckets, which is what bounds
+    candidate volume on non-duplicate text. On duplicate-dense corpora
+    candidates approach the OUTPUT size (near-dup clusters share rare
+    tokens), which is the floor for any exact join — the win over
+    `jaccard_pairs` is never paying |docs|² across unrelated docs.
+
+    CAVEAT — the filter's power IS the frequency tail: on a SMALL
+    vocabulary every "rarest" token is still common, buckets stay
+    huge, and the candidate join degrades toward all-pairs (measured:
+    142 s vs ~1 s at sf0.1 on this corpus's word sets vs 3-gram
+    shingles). Prefer ``use_shingles=True`` for natural text — q-gram/
+    shingle domains are heavy-tailed by construction, which is how the
+    PPJoin literature applies prefix filtering to strings.
+    The epsilon in the prefix length (``ceil(t·l - 1e-9)``) guards the
+    IEEE fuzz of ``t·l`` at integer boundaries — it can only LENGTHEN
+    the prefix (more candidates, never false negatives).
+    """
+    tok = prepare_tokens(ensure_parallelism(df), text_col, id_col)
+    # hashed set elements (xxhash64 longs), not strings: the ordering,
+    # the prefix buckets, and the verify sets all shuffle 8-byte longs
+    # instead of shingle strings — the minhash chain's established
+    # same-set-semantics-up-to-2^-64-collisions equivalence (measured
+    # 3.2 s -> see BASELINE for the string-set cost this replaces)
+    sets = tok.select(
+        F.col(id_col).alias("doc"),
+        (
+            hashed_word_shingles("tok", shingle_n)
+            if use_shingles
+            else F.array_distinct(
+                F.expr("transform(tok, x -> xxhash64(x))")
+            )
+        ).alias("s"),
+    ).localCheckpoint(eager=True)  # feeds ordering AND the verify join
+    toks = sets.select(F.col("doc"), F.explode("s").alias("t"))
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    ordered = (
+        toks.join(freq, "t")
+        .groupBy("doc")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("tf"), F.col("t")))
+            ).alias("ord_s"),
+            F.count(F.lit(1)).cast("int").alias("l"),
+        )
+    )
+    alpha = F.ceil(F.lit(float(threshold)) * F.col("l") - F.lit(1e-9))
+    prefix_len = (F.col("l") - alpha + 1).cast("int")
+    prefix = (
+        ordered.withColumn("plen", prefix_len)
+        .select(
+            "doc",
+            F.explode(
+                F.expr("transform(slice(ord_s, 1, plen), p -> p.t)")
+            ).alias("pt"),
+        )
+    )
+    cand = (
+        prefix.select(F.col("doc").alias("doc_a"), "pt")
+        .join(
+            prefix.select(F.col("doc").alias("doc_b"), "pt"), "pt"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jaccard("s_a", "s_b"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

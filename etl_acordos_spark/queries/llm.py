@@ -21,6 +21,7 @@ from etl_acordos_spark.operators.dedup import (
     jaccard_pairs,
     keep_representatives,
     minhash_lsh_pairs,
+    prefix_filter_pairs,
     simhash_pairs,
     url_dedup,
 )
@@ -82,6 +83,30 @@ def q_ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs) with this predicate as the per-bucket verify step."""
     return jaccard_pairs(
         t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.9
+    )
+
+
+def q_ext_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity join via prefix filtering
+    (operators/dedup.py:prefix_filter_pairs — AllPairs/PPJoin family):
+    all 3-gram-shingle Jaccard >= 0.8 pairs, the SAME truth as
+    ext_dedup_ngram's brute force (which IS the oracle) but candidates
+    come from rarity-ordered prefix-shingle buckets, never an
+    all-pairs cross join — the deterministic-recall exact scale path
+    next to the probabilistic MinHash-LSH siblings (ext_dedup_near /
+    ext_dedup_star). Registered on SHINGLES, not raw tokens: prefix
+    filtering's bucket sizes follow the token-frequency tail, and a
+    small word vocabulary (this corpus: measured 142 s at sf0.1 on
+    token sets vs ~1 s on shingles) makes every "rare" word common —
+    q-gram/shingle domains restore the heavy tail, which is how the
+    PPJoin literature applies the filter to text."""
+    return prefix_filter_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=0.8,
+        use_shingles=True,
+        shingle_n=3,
     )
 
 
@@ -2045,6 +2070,23 @@ _ORACLES: dict[str, str | None] = {
         "   AS rmse"
         " FROM q"
     ),
+    # prefix filtering is EXACT, so ext_dedup_ngram's brute-force pair
+    # join at the same threshold IS its oracle — only the
+    # candidate-generation plan differs
+    "ext_dedup_prefix": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok"
+        "  FROM documents),"
+        " s AS (SELECT doc_id, CASE WHEN len(tok) >= 3 THEN"
+        "   list_distinct(list_transform(generate_series(1, len(tok) - 2),"
+        "     i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]))"
+        "  ELSE [array_to_string(tok, ' ')] END AS st FROM tok)"
+        " SELECT doc_a, doc_b, jaccard FROM ("
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "   round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)"
+        "     / len(list_distinct(a.st || b.st)), 4) AS jaccard"
+        "  FROM s a JOIN s b ON a.doc_id < b.doc_id)"
+        " WHERE jaccard >= 0.8"
+    ),
     "ext_dedup_ngram": (
         "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok"
         "  FROM documents),"
@@ -2476,6 +2518,9 @@ QUERIES: dict[str, QueryDef] = {
     "ext_dedup_url": QueryDef(q_ext_dedup_url, _DEDUP_URL_ORACLE),
     "ext_dedup_jaccard": QueryDef(
         q_ext_dedup_jaccard, _ORACLES["ext_dedup_jaccard"]
+    ),
+    "ext_dedup_prefix": QueryDef(
+        q_ext_dedup_prefix, _ORACLES["ext_dedup_prefix"]
     ),
     "ext_dedup_ngram": QueryDef(
         q_ext_dedup_ngram, _ORACLES["ext_dedup_ngram"]

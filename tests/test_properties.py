@@ -1060,3 +1060,46 @@ def test_hierarchy_flatten_matches_sequential_resolver(spark, parents):
             depth += 1
         want[n] = (cur, depth)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=8
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 0.95, 1.0]),
+)
+@settings(max_examples=12, deadline=None)
+def test_prefix_filter_pairs_equals_bruteforce_jaccard(
+    spark, docs, threshold
+):
+    """prefix_filter_pairs (AllPairs/PPJoin prefix filtering) must be
+    EXACT: identical pair set and jaccard values to the all-pairs
+    baseline at every threshold, over random tiny-vocab docs (heavy
+    ties in the frequency order — the tie-break region the fixture
+    corpus can't stress), empty docs, duplicate docs, and threshold 1.0
+    (prefix length collapses to 1)."""
+    from etl_acordos_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string"
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs(
+            df, "text", "doc_id", threshold=threshold
+        ).collect()
+    }
+    fast = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in prefix_filter_pairs(
+            df, "text", "doc_id", threshold=threshold
+        ).collect()
+    }
+    assert fast == brute
