@@ -1252,6 +1252,7 @@ def prefix_filter_pairs(
     threshold: float,
     use_shingles: bool = False,
     shingle_n: int = 3,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """EXACT similarity join via prefix filtering (AllPairs/PPJoin
     family — Bayardo et al. WWW'07, Xiao et al. WWW'08): all pairs
@@ -1341,6 +1342,11 @@ def prefix_filter_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if candidates_only:
+        # audit/observability mode: the candidate pair set BEFORE the
+        # exact verify — what the filter's selectivity claim is pinned
+        # on (tests/test_dedup_stress.py)
+        return cand
     sa = sets.select(F.col("doc").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("doc").alias("doc_b"), F.col("s").alias("s_b"))
     return (

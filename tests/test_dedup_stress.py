@@ -367,3 +367,45 @@ def test_stream_dedup_index_fold_equivalence_on_skewed_corpus(spark):
             else corpus.unionByName(kept_batch)
         ).localCheckpoint(eager=True)
     assert got == sorted(want)
+
+
+def test_prefix_filter_candidates_sparse_on_distinct_corpus(spark):
+    """The exact prefix-filter join's selectivity claim: on a
+    distinct-heavy corpus its candidate volume is output-sized, not
+    all-pairs-sized. 1,460 fully-distinct docs + 20 engineered
+    near-dup pairs (the tail+pairs shape WITHOUT the mega-cluster —
+    an exact join's output on a 10k near-dup cluster is inherently
+    quadratic, which is the LSH+keep-set regime, not this operator's)
+    would be ~1.1M all-pairs; the prefix candidates must stay within a
+    small multiple of the 20 true pairs."""
+    from etl_acordos_spark.operators.dedup import prefix_filter_pairs
+
+    rows = []
+    for d in range(TAIL):
+        rows.append((20_000 + d, " ".join(f"t{d}x{j}" for j in range(30))))
+    for p in range(PAIRS):
+        w = [f"p{p}y{j}" for j in range(30)]
+        rows.append((30_000 + 2 * p, " ".join(w)))
+        w2 = list(w)
+        w2[5] = f"p{p}z"
+        rows.append((30_000 + 2 * p + 1, " ".join(w2)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    n = len(rows)
+    all_pairs = n * (n - 1) // 2
+    cand = prefix_filter_pairs(
+        df, "text", "doc_id", threshold=0.8,
+        use_shingles=True, shingle_n=3, candidates_only=True,
+    ).count()
+    assert cand <= 10 * PAIRS, (cand, all_pairs)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_pairs(
+            df, "text", "doc_id", threshold=0.8,
+            use_shingles=True, shingle_n=3,
+        ).collect()
+    }
+    assert got == {
+        (30_000 + 2 * p, 30_000 + 2 * p + 1) for p in range(PAIRS)
+    }
