@@ -1293,7 +1293,18 @@ def prefix_filter_pairs(
     The epsilon in the prefix length (``ceil(t·l - 1e-9)``) guards the
     IEEE fuzz of ``t·l`` at integer boundaries — it can only LENGTHEN
     the prefix (more candidates, never false negatives).
+
+    *threshold* must satisfy ``0 < threshold <= 1``: above 1 the
+    prefix length ``l - ceil(t·l) + 1`` goes negative and ``slice()``
+    raises an ANSI runtime error deep in the plan; at or below 0 the
+    prefix covers every token and the join silently degrades to
+    all-pairs — both rejected eagerly here instead.
     """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            "prefix_filter_pairs: threshold must be in (0, 1], got "
+            f"{threshold!r}"
+        )
     tok = prepare_tokens(ensure_parallelism(df), text_col, id_col)
     # hashed set elements (xxhash64 longs), not strings: the ordering,
     # the prefix buckets, and the verify sets all shuffle 8-byte longs

@@ -307,8 +307,13 @@ def hierarchy_flatten(
         .cast("int")
         .alias("depth"),
     ).localCheckpoint(eager=True)
-    roots = edges.filter(F.col("parent").isNull()).select(
-        F.col("node").alias("_root")
+    # pinned once: every per-round convergence probe anti-joins against
+    # this dim-sized set, and an unpinned filter would re-execute the
+    # full edges lineage on each count (r10 ADVICE)
+    roots = (
+        edges.filter(F.col("parent").isNull())
+        .select(F.col("node").alias("_root"))
+        .localCheckpoint(eager=True)
     )
 
     def unresolved_count(s: DataFrame) -> int:

@@ -1470,7 +1470,8 @@ _ACTIVE_USERS_ORACLE = (
     "   CAST(count(DISTINCT user_id) AS BIGINT) AS wau"
     "  FROM events GROUP BY 1)"
     " SELECT w.week, wau, avg_dau,"
-    "  floor(avg_dau / wau * 10000.0 + 0.5) / 10000.0 AS stickiness"
+    "  floor(avg_dau / nullif(wau, 0) * 10000.0 + 0.5) / 10000.0"
+    "   AS stickiness"
     " FROM w JOIN avg_d ON w.week = avg_d.week"
 )
 

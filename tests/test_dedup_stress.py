@@ -409,3 +409,23 @@ def test_prefix_filter_candidates_sparse_on_distinct_corpus(spark):
     assert got == {
         (30_000 + 2 * p, 30_000 + 2 * p + 1) for p in range(PAIRS)
     }
+
+
+def test_prefix_filter_rejects_out_of_range_threshold(spark):
+    """threshold > 1 would drive the prefix length negative (ANSI
+    slice() error deep in the plan); threshold <= 0 silently degrades
+    the join to all-pairs — both must fail eagerly (r10 ADVICE)."""
+    import pytest
+
+    from etl_acordos_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id bigint, text string"
+    )
+    for bad in (1.0001, 0.0, -0.5, 2.0):
+        with pytest.raises(ValueError, match="threshold"):
+            prefix_filter_pairs(df, "text", "doc_id", threshold=bad)
+    # the boundary value 1.0 (exact-set equality) stays legal
+    assert prefix_filter_pairs(
+        df, "text", "doc_id", threshold=1.0
+    ).count() == 0
