@@ -121,3 +121,22 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
                 mismatches.append((i, srow, drow))
                 break
     assert not mismatches, f"{len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+
+
+def explain_str(df, mode: str = "simple") -> str:
+    """Plan text via the PUBLIC ``DataFrame.explain`` (stdout capture)
+    instead of the private ``_jdf.queryExecution()`` JVM handle — the
+    public API exists under both classic and Spark Connect sessions,
+    so plan pins survive a runtime migration (r9/r10 ADVICE). ``mode``
+    is any explain mode name ("simple", "extended", "formatted",
+    "cost", "codegen"); "extended" includes the analyzed logical plan,
+    "simple"/"formatted" the physical plan (with PartitionFilters /
+    PushedFilters on the scan nodes).
+    """
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()

@@ -21,9 +21,10 @@ import __spark_entry__ as contract
 
 
 def plan_of(df) -> str:
-    qe = df._jdf.queryExecution()
-    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
-    return qe.explainString(mode.fromString("formatted"))
+    # public explain() capture, not the _jdf JVM handle — Connect-safe
+    from oracle_utils import explain_str
+
+    return explain_str(df, mode="formatted")
 
 
 def scan_schema(plan: str, table_file: str) -> str:

@@ -38,12 +38,9 @@ def test_partitioned_layer_write_prunes(spark, sf_smoke):
 
     back = spark.read.parquet(path)
     one_year = int(years[0].split("=")[1])
-    plan = (
-        back.filter(F.col("ano") == one_year)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    from oracle_utils import explain_str
+
+    plan = explain_str(back.filter(F.col("ano") == one_year))
     # pruned scan: the partition filter is applied at the file index,
     # and the plan reports exactly one selected partition
     assert f"ano={one_year}" not in plan or "PartitionFilters" in plan
@@ -184,7 +181,9 @@ def test_bucketed_join_is_shuffle_free(spark, sf_oracle):
             spark.table("b_customer"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        plan = j._jdf.queryExecution().executedPlan().toString()
+        from oracle_utils import explain_str
+
+        plan = explain_str(j)
         assert "Exchange" not in plan, plan
         assert j.count() == orders.join(
             customer, orders.o_custkey == customer.c_custkey

@@ -89,9 +89,12 @@ def test_stream_rerun_stable(spark, sf_smoke):
 
 
 def test_watermark_in_plan(spark, sf_smoke):
-    plan = windowed_stream_agg(
-        stream_events(spark, sf_smoke)
-    )._jdf.queryExecution().analyzed().toString()
+    from oracle_utils import explain_str
+
+    plan = explain_str(
+        windowed_stream_agg(stream_events(spark, sf_smoke)),
+        mode="extended",
+    )
     assert "EventTimeWatermark" in plan
 
 
@@ -275,7 +278,9 @@ def test_stream_ann_index_matches_batch_ivf(spark, sf_smoke):
         for r in ivf_topk(emb, query_id=0, k=10, quantize=1 << 20).collect()
     ]
     assert rows == want
-    plan = got._jdf.queryExecution().executedPlan().toString()
+    from oracle_utils import explain_str
+
+    plan = explain_str(got)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cell" in pf[0], (
         "probe scan does not prune on the cell partition:\n" + plan
