@@ -205,6 +205,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = out.select("src").distinct().count()
+    if n == 0:
+        # empty graph (no edges, or every edge collapsed under the
+        # src<dst/distinct normalization): no vertices to rank — return
+        # the declared (vertex, rank) schema empty instead of dividing
+        # the teleport term by zero (r10 degenerate-input sweep)
+        return out.select(
+            F.col("src").alias("vertex"), F.lit(0.0).alias("rank")
+        ).limit(0)
     if broadcast_ranks is None:
         broadcast_ranks = n <= broadcast_max_vertices
     ranks = (

@@ -63,6 +63,27 @@ def _safe_norms(mat: np.ndarray) -> np.ndarray:
     return norms
 
 
+def query_vector(
+    df: DataFrame,
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Fetch one probe vector by id, raising the family's documented
+    ``ValueError`` when the id is absent — the same eager guard
+    `ivf_topk`/`pq_topk` apply, shared so query registrations that
+    pass the vector as a driver-side parameter (`ext_simsearch`,
+    `ext_hybrid_rrf`, `ext_stream_ann_index`) never dereference a
+    ``None`` head() on an empty/degenerate table (r10 VERDICT item 1).
+    """
+    row = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if row is None:
+        raise ValueError(
+            f"query_vector: query id {query_id!r} not found in {id_col!r}"
+        )
+    return [float(x) for x in row[0]]
+
+
 def exact_topk(
     df: DataFrame,
     query_vec: list[float],

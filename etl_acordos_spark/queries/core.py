@@ -254,15 +254,19 @@ def q_snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     medallion writes use for 100 TB scans; tests/test_scale_paths.py
     asserts the pruning on inputFiles.
     """
+    src = t(spark, sf_dir, "orders").withColumn("ano", F.year("o_orderdate"))
     path = write_parquet_layer(
-        t(spark, sf_dir, "orders").withColumn("ano", F.year("o_orderdate")),
+        src,
         scratch_dir(),
         "gold",
         "orders_by_year",
         partition_by=["ano"],
     )
+    # read back with the writer's schema: a hive-partitioned write of
+    # an EMPTY table leaves no data files to infer from, and any real
+    # medallion reader knows the layer schema it expects anyway
     return (
-        spark.read.parquet(path)
+        spark.read.schema(src.schema).parquet(path)
         .filter(F.col("ano") == 1995)
         .select(
             "o_orderkey",

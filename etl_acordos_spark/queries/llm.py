@@ -42,6 +42,7 @@ from etl_acordos_spark.operators.simsearch import (
     ivfpq_topk,
     pq_topk,
     quantize_int8,
+    query_vector,
     rrf_fuse,
 )
 from etl_acordos_spark.operators.relational import stratified_sample
@@ -332,10 +333,10 @@ def q_ext_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ext_simsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0 (query vector is a
-    driver-side parameter, like a user-supplied embedding)."""
+    driver-side parameter, like a user-supplied embedding). Missing
+    query id raises the family's documented ValueError."""
     emb = t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return exact_topk(emb, list(qvec), k=10, exclude_id=0)
+    return exact_topk(emb, query_vector(emb, 0), k=10, exclude_id=0)
 
 
 def q_ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,10 +354,9 @@ def q_ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=50, keep_order_key=True,
     )
     emb = t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    vec = exact_topk(emb, list(qvec), k=50, exclude_id=0).withColumnRenamed(
-        "vec_id", "doc_id"
-    )
+    vec = exact_topk(
+        emb, query_vector(emb, 0), k=50, exclude_id=0
+    ).withColumnRenamed("vec_id", "doc_id")
     return rrf_fuse(
         lex, vec, "doc_id", score_a="_ord", score_b="cosine", k=15
     )
@@ -459,8 +459,8 @@ def _bitext_oracle(k: int = 4, n: int = 50) -> str:
     summation-order ulp can flip the margin floor)."""
     cos = (
         "floor(list_dot_product(va, vb)"
-        " / (sqrt(list_dot_product(va, va))"
-        "  * sqrt(list_dot_product(vb, vb)))"
+        " / nullif(sqrt(list_dot_product(va, va))"
+        "  * sqrt(list_dot_product(vb, vb)), 0)"
         " * 1000000000.0 + 0.5) / 1000000000.0"
     )
     c_int = "CAST(round(cosine * 1000000000.0) AS BIGINT)"
@@ -556,7 +556,8 @@ def _cosine_rerank_tail(ids_cte: str, query_id: int, k: int) -> str:
         f"  WHERE vec_id = {query_id})"
         " SELECT vec_id,"
         "  round(list_dot_product(e.v, fq.v) /"
-        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(fq.v, fq.v))),"
+        "   nullif(sqrt(list_dot_product(e.v, e.v))"
+        "    * sqrt(list_dot_product(fq.v, fq.v)), 0),"
         "   6) AS cosine"
         f" FROM e, fq ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
     )
@@ -1462,7 +1463,8 @@ _JACCARD_PAIRS = (
 
 _COSINE = (
     "round(list_dot_product(a.v, b.v) /"
-    " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    " nullif(sqrt(list_dot_product(a.v, a.v))"
+    "  * sqrt(list_dot_product(b.v, b.v)), 0), 6)"
 )
 
 
@@ -2066,7 +2068,8 @@ _ORACLES: dict[str, str | None] = {
         "  CAST(list_sum(list_transform(qq, e -> abs(e))) AS BIGINT)"
         "   AS q_l1,"
         "  round(sqrt(list_sum(list_transform(generate_series(1, len(x)),"
-        "    i -> (x[i] - qq[i] * sc) * (x[i] - qq[i] * sc))) / len(x)), 6)"
+        "    i -> (x[i] - qq[i] * sc) * (x[i] - qq[i] * sc)))"
+        "   / nullif(len(x), 0)), 6)"
         "   AS rmse"
         " FROM q"
     ),
@@ -2196,7 +2199,8 @@ _ORACLES: dict[str, str | None] = {
         "   WHERE vec_id <> 0)"
         " SELECT vec_id,"
         "  round(list_dot_product(e.v, q.v) /"
-        "   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))),"
+        "   nullif(sqrt(list_dot_product(e.v, e.v))"
+        "    * sqrt(list_dot_product(q.v, q.v)), 0),"
         "   6) AS cosine"
         " FROM e, q ORDER BY cosine DESC, vec_id ASC LIMIT 10"
     ),
@@ -2214,8 +2218,8 @@ _ORACLES: dict[str, str | None] = {
         "   WHERE vec_id = 0),"
         " cos AS (SELECT vec_id AS doc_id,"
         "   round(list_dot_product(e.v, qv.v) /"
-        "    (sqrt(list_dot_product(e.v, e.v))"
-        "     * sqrt(list_dot_product(qv.v, qv.v))), 6) AS c"
+        "    nullif(sqrt(list_dot_product(e.v, e.v))"
+        "     * sqrt(list_dot_product(qv.v, qv.v)), 0), 6) AS c"
         "  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
         "    WHERE vec_id <> 0) e CROSS JOIN qv),"
         " vecr AS (SELECT doc_id, row_number() OVER ("

@@ -597,24 +597,35 @@ def q_ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tok).cast("double").alias("total_tokens"),
         (
             F.floor(
-                F.sum(tok) / F.count("*").cast("double") * 10000.0 + 0.5
+                F.try_divide(F.sum(tok), F.count("*").cast("double"))
+                * 10000.0
+                + 0.5
             )
             / 10000.0
         ).alias("avg_doc_tokens"),
         (
             F.floor(
-                F.countDistinct("text") / F.count("*").cast("double")
+                F.try_divide(
+                    F.countDistinct("text"), F.count("*").cast("double")
+                )
                 * 10000.0
                 + 0.5
             )
             / 10000.0
         ).alias("uniq_text_ratio"),
     )
+    # try_divide: an EMPTY corpus card reports NULL averages (count 0)
+    # instead of an ANSI DIVIDE_BY_ZERO — matches the DuckDB oracle's
+    # NULL/0 result on the same input (r10 degenerate-input sweep)
     q = quality_scores(docs, "text", "doc_id").agg(
         (
             F.floor(
-                F.sum(F.round(F.col("quality") * 10000.0, 0).cast("long"))
-                / (F.count("*") * 10000.0)
+                F.try_divide(
+                    F.sum(
+                        F.round(F.col("quality") * 10000.0, 0).cast("long")
+                    ),
+                    F.count("*") * 10000.0,
+                )
                 * 10000.0
                 + 0.5
             )
@@ -646,13 +657,16 @@ def _dataset_card_oracle() -> str:
         "  CAST(sum(len(string_split(text, ' '))) AS DOUBLE)"
         "   AS total_tokens,"
         "  floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)"
-        "   / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_doc_tokens,"
-        "  floor(CAST(count(DISTINCT text) AS DOUBLE) / count(*)"
+        "   / nullif(count(*), 0) * 10000.0 + 0.5) / 10000.0"
+        "   AS avg_doc_tokens,"
+        "  floor(CAST(count(DISTINCT text) AS DOUBLE)"
+        "   / nullif(count(*), 0)"
         "   * 10000.0 + 0.5) / 10000.0 AS uniq_text_ratio"
         " FROM documents),"
         " q AS (SELECT floor("
         "   CAST(sum(CAST(round(quality * 10000.0, 0) AS BIGINT))"
-        "    AS DOUBLE) / (count(*) * 10000.0) * 10000.0 + 0.5)"
+        "    AS DOUBLE) / nullif(count(*) * 10000.0, 0)"
+        "   * 10000.0 + 0.5)"
         "  / 10000.0 AS avg_quality FROM s)"
         " SELECT metric, value FROM ("
         "  SELECT 'n_docs' AS metric, n_docs AS value FROM base"

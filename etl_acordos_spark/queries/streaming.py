@@ -202,16 +202,20 @@ def q_ext_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_ann_index_run,
     )
 
+    from etl_acordos_spark.operators.simsearch import query_vector
+
     emb = t(spark, sf_dir, "embeddings")
+    # probe vector FIRST: a missing query id raises the documented
+    # ValueError before the (much more expensive) streaming ingest runs
+    qvec = query_vector(emb, 0)
     run_ns = streaming_ann_index_run(
         spark, emb, "vec_id", "embedding", scratch_dir(), n_batches=4,
         quantize=1 << 20,
     )
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ann_index_topk(
         spark,
         run_ns,
-        [float(x) for x in qvec],
+        qvec,
         "vec_id",
         k=10,
         exclude_id=0,

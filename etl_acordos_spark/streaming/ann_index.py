@@ -167,7 +167,23 @@ def streaming_ann_index_run(
 ) -> str:
     """Ingest *vectors* as *n_batches* ascending-id microbatches into a
     cell-partitioned IVF store under a PID-scoped namespace; returns
-    the run namespace path (probe with `ann_index_topk`)."""
+    the run namespace path (probe with `ann_index_topk`).
+
+    Raises ``ValueError`` eagerly when *vectors* cannot train the
+    quantizer at all (fewer rows than the 4×n_lists training sample,
+    including zero) — otherwise the same error would surface mid-run
+    wrapped in an opaque ``StreamingQueryException`` from foreachBatch
+    (r10 VERDICT degenerate-input sweep). The count is one columnar
+    metadata pass over a source the very next step rewrites in full.
+    """
+    n_total = vectors.count()
+    train_n = 4 * n_lists  # _train_quantizer's train_factor default
+    if n_total < train_n:
+        raise ValueError(
+            f"streaming_ann_index_run: {n_total} vectors < training "
+            f"sample {train_n} (4 × n_lists={n_lists}); lower n_lists "
+            "or supply more vectors"
+        )
     run_ns = os.path.join(base_dir, f"stream_ann_index_{os.getpid()}")
     src = os.path.join(run_ns, "src")
     cells_dir = os.path.join(run_ns, "cells")
