@@ -164,10 +164,22 @@ def streaming_ann_index_run(
     n_batches: int = 4,
     n_lists: int = 16,
     quantize: int | None = None,
+    resume: bool = False,
+    on_batch_complete=None,
 ) -> str:
     """Ingest *vectors* as *n_batches* ascending-id microbatches into a
     cell-partitioned IVF store under a PID-scoped namespace; returns
     the run namespace path (probe with `ann_index_topk`).
+
+    ``resume=True`` restarts an interrupted run against its existing
+    source, store, and checkpoint: the engine redelivers every batch
+    whose foreachBatch ran without the commit landing; the dynamic
+    partition overwrite rewrites exactly the replayed batch's
+    (ingest_batch, cell) partitions and the staged-rename quantizer
+    freeze is skipped once `centroids_dir` exists — the crash-recovery
+    path the fault-injection tests drive. ``on_batch_complete(
+    batch_id)`` runs after the batch's cell write, before the engine
+    commit (telemetry / injected-crash point).
 
     Raises ``ValueError`` eagerly when *vectors* cannot train the
     quantizer at all (fewer rows than the 4×n_lists training sample,
@@ -189,8 +201,15 @@ def streaming_ann_index_run(
     cells_dir = os.path.join(run_ns, "cells")
     centroids_dir = os.path.join(run_ns, "centroids")
     ckpt = os.path.join(run_ns, "ckpt")
-    shutil.rmtree(run_ns, ignore_errors=True)
-    os.makedirs(run_ns, exist_ok=True)
+    if resume:
+        if not os.path.isdir(src):
+            raise ValueError(
+                "streaming_ann_index_run: resume=True but no prior "
+                f"run at {run_ns}"
+            )
+    else:
+        shutil.rmtree(run_ns, ignore_errors=True)
+        os.makedirs(run_ns, exist_ok=True)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_overwrite = spark.conf.get(
@@ -205,9 +224,10 @@ def streaming_ann_index_run(
         # write actually touches — the idempotent-replay contract
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-        write_id_range_batches(
-            vectors, id_col, [id_col, vec_col], run_ns, src, n_batches
-        )
+        if not resume:
+            write_id_range_batches(
+                vectors, id_col, [id_col, vec_col], run_ns, src, n_batches
+            )
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -252,6 +272,8 @@ def streaming_ann_index_run(
                 .partitionBy("ingest_batch", "cell")
                 .parquet(cells_dir)
             )
+            if on_batch_complete is not None:
+                on_batch_complete(batch_id)
 
         (
             stream.writeStream.foreachBatch(process_batch)

@@ -244,6 +244,8 @@ def streaming_dedup_index_run(
     max_bucket_size: int = 1000,
     probe_last_batches: int | None = None,
     hash_fn: str = "xxhash64",
+    resume: bool = False,
+    on_batch_complete=None,
 ) -> DataFrame:
     """Run *docs* through the streaming dedup-index pipeline as
     *n_batches* ascending-id microbatches; returns the settled kept-doc
@@ -263,7 +265,16 @@ def streaming_dedup_index_run(
     boundaries — enforced at probe time (`_load_store` raises on a
     compacted snapshot); production aligns compaction to the horizon.
     Default None = dedup against all history (the fold-equivalence
-    contract)."""
+    contract).
+
+    ``resume=True`` restarts an interrupted run against its existing
+    source, stores, and checkpoint: the engine redelivers every batch
+    whose foreachBatch ran without the commit landing, `_load_store`'s
+    ``< batch_id`` cut keeps the replay from probing its own prior
+    attempt, and the per-batch overwrite rewrites partial store state
+    — the crash-recovery path the fault-injection tests drive.
+    ``on_batch_complete(batch_id)`` runs after all three store writes,
+    before the engine commit (telemetry / injected-crash point)."""
     if probe_last_batches is not None and probe_last_batches < 1:
         # parts[-0:] would silently mean "all history", the opposite of
         # the caller's intent
@@ -276,8 +287,15 @@ def streaming_dedup_index_run(
     kept_dir = os.path.join(run_ns, "kept")
     counts_dir = os.path.join(run_ns, "bucket_counts")
     ckpt = os.path.join(run_ns, "ckpt")
-    shutil.rmtree(run_ns, ignore_errors=True)
-    os.makedirs(run_ns, exist_ok=True)
+    if resume:
+        if not os.path.isdir(src):
+            raise ValueError(
+                "streaming_dedup_index_run: resume=True but no prior "
+                f"run at {run_ns}"
+            )
+    else:
+        shutil.rmtree(run_ns, ignore_errors=True)
+        os.makedirs(run_ns, exist_ok=True)
 
     # one-shot sizing, restored on exit (see events.run_stream_to_table)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -293,9 +311,10 @@ def streaming_dedup_index_run(
         # (dedup_batch_against's keep-first contract); a sampled
         # repartitionByRange split would change which non-transitive
         # near-dup comparisons happen between reruns (see batching.py)
-        write_id_range_batches(
-            docs, id_col, [id_col, text_col], run_ns, src, n_batches
-        )
+        if not resume:
+            write_id_range_batches(
+                docs, id_col, [id_col, text_col], run_ns, src, n_batches
+            )
         doc_schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(doc_schema)
@@ -322,6 +341,8 @@ def streaming_dedup_index_run(
                 probe_last_batches=probe_last_batches,
                 hash_fn=hash_fn,
             )
+            if on_batch_complete is not None:
+                on_batch_complete(batch_id)
 
         (
             stream.writeStream.foreachBatch(process_batch)

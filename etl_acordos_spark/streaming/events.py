@@ -401,6 +401,8 @@ def streaming_cms_run(
     depth: int = 4,
     width_hex: int = 3,
     n_batches: int = 4,
+    resume: bool = False,
+    on_batch_complete=None,
 ) -> DataFrame:
     """Streaming count-min sketch maintenance (foreachBatch): the value
     stream (one column ``v``), delivered as *n_batches* microbatches,
@@ -426,7 +428,17 @@ def streaming_cms_run(
     sketch is the per-(salt, bucket) sum over all delta dirs. A
     long-running stream compacts old delta dirs into one the same way
     ext_compaction folds small files — additivity makes that merge
-    lossless at any time."""
+    lossless at any time.
+
+    ``resume=True`` RESTARTS an interrupted run against its existing
+    source, store, and checkpoint instead of starting fresh: the
+    engine's checkpoint log redelivers every batch whose foreachBatch
+    ran without the commit landing, and the idempotent per-batch
+    overwrite absorbs the replay — the crash-recovery path the
+    fault-injection tests exercise. ``on_batch_complete(batch_id)`` is
+    an optional per-batch completion hook invoked AFTER the batch's
+    delta write and BEFORE the engine commits the batch (telemetry in
+    production; the injected-crash point in tests)."""
     import os
     import shutil
 
@@ -436,8 +448,14 @@ def streaming_cms_run(
     src = os.path.join(run_ns, "src")
     store = os.path.join(run_ns, "cells")
     ckpt = os.path.join(run_ns, "ckpt")
-    shutil.rmtree(run_ns, ignore_errors=True)
-    os.makedirs(store)
+    if resume:
+        if not os.path.isdir(src):
+            raise ValueError(
+                f"streaming_cms_run: resume=True but no prior run at {run_ns}"
+            )
+    else:
+        shutil.rmtree(run_ns, ignore_errors=True)
+        os.makedirs(store)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -445,7 +463,8 @@ def streaming_cms_run(
             "spark.sql.shuffle.partitions",
             str(min(4, spark.sparkContext.defaultParallelism)),
         )
-        vals.select("v").repartition(n_batches).write.parquet(src)
+        if not resume:
+            vals.select("v").repartition(n_batches).write.parquet(src)
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", 1)
@@ -458,6 +477,8 @@ def streaming_cms_run(
             ).write.mode("overwrite").parquet(
                 os.path.join(store, f"b{batch_id:05d}")
             )
+            if on_batch_complete is not None:
+                on_batch_complete(batch_id)
 
         (
             stream.writeStream.foreachBatch(write_delta)
@@ -482,6 +503,8 @@ def streaming_hll_run(
     value_col: str,
     base_dir: str,
     n_batches: int = 4,
+    resume: bool = False,
+    on_batch_complete=None,
 ) -> DataFrame:
     """Streaming HyperLogLog register maintenance (foreachBatch): the
     keyed value stream, delivered as *n_batches* microbatches, lands
@@ -500,7 +523,10 @@ def streaming_hll_run(
     dirs are kept anyway so a partial crash-write never corrupts
     earlier batches). State is O(n_batches · |groups| · 4096) rows,
     input-size-independent. A long-running stream compacts old delta
-    dirs into one by the same max-merge — lossless at any time."""
+    dirs into one by the same max-merge — lossless at any time.
+
+    ``resume`` / ``on_batch_complete``: same crash-recovery restart
+    and batch-completion-hook contract as `streaming_cms_run`."""
     import os
     import shutil
 
@@ -510,8 +536,14 @@ def streaming_hll_run(
     src = os.path.join(run_ns, "src")
     store = os.path.join(run_ns, "regs")
     ckpt = os.path.join(run_ns, "ckpt")
-    shutil.rmtree(run_ns, ignore_errors=True)
-    os.makedirs(store)
+    if resume:
+        if not os.path.isdir(src):
+            raise ValueError(
+                f"streaming_hll_run: resume=True but no prior run at {run_ns}"
+            )
+    else:
+        shutil.rmtree(run_ns, ignore_errors=True)
+        os.makedirs(store)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -520,7 +552,8 @@ def streaming_hll_run(
             str(min(4, spark.sparkContext.defaultParallelism)),
         )
         cols = [*group_cols, value_col]
-        df.select(*cols).repartition(n_batches).write.parquet(src)
+        if not resume:
+            df.select(*cols).repartition(n_batches).write.parquet(src)
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", 1)
@@ -535,6 +568,8 @@ def streaming_hll_run(
             ).write.mode("overwrite").parquet(
                 os.path.join(store, f"b{batch_id:05d}")
             )
+            if on_batch_complete is not None:
+                on_batch_complete(batch_id)
 
         (
             stream.writeStream.foreachBatch(write_delta)
