@@ -21,6 +21,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+#: storage level for the O(edges) lineage pins: SERIALIZED bytes in
+#: memory with disk spill (Python's ``MEMORY_AND_DISK`` — unlike the
+#: same-named Scala constant — carries ``deserialized=False``). The
+#: JVM default for ``localCheckpoint`` stores partitions as
+#: deserialized row objects: at the 100x tile (119.6M oriented edges,
+#: 239M degree-annotated out-edges) that retains ~60-70 B/row of live
+#: objects while the checkpoint copy materializes and OOMs a 24 GiB
+#: local[32] heap in a GCLocker storm (measured, round 11).
+#: UnsafeRow-serialized pins are 3-4x smaller, unroll incrementally,
+#: and spill instead of dying; decode on re-read is a memcpy, and the
+#: sf0.1 anchors are unchanged (re-measured round 11). Small pins
+#: (per-iteration rank tables, hierarchy frontiers) keep the default.
+_EDGE_PIN = StorageLevel.MEMORY_AND_DISK
 
 
 def co_occurrence_edges(
@@ -113,7 +128,7 @@ def triangle_counts(
     # this invocation, and CacheManager entries would outlive it (they
     # persist until application stop — cf. the explicit unpersist in
     # operators/dedup.py:component_labels).
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True, storageLevel=_EDGE_PIN)
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
@@ -135,7 +150,7 @@ def triangle_counts(
     oriented = e.select(
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("w"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_EDGE_PIN)
     o1 = oriented.select(F.col("u").alias("a"), F.col("w").alias("b"))
     o2 = oriented.select(F.col("u").alias("b"), F.col("w").alias("c"))
     o3 = oriented.select(F.col("u").alias("a"), F.col("w").alias("c"))
@@ -143,6 +158,19 @@ def triangle_counts(
         broadcast_edges = oriented.count() <= broadcast_max_edges
     if broadcast_edges:
         o2, o3 = F.broadcast(o2), F.broadcast(o3)
+    else:
+        # shuffled fallback: hint HASH joins with the edge lists as
+        # build sides. A sort-merge plan would SORT the wedge stream —
+        # O(m^1.5) rows, ~4B at the 100x tile — before the second join,
+        # and the aggregate after it needs no order; hash probing keeps
+        # the stream a stream. The build sides stay O(m/partitions)
+        # (~8 MB/partition at 119.6M edges / 256 partitions), and the
+        # orientation bound caps any one key's wedge fan-out at
+        # O(sqrt(m)), so per-partition hash tables stay flat. Measured
+        # round 11: the SMJ fallback's wedge sort spilled >79 GiB at
+        # the 100x tile (disk-full abort); the hash plan's only big
+        # disk cost is the wedge shuffle write itself.
+        o2, o3 = o2.hint("SHUFFLE_HASH"), o3.hint("SHUFFLE_HASH")
     tri = o1.join(o2, "b").join(o3, ["a", "c"])
     return (
         tri.select(
@@ -202,7 +230,7 @@ def pagerank(
     out = (
         sym.join(deg, "src")
         .select("src", "dst", "_deg")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_EDGE_PIN)
     )
     n = out.select("src").distinct().count()
     if n == 0:
