@@ -1,0 +1,93 @@
+"""Round-close bench analysis: compare a `bench.py` JSON line against
+the anchors recorded in BASELINE.md.
+
+Anchor extraction is deliberately conservative — only tables inside
+sections whose heading contains "anchor" (the r1 2x budget table plus
+every "Round-N anchors" / "re-anchors" section) feed the anchor map;
+scale/skew measurement tables never do. Within an anchor row the value
+is the FIRST numeric cell after the backticked key, except in
+re-anchor tables (header carries "old anchor"), where the SECOND cell
+is the fresh anchor. Later sections supersede earlier ones in file
+order, mirroring how BASELINE.md is written.
+
+Usage::
+
+    python bench.py > /tmp/bench1.json
+    python tools/bench_close.py /tmp/bench1.json [/tmp/bench2.json ...]
+
+Prints, per run: headline total, per-key ratio geomean vs anchors,
+and every key at ratio >= 1.5 (the 2x budget's early-warning line).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import sys
+import os
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE = os.path.join(_REPO_ROOT, "BASELINE.md")
+
+_KEY_CELL = re.compile(r"`([a-z0-9_]+)`[^|]*((?:\|[^|`]*)+)")
+_NUM = re.compile(r"\b\d+(?:\.\d+)?\b")
+
+
+def load_anchors(path: str = BASELINE) -> dict[str, float]:
+    anchors: dict[str, float] = {}
+    in_anchor_section = False
+    second_cell = False
+    for line in open(path):
+        if line.startswith("#"):
+            title = line.lower()
+            in_anchor_section = ("anchor" in title) or (
+                "2x budget" in title
+            )
+            second_cell = False
+            continue
+        if not in_anchor_section or not line.startswith("|"):
+            continue
+        if "old anchor" in line.lower():
+            second_cell = True
+            continue
+        for m in _KEY_CELL.finditer(line):
+            key, cells = m.group(1), m.group(2)
+            nums = _NUM.findall(cells)
+            if not nums:
+                continue
+            idx = 1 if (second_cell and len(nums) > 1) else 0
+            anchors[key] = float(nums[idx])
+    # prose-recorded adjudication anchors (no table row):
+    # ext_rollup's round-10 isolated two-run re-anchor (BASELINE.md
+    # "Round-10 adjudication: ext_rollup 1.51x")
+    anchors["ext_rollup"] = 0.64
+    return anchors
+
+
+def main() -> None:
+    anchors = load_anchors()
+    print(f"anchors: {len(anchors)} keys")
+    for path in sys.argv[1:]:
+        # bench.py prints one JSON line last; tolerate progress noise
+        line = [
+            ln for ln in open(path) if ln.lstrip().startswith("{")
+        ][-1]
+        d = json.loads(line)
+        q = d["queries"]
+        ratios = {
+            k: q[k] / anchors[k] for k in q if k in anchors and anchors[k]
+        }
+        geo = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+        hot = {k: round(r, 2) for k, r in ratios.items() if r >= 1.5}
+        print(json.dumps({
+            "file": path,
+            "headline_total": d.get("value"),
+            "keys_compared": len(ratios),
+            "ratio_geomean": round(geo, 3),
+            "ge_1_5x": hot,
+        }))
+
+
+if __name__ == "__main__":
+    main()
