@@ -318,6 +318,20 @@ def _graph_edges(spark, sf_oracle):
     )
 
 
+def test_graph_edge_pins_are_serialized_and_spillable():
+    """The O(edges) localCheckpoint pins must store SERIALIZED with
+    disk spill: the deserialized JVM default retains ~60-70 B/row of
+    live objects during the checkpoint copy and OOM'd a 24 GiB heap at
+    the 100x tile's 239M out-edges (r11 measurement, BASELINE.md) —
+    a revert to the bare `localCheckpoint(eager=True)` call would
+    reintroduce that silently."""
+    from etl_acordos_spark.operators.graph import _EDGE_PIN
+
+    assert _EDGE_PIN.useDisk, _EDGE_PIN
+    assert _EDGE_PIN.useMemory, _EDGE_PIN
+    assert not _EDGE_PIN.deserialized, _EDGE_PIN
+
+
 def test_triangle_count_fallback_plan_and_rows(spark, sf_oracle):
     """`broadcast_edges=False` is the documented beyond-10^8-edge escape
     hatch (oriented list no longer fits executor memory): the wedge
