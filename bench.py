@@ -321,7 +321,17 @@ def main() -> None:
     auxiliary = [
         k for k in qs if k not in set(HEADLINE) and k not in EXCLUDED
     ]
-    for name in HEADLINE + auxiliary:
+    order = HEADLINE + auxiliary
+    # optional key subset (isolated re-anchor runs): `python bench.py
+    # key1 key2 ...` times only those keys, same warmup + min-of-RUNS
+    # conventions. The no-args contract path is untouched — the driver
+    # always invokes bench.py bare.
+    if len(sys.argv) > 1:
+        unknown = [k for k in sys.argv[1:] if k not in qs]
+        if unknown:
+            raise SystemExit(f"unknown keys: {unknown}")
+        order = [k for k in order if k in set(sys.argv[1:])]
+    for name in order:
         if name not in qs:
             continue
         if log_path:

@@ -324,6 +324,17 @@ def minhash_bands(
     (streaming.dedup_index), where cache entries would otherwise
     accumulate for the lifetime of the application.
 
+    Storage level stays the deserialized default, DELIBERATELY —
+    unlike the graph module's serialized ``_EDGE_PIN``
+    (operators/graph.py, forced by a measured 24 GiB OOM at 239M
+    pinned edge rows): the dedup pins are O(docs·bands) / O(pairs)
+    frames, orders of magnitude narrower per input row than an edge
+    explosion, they measured clean through the 100x corpus tiles at an
+    8 GiB heap (BASELINE.md round-10 batch), they're re-scanned many
+    times per query (deserialized reads skip the per-scan decode), and
+    the deserialized level still spills to disk in serialized form
+    under pressure. Revisit only if a measured pin OOM appears.
+
     hash-shingle (n-gram hashes computed straight from the token array —
     no shingle strings ever materialize) → derive the num_perm
     permutations as Carter-Wegman universal hashes (a*h+b) mod p,
