@@ -9,7 +9,13 @@ engine relies on under key skew:
   the sort-merge join ``skew=true`` (thresholds are lowered to make
   the mechanism observable at test volume — the default 256 MB
   partition threshold is a production setting that test-scale shuffles
-  can never trip);
+  can never trip). Threshold-sizing caveat measured at 30x volume
+  (BASELINE.md "Round-11 skew stress extended to 30x"): the detector
+  reads COMPRESSED shuffle bytes, and a constant-join-key hot block
+  compresses ~20-30x — size ``skewedPartitionThresholdInBytes`` /
+  ``advisoryPartitionSizeInBytes`` against compressed reality, and
+  keep ``spark.sql.files.maxPartitionBytes`` small enough that the
+  map-output count doesn't cap the split granularity;
 - **explicit salting equals the plain join** row-for-row on the same
   skewed input (the deterministic fallback for pathological keys where
   runtime splitting isn't enough).
