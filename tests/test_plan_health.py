@@ -66,6 +66,21 @@ def test_groupby_agg_pushes_predicate_and_partial_aggregates(spark, sf_oracle):
     assert len(read_schema.split(",")) == 7, read_schema
 
 
+def test_rollup_joins_stay_broadcast_into_one_expand(spark, sf_oracle):
+    """r12 adjudication pin (BASELINE.md "Round-12 adjudication
+    anchors"): ext_rollup's plan is 3 broadcast star joins feeding a
+    single rollup Expand aggregate. Two driver-bench flags (r9 1.51x,
+    r11 2.15x) were both adjudicated environmental with this exact
+    plan verified unchanged; pinning it makes any real plan drift fail
+    here instead of surfacing as a bench-ratio argument."""
+    plan = plan_of(contract.queries()["ext_rollup"](spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # formatted explain lists each op in the tree and once in details
+    assert plan.count("Expand") == 2, plan
+
+
 #: exact all-pairs verification baselines — quadratic BY DESIGN
 #: (SURVEY.md §2.6); every other registered query must avoid
 #: nested-loop/cartesian execution.

@@ -58,10 +58,6 @@ def load_anchors(path: str = BASELINE) -> dict[str, float]:
                 continue
             idx = 1 if (second_cell and len(nums) > 1) else 0
             anchors[key] = float(nums[idx])
-    # prose-recorded adjudication anchors (no table row):
-    # ext_rollup's round-10 isolated two-run re-anchor (BASELINE.md
-    # "Round-10 adjudication: ext_rollup 1.51x")
-    anchors["ext_rollup"] = 0.64
     return anchors
 
 
