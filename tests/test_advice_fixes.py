@@ -459,3 +459,43 @@ def test_canonical_url_strips_line_terminators_whatwg_style(spark):
     )
     for r in df.collect():
         assert r["a"] == r["b"], (r["a"], r["b"])
+
+
+def test_no_private_jvm_handles_in_code():
+    """VERDICT r10/r11: plan introspection must go through the public
+    ``explain()`` capture (tests/oracle_utils.explain_str), never the
+    private ``_jdf`` JVM handle — Connect-safe and stable across Spark
+    versions. Tokenize-based so comments/docstrings that MENTION _jdf
+    (like this one) don't trip it; any new code-level use fails here.
+    ``_jvm`` stays allowlisted at the two Hadoop-FS utility sites only.
+    """
+    import io
+    import os
+    import tokenize
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jvm_allowlist = {
+        "etl_acordos_spark/operators/layout.py",
+        "etl_acordos_spark/sources/parquet_io.py",
+    }
+    offenders = []
+    for base, dirs, files in os.walk(repo):
+        dirs[:] = [
+            d for d in dirs
+            if d not in {".git", "__pycache__", ".claude", "spark-warehouse"}
+        ]
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(base, fname)
+            rel = os.path.relpath(path, repo)
+            with open(path, encoding="utf-8") as f:
+                src = f.read()
+            for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+                if tok.type != tokenize.NAME:
+                    continue
+                if tok.string == "_jdf":
+                    offenders.append(f"{rel}:{tok.start[0]} _jdf")
+                elif tok.string == "_jvm" and rel not in jvm_allowlist:
+                    offenders.append(f"{rel}:{tok.start[0]} _jvm")
+    assert not offenders, offenders

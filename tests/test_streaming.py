@@ -771,3 +771,79 @@ def test_stream_dedup_index_null_text_docs_all_survive(spark, tmp_path):
         for r in con.execute(_stream_dedup_fold_oracle(n_batches=2)).fetchall()
     )
     assert got == want
+
+
+def test_stream_dedup_index_compacts_mid_stream(spark):
+    """VERDICT r11 item 6 (unit form; the 100x operational proof is
+    tools/dedup_compact_100x.py): compact_count_deltas called WHILE the
+    stream is running — from the batch-completion hook, i.e. between a
+    batch's store writes and its engine commit — must leave the settled
+    kept-set identical to an uncompacted twin run and fold the delta
+    directories down. Safe by construction: the fold never touches the
+    newest delta, which is exactly the one an at-least-once replay may
+    rewrite."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.streaming import dedup_index as M
+
+    rows = [
+        (i, " ".join(f"m{i}w{j}" for j in range(25))) for i in range(12)
+    ]
+    for i in range(3):  # cross-batch dups: history must survive the fold
+        rows[9 + i] = (9 + i, rows[i][1])
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    twin_base = tempfile.mkdtemp(prefix="sdi_mid_twin_")
+    want = sorted(
+        r[0]
+        for r in M.streaming_dedup_index_run(
+            spark, docs, "text", "doc_id", twin_base, n_batches=4
+        ).collect()
+    )
+    assert want == list(range(9))
+    twin_ns = os.path.join(twin_base, f"stream_dedup_index_{os.getpid()}")
+    twin_dirs = [
+        d
+        for d in os.listdir(os.path.join(twin_ns, "bucket_counts"))
+        if d.startswith("b")
+    ]
+    assert len(twin_dirs) == 4  # one delta per batch, unfolded
+
+    base = tempfile.mkdtemp(prefix="sdi_mid_")
+    run_ns = os.path.join(base, f"stream_dedup_index_{os.getpid()}")
+    folded_at: dict[int, int] = {}
+
+    def compact_hook(batch_id: int) -> None:
+        if batch_id >= 2:
+            folded_at[batch_id] = M.compact_count_deltas(spark, run_ns)
+
+    got = sorted(
+        r[0]
+        for r in M.streaming_dedup_index_run(
+            spark, docs, "text", "doc_id", base, n_batches=4,
+            on_batch_complete=compact_hook,
+        ).collect()
+    )
+    assert got == want
+    # batch 2's hook folds b0+b1 (b2 itself is the protected newest);
+    # batch 3's folds that snapshot with b2
+    assert folded_at == {2: 2, 3: 2}, folded_at
+    counts_dir = os.path.join(run_ns, "bucket_counts")
+    dirs = [d for d in os.listdir(counts_dir) if d.startswith("b")]
+    assert len(dirs) == 2, dirs  # snapshot + newest delta
+    # bucket totals identical to the uncompacted twin
+    def totals(ns):
+        return {
+            (r["band_idx"], r["band_val"]): r["total"]
+            for r in spark.read.parquet(
+                os.path.join(ns, "bucket_counts", "b*")
+            )
+            .groupBy("band_idx", "band_val")
+            .agg(F.sum("n").alias("total"))
+            .collect()
+        }
+
+    assert totals(run_ns) == totals(twin_ns)

@@ -61,15 +61,47 @@ def load_anchors(path: str = BASELINE) -> dict[str, float]:
     return anchors
 
 
+def parse_bench_file(path: str) -> dict:
+    """Return {"value", "queries"} from any of the three bench artifact
+    shapes: a driver BENCH_r*.json wrapper (whole-file JSON, contract
+    line under "parsed"), the BENCH_ratios_local.json sidecar
+    (timings under "timings_all"), or a raw `bench.py` stdout capture
+    (last JSON line, tolerating spark progress noise). ADVICE r11: the
+    old last-{-line heuristic crashed on pretty-printed driver files."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except ValueError:
+        lines = [
+            ln for ln in text.splitlines() if ln.lstrip().startswith("{")
+        ]
+        if not lines:
+            raise SystemExit(f"{path}: no JSON found")
+        d = json.loads(lines[-1])
+    if isinstance(d, dict) and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]  # driver wrapper
+    if isinstance(d, dict) and "timings_all" in d:  # bench.py sidecar
+        d = {"value": d.get("headline_total"), "queries": d["timings_all"]}
+    if not isinstance(d, dict) or not isinstance(d.get("queries"), dict):
+        raise SystemExit(
+            f"{path}: no per-key timings (driver line overflowed? "
+            "'parsed' null?) — point at the sidecar instead"
+        )
+    return d
+
+
 def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        raise SystemExit(
+            "usage: python tools/bench_close.py BENCH_FILE [BENCH_FILE ...]\n"
+            "  accepts raw bench.py stdout captures, driver BENCH_r*.json "
+            "wrappers, and BENCH_ratios_local.json sidecars"
+        )
     anchors = load_anchors()
     print(f"anchors: {len(anchors)} keys")
     for path in sys.argv[1:]:
-        # bench.py prints one JSON line last; tolerate progress noise
-        line = [
-            ln for ln in open(path) if ln.lstrip().startswith("{")
-        ][-1]
-        d = json.loads(line)
+        d = parse_bench_file(path)
         q = d["queries"]
         ratios = {
             k: q[k] / anchors[k] for k in q if k in anchors and anchors[k]

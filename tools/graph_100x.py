@@ -15,8 +15,10 @@ cluster's 4+ GiB/core, same rationale as the r8 30x run) and records:
 - `ext_triangle_count` — at 100x the oriented edge list holds ~119.6M
   edges, ABOVE the 20M broadcast crossover, so the auto MUST demote the
   wedge probes to shuffled joins. The demotion is asserted from the
-  physical plan of the very DataFrame that is timed (SortMergeJoin
-  wedge probes, no broadcast wedge side), not from a separate re-run.
+  physical plan of the very DataFrame that is timed (ShuffledHashJoin
+  wedge probes — NOT SortMergeJoin, whose wedge sort overran 79 GiB of
+  spill disk at this scale — and no broadcast wedge side), not from a
+  separate re-run.
 
 Results go to BASELINE.md ("Round-11 graph family at 100x").
 
@@ -139,20 +141,29 @@ def main() -> None:
         plan = _plan(df)
         df.write.format("noop").mode("overwrite").save()
         t_total = time.perf_counter() - t0
-        demoted = ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan)
+        # the demotion contract (tests/test_plan_health.py, BASELINE
+        # r11): ShuffledHashJoin wedge probes, no SortMergeJoin (its
+        # wedge sort is the 79 GiB disk overrun), no broadcast wedge
+        demoted = (
+            "ShuffledHashJoin" in plan
+            and "SortMergeJoin" not in plan
+            and "BroadcastHashJoin" not in plan
+        )
         results["triangle_auto"] = {
             "t_100x": round(t_total, 3),
             "plan_probe_s": round(built_s, 3),
             "demoted_to_shuffled": demoted,
             "shuffled_hash_in_plan": "ShuffledHashJoin" in plan,
+            "sort_merge_in_plan": "SortMergeJoin" in plan,
             "broadcast_wedge_in_plan": "BroadcastHashJoin" in plan,
         }
         print(json.dumps({"triangle_auto": results["triangle_auto"]}),
               flush=True)
         if not demoted:
             raise SystemExit(
-                "triangle_counts did NOT demote to shuffled wedge joins "
-                "at 100x — crossover regression"
+                "triangle_counts did NOT demote to SHUFFLE_HASH wedge "
+                "joins at 100x (SortMergeJoin or broadcast wedge in "
+                "plan) — crossover regression"
             )
 
     print(json.dumps({"done": results}))
