@@ -990,8 +990,9 @@ def bloom_decontaminate(
     folded in — and the 100 TB train scan still never shuffles.
 
     Probe shape: Catalyst computes the k positions per gram map-side
-    (seeded xxhash64 HOFs — the hash stays JVM-side and bit-compatible
-    with the build), and a vectorized pandas UDF tests them against ONE
+    (Kirsch-Mitzenmacher double hashing carved from the gram hash —
+    pure integer HOFs, bit-compatible with the build, no per-seed
+    hashing), and a vectorized pandas UDF tests them against ONE
     `sc.broadcast` numpy bitset per executor. The bitset must NOT be a
     broadcast-join column: a join materializes the 512 KiB array onto
     every output row (measured 8× slower at sf0.1 before this shape).
@@ -1014,24 +1015,22 @@ def bloom_decontaminate(
             hashed_word_shingles("tok", ngram, hash_fn=hash_fn).alias("gs"),
         )
 
-    # k positions per gram in ONE pass: seeds come from sequence() and
-    # each hash is evaluated once per (gram, seed) — positions are
-    # lambda-bound values downstream, never recomputed. The md5 family
-    # derives positions from md5("s:gram-hash") hex (32 bits mod m) so
-    # the DuckDB oracle replays build AND probe bit-for-bit
-    # (ext_bloom_decontam's round-7 promotion); xxhash64 stays the
-    # production default (JVM-side, no string round-trip).
-    if hash_fn == "md5":
-        pos_expr = (
-            f"transform(sequence(0, {k_hashes - 1}),"
-            " s -> pmod(cast(conv(substr(md5(concat(cast(s as string),"
-            f" ':', cast(g as string))), 1, 8), 16, 10) as bigint), {m}))"
-        )
-    else:
-        pos_expr = (
-            f"transform(sequence(0, {k_hashes - 1}),"
-            f" s -> pmod(xxhash64(g, s), {m}))"
-        )
+    # k positions per gram with ZERO additional hash calls: Kirsch-
+    # Mitzenmacher double hashing (pos_s = h1 + s·h2 mod m) carved
+    # from the gram hash g itself — h1 = g's low lg(m) bits, h2 = the
+    # bits above them, stride forced odd so the k positions are
+    # distinct mod a power-of-two m. Replaces the r7 scheme of one
+    # seeded hash per (gram, seed): the md5 family paid 3 extra md5
+    # STRING round-trips per gram on top of the gram hash (4 total —
+    # the whole reason the key's anchor sat at 1.86 s), now 1; the
+    # xxhash64 family drops its 3 per-gram seeded JVM hashes too. The
+    # integer derivation is replayed verbatim by the DuckDB oracle
+    # (g % m, g // m, same odd stride), keeping the bit-for-bit
+    # build+probe replay of the round-7 promotion.
+    pos_expr = (
+        f"transform(sequence(0, {k_hashes - 1}),"
+        f" s -> pmod(pmod(g, {m}) + s * (2 * (g div {m}) + 1), {m}))"
+    )
 
     # DISTRIBUTED bitset build: positions fold into 64-bit words with
     # `bit_or` on the executors, so the driver collects at most m/64

@@ -334,8 +334,9 @@ def q_ext_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_decontaminate, same eval split): eval 4-grams folded into a
     fixed 512 KiB bitset, training docs flagged via vectorized bit
     probes. Runs the md5 hash family so the DuckDB oracle replays the
-    ENTIRE filter — gram hashes, the k seeded probe positions, the
-    inserted-position set, and the all-k-positions-hit membership test
+    ENTIRE filter — gram hashes, the k double-hashed probe positions
+    (Kirsch-Mitzenmacher, carved from the gram hash with integer math),
+    the inserted-position set, and the all-k-positions-hit membership test
     (a Bloom filter's verdict is a pure function of its hash family,
     so false positives reproduce identically) — round-7 promotion from
     rows-only; the superset + FP-bound pins vs the exact operator stay
@@ -363,9 +364,12 @@ def _bloom_decontam_oracle(
     its positions were inserted — reproducing the engine's false
     positives exactly, not just its true hits."""
     gram_hash = "('0x' || substr(md5(gtxt), 1, 15))::BIGINT"
+    # Kirsch-Mitzenmacher positions from the gram hash itself (engine
+    # twin: operators/text.py:bloom_decontaminate pos_expr) — g is the
+    # non-negative 60-bit md5 bigint, so DuckDB's % / // match Spark's
+    # pmod / div exactly
     pos = (
-        "('0x' || substr(md5(CAST(s AS VARCHAR) || ':'"
-        f" || CAST(g AS VARCHAR)), 1, 8))::BIGINT % {m_bits}"
+        f"(g % {m_bits} + s * (2 * (g // {m_bits}) + 1)) % {m_bits}"
     )
     grams = (
         "SELECT doc_id, list_distinct(CASE WHEN len(tok) >= {n}"
