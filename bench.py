@@ -235,7 +235,10 @@ def env_snapshot() -> dict:
     """Machine context stamped into the bench artifacts so an elevated
     round is legible from the artifact alone (VERDICT r11 item 3: the
     r11 driver geomean 1.219 vs builder same-HEAD close 1.021 gap was
-    pure machine state, proven by hand each round)."""
+    pure machine state, proven by hand each round). Called once at
+    process start (``load0`` — what the box looked like BEFORE this
+    bench added its own load; the 15-min figure exposes a just-finished
+    pytest/driver run) and once at line-print time (``load``)."""
     snap: dict = {}
     try:
         snap["load"] = [round(x, 2) for x in os.getloadavg()]
@@ -335,6 +338,8 @@ def build_contract_line(
 
 
 def main() -> None:
+    start_env = env_snapshot()
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -414,6 +419,8 @@ def main() -> None:
     # anchor-ratio summary so an elevated driver round is adjudicable
     # from the artifact alone.
     env = env_snapshot()
+    if "load" in start_env:
+        env["load0"] = start_env["load"]
     anc = anchor_report(timings)
     anc_summary = {k: v for k, v in anc.items() if k != "ratios"}
     extra = {}

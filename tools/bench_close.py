@@ -108,13 +108,21 @@ def main() -> None:
         }
         geo = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
         hot = {k: round(r, 2) for k, r in ratios.items() if r >= 1.5}
-        print(json.dumps({
+        out = {
             "file": path,
             "headline_total": d.get("value"),
             "keys_compared": len(ratios),
             "ratio_geomean": round(geo, 3),
             "ge_1_5x": hot,
-        }))
+        }
+        # a contract line's own full-registry self-report (bench.py
+        # anchor_report) covers ALL timed keys, not just the byte-
+        # capped stdout subset parsed above — surface it when present
+        if isinstance(d.get("anc"), dict):
+            out["self_report"] = d["anc"]
+        if isinstance(d.get("env"), dict):
+            out["env"] = d["env"]
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":
