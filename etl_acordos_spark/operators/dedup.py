@@ -571,6 +571,107 @@ def minhash_lsh_pairs(
     )
 
 
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flag every *train* doc
+    whose shingle-set Jaccard with ANY *eval_docs* doc reaches
+    *threshold* — the fuzzy complement to the exact n-gram overlap of
+    `operators.text.decontaminate` (which misses paraphrased or
+    lightly-edited benchmark leaks) and its Bloom variant. Output
+    ``(id_col, n_eval_matches, max_jaccard)`` for flagged train docs
+    only.
+
+    Cross-set by construction: each side builds its own MinHash band
+    table (seeded permutations make the two band tables
+    join-compatible — the `minhash_bands` incremental-dedup property),
+    candidates are train-bucket x eval-bucket joins ONLY, and the
+    train side never self-joins — at 100 TB the train corpus is the
+    big side and an in-train pair is pure waste (the
+    `dedup_batch_against` discipline, minus its batch-internal leg).
+    The bucket cap applies to the COMBINED per-bucket population,
+    mirroring the incremental probe's cap semantics.
+
+    Same candidate/verify shuffle discipline as `minhash_lsh_pairs`:
+    bands and id pairs shuffle, shingle arrays move only in the final
+    verify join restricted to candidate ids.
+    """
+    t_bands = minhash_bands(
+        train, text_col, id_col, num_perm, bands, shingle_n,
+        hash_fn=hash_fn,
+    )
+    e_bands = minhash_bands(
+        eval_docs, text_col, id_col, num_perm, bands, shingle_n,
+        hash_fn=hash_fn,
+    )
+    bucket_ok = (
+        t_bands.select("band_idx", "band_val")
+        .unionByName(e_bands.select("band_idx", "band_val"))
+        .groupBy("band_idx", "band_val")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    candidates = (
+        t_bands.join(bucket_ok, ["band_idx", "band_val"])
+        .select("band_idx", "band_val", F.col("doc").alias("doc_t"))
+        .join(
+            e_bands.join(bucket_ok, ["band_idx", "band_val"]).select(
+                "band_idx", "band_val", F.col("doc").alias("doc_e")
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select("doc_t", "doc_e")
+        .dropDuplicates(["doc_t", "doc_e"])
+        # same eager lineage cut as minhash_lsh_pairs: three downstream
+        # references would each re-analyze the 64-constant HOF subtree
+        .cache()
+        .localCheckpoint(eager=True)
+    )
+    t_sets = shingle_sets(
+        train.join(
+            candidates.select(F.col("doc_t").alias(id_col)).distinct(),
+            [id_col],
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        shingle_n,
+        hash_fn,
+    ).select(F.col("doc").alias("doc_t"), F.col("sh").alias("sh_t"))
+    e_sets = shingle_sets(
+        eval_docs.join(
+            candidates.select(F.col("doc_e").alias(id_col)).distinct(),
+            [id_col],
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        shingle_n,
+        hash_fn,
+    ).select(F.col("doc").alias("doc_e"), F.col("sh").alias("sh_e"))
+    return (
+        candidates.join(t_sets, "doc_t")
+        .join(e_sets, "doc_e")
+        .withColumn("jaccard", F.round(jaccard("sh_t", "sh_e"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy(F.col("doc_t").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def paragraph_near_dedup(
     df: DataFrame,
     text_col: str,

@@ -135,6 +135,60 @@ def cosine_pairs(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 100,
+    k: int = 10,
+    dup_ceiling: float = 0.95,
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query vector
+    (ids divisible by *query_mod* — a sampled anchor set), the top-*k*
+    corpus vectors by cosine AMONG those BELOW *dup_ceiling*. The
+    ceiling is what makes a negative "hard but true": candidates at or
+    above it are the anchor's near-duplicates/positives (the SemDeDup
+    regime — training on them as negatives poisons the objective), so
+    the mined set is the most-similar non-duplicate neighbors.
+
+    Output ``(query_id, id_col, cosine, rank)``, rank 1..k per query by
+    (rounded cosine desc, id asc) — the family's reproducible sort key.
+    Zero-norm vectors cosine to NULL (`cosine`'s try_divide) and the
+    ceiling predicate drops NULLs on both engines.
+
+    Scale shape: the anchor set is corpus/query_mod rows and BROADCASTS
+    (the standard mining regime — a sampled anchor set vs the full
+    corpus); the corpus scans ONCE, scoring q anchors per row map-side,
+    and only (query_id, id, cosine) triples — never vectors — reach the
+    per-query top-k shuffle, pre-pruned by the ceiling. O(n·q) compute
+    with O(survivors) shuffle. For anchor sets too large to broadcast,
+    mine per-shard against the IVF index instead (`ivf_topk`'s cell
+    routing bounds each anchor's scan to its probe cells).
+    """
+    from etl_acordos_spark.operators.dedup import ensure_parallelism
+
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    )
+    queries = vecs.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine("v", "qv"), 6))
+        .filter(F.col("cosine") < dup_ceiling)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
 def bitext_margin_pairs(
     df: DataFrame,
     k: int = 4,

@@ -362,6 +362,23 @@ def q_ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators/simsearch.py:hard_negatives): anchors = every 100th
+    vec_id; per anchor the cosine top-10 among vectors BELOW the 0.95
+    near-duplicate ceiling — the most-similar non-duplicate neighbors,
+    ranked by the family's (rounded cosine desc, id asc) key. Anchor
+    set broadcasts; the corpus scans once."""
+    from etl_acordos_spark.operators.simsearch import hard_negatives
+
+    return hard_negatives(
+        t(spark, sf_dir, "embeddings"),
+        query_mod=100,
+        k=10,
+        dup_ceiling=0.95,
+    )
+
+
 def q_ext_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column: per-vector
     scale, code L1 mass, reconstruction RMSE — map-only HOF folds."""
@@ -1058,6 +1075,33 @@ def q_ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ext_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination
+    (operators/dedup.py:fuzzy_decontaminate): eval suite = doc_id %
+    10 == 0 (a 10% held-out split — wider than ext_decontaminate's 2%
+    so the fuzzy cross-set has realistic mass), flagging train docs by
+    MinHash-LSH + exact-Jaccard >= 0.5 against the eval set — the
+    paraphrase/light-edit leaks exact 4-gram overlap misses. Runs the
+    md5 hash family, so the DuckDB oracle replays the whole cross-set
+    chain via the shared `_minhash_md5_ctes` machinery: eval docs ride
+    the union as NEGATIVE ids (-(doc_id+1)), making every cross pair an
+    (eval, train) pair under the chain's doc_a < doc_b ordering; the
+    oracle then keeps exactly those and aggregates per train doc. The
+    oracle's in-train/in-eval bucket pairs are generated and discarded
+    (verification scale); the ENGINE never generates them — the train
+    side never self-joins (the operator's 100 TB contract)."""
+    from etl_acordos_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return fuzzy_decontaminate(
+        train=docs.filter(F.col("doc_id") % 10 != 0),
+        eval_docs=docs.filter(F.col("doc_id") % 10 == 0),
+        text_col="text",
+        id_col="doc_id",
+        hash_fn="md5",
+    )
+
+
 def q_ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing on top of ext_doc_chunk's chunks: concat-and-
     slice into 256-token packs across 8 doc-hash shards; returns the
@@ -1742,6 +1786,32 @@ def _dedup_star_oracle() -> str:
     )
 
 
+def _decontam_fuzzy_oracle() -> str:
+    """Cross-set consumer of `_minhash_md5_ctes` — the exact twin of
+    q_ext_decontam_fuzzy. Eval docs enter the shared chain's unit
+    table as NEGATIVE ids (-(doc_id+1)), so under the chain's
+    doc_a < doc_b candidate ordering every (eval, train) pair — and
+    only those — satisfies doc_a < 0 AND doc_b >= 0; the in-train /
+    in-eval pairs the single-table self-join also mints are discarded
+    by that predicate (the bucket cap is unaffected: it counts the
+    COMBINED per-bucket population, which is the engine's cap
+    semantics too)."""
+    return (
+        "WITH u AS ("
+        "  SELECT doc_id AS doc, text AS utext FROM documents"
+        "   WHERE doc_id % 10 <> 0 AND text IS NOT NULL"
+        "  UNION ALL"
+        "  SELECT -(doc_id + 1) AS doc, text FROM documents"
+        "   WHERE doc_id % 10 = 0 AND text IS NOT NULL),"
+        + _minhash_md5_ctes()
+        + " SELECT doc_b AS doc_id,"
+        "  CAST(count(*) AS INT) AS n_eval_matches,"
+        "  max(jaccard) AS max_jaccard"
+        " FROM pairsq WHERE doc_a < 0 AND doc_b >= 0"
+        " GROUP BY doc_b"
+    )
+
+
 def _dedup_para_oracle(words_per_para: int = 30) -> str:
     """Paragraph-granularity consumer of `_minhash_md5_ctes` — the
     exact twin of q_ext_dedup_para (operators/dedup.py:
@@ -2204,6 +2274,27 @@ _ORACLES: dict[str, str | None] = {
         "   6) AS cosine"
         " FROM e, q ORDER BY cosine DESC, vec_id ASC LIMIT 10"
     ),
+    # anchor set = vec_id % 100 = 0; cosine rounded to 6 dp BEFORE the
+    # per-anchor ranking (both engines rank the rounded value with id
+    # tiebreak); the < 0.95 ceiling drops NULL (zero-norm) cosines on
+    # both engines
+    "ext_hard_negatives": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        "   FROM embeddings),"
+        " q AS (SELECT vec_id AS query_id, v AS qv FROM e"
+        "   WHERE vec_id % 100 = 0),"
+        " scored AS (SELECT q.query_id, e.vec_id,"
+        "   round(list_dot_product(e.v, q.qv) /"
+        "    nullif(sqrt(list_dot_product(e.v, e.v))"
+        "     * sqrt(list_dot_product(q.qv, q.qv)), 0), 6) AS cosine"
+        "  FROM e, q WHERE e.vec_id <> q.query_id),"
+        " ranked AS (SELECT query_id, vec_id, cosine,"
+        "   CAST(row_number() OVER (PARTITION BY query_id"
+        "    ORDER BY cosine DESC, vec_id) AS INT) AS rank"
+        "  FROM scored WHERE cosine < 0.95)"
+        " SELECT query_id, vec_id, cosine, rank"
+        " FROM ranked WHERE rank <= 10"
+    ),
     # BM25 side SHARES the ext_bm25 CTE chain (_BM25_CTES, ranked at
     # 6 dp, the precision bm25_topk's _ord key carries); vector side replays the
     # ext_simsearch cosine; both ranked by (score desc, id asc) over the
@@ -2534,6 +2625,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_dedup_near": QueryDef(q_ext_dedup_near, _dedup_near_oracle()),
     "ext_dedup_star": QueryDef(q_ext_dedup_star, _dedup_star_oracle()),
+    "ext_decontam_fuzzy": QueryDef(
+        q_ext_decontam_fuzzy, _decontam_fuzzy_oracle()
+    ),
     "ext_dedup_para": QueryDef(q_ext_dedup_para, _dedup_para_oracle()),
     "ext_dedup_simhash": QueryDef(
         q_ext_dedup_simhash, _dedup_simhash_oracle()
@@ -2544,6 +2638,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ext_dedup_embed": QueryDef(q_ext_dedup_embed, _ORACLES["ext_dedup_embed"]),
     "ext_simsearch": QueryDef(q_ext_simsearch, _ORACLES["ext_simsearch"]),
+    "ext_hard_negatives": QueryDef(
+        q_ext_hard_negatives, _ORACLES["ext_hard_negatives"]
+    ),
     "ext_hybrid_rrf": QueryDef(q_ext_hybrid_rrf, _ORACLES["ext_hybrid_rrf"]),
     "ext_quantize_embed": QueryDef(
         q_ext_quantize_embed, _ORACLES["ext_quantize_embed"]

@@ -2911,3 +2911,37 @@ def test_fingerprints_hash_families_share_winnowing_structure(spark):
     }
     with pytest.raises(ValueError, match="hash_fn"):
         fingerprints(docs, "text", "doc_id", hash_fn="sha1")
+
+
+def test_fuzzy_decontaminate_flags_cross_set_only(spark):
+    """fuzzy_decontaminate's 100 TB contract: the train side never
+    self-joins — two near-dup TRAIN docs with no eval sibling are NOT
+    flagged; a train doc near-duplicating an EVAL doc is, with
+    n_eval_matches counting every matching eval doc and max_jaccard
+    carrying the best verify score."""
+    from etl_acordos_spark.operators.dedup import fuzzy_decontaminate
+
+    base = " ".join(f"w{i}" for i in range(40))
+    leak = base + " tail_a"
+    rows_train = [
+        (1, leak),                                # leaks eval docs 100/101
+        (2, " ".join(f"t{i}" for i in range(40))),  # in-train dup pair...
+        (3, " ".join(f"t{i}" for i in range(40)) + " x"),  # ...with 2
+        (4, " ".join(f"z{i}" for i in range(40))),  # clean
+    ]
+    rows_eval = [
+        (100, base),
+        (101, base + " tail_b"),
+        (102, " ".join(f"e{i}" for i in range(40))),
+    ]
+    train = spark.createDataFrame(rows_train, ["doc_id", "text"])
+    ev = spark.createDataFrame(rows_eval, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_eval_matches"], r["max_jaccard"])
+        for r in fuzzy_decontaminate(
+            train, ev, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {1}, got  # 2/3 near-dup each other, NOT eval
+    n, mj = got[1]
+    assert n == 2 and mj >= 0.5, got[1]

@@ -116,6 +116,10 @@ QUADRATIC_BY_DESIGN = {
     "ext_leakage_split",  # built on the exact all-pairs dup graph
     "ext_bloom_decontam",  # 1-row bloom-bitset broadcast join
     "ext_quality_filter",  # 1-row quantile-thresholds broadcast join
+    # sampled anchor-set broadcast × one corpus scan — the brute-force
+    # mining regime (n·q by design; the IVF cell-routed probe is the
+    # large-anchor-set path, see operators/simsearch.py:hard_negatives)
+    "ext_hard_negatives",
 }
 
 #: keys whose build executes a full run (streams, sinks) or needs

@@ -375,3 +375,59 @@ def test_unit_clamped_np_bitwise_equals_hof_form(spark):
     for i, v in enumerate(vecs):
         got = unit_clamped_np(np.asarray(v)[None, :])[0]
         assert [x for x in got] == hof[i], i  # exact, not approx
+
+
+def test_hard_negatives_ceiling_excludes_near_duplicates(spark):
+    """The 0.95 ceiling is the operator's contract: an exact copy of
+    the anchor (cosine 1.0) must NOT be mined as a negative, while the
+    most-similar sub-ceiling vectors must, in (cosine desc, id asc)
+    rank order, k-capped per anchor."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.simsearch import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # anchor (id % 100 == 0)
+        (1, [1.0, 0.0, 0.0, 0.0]),          # exact dup: cosine 1.0
+        (2, [1.0, 0.1, 0.0, 0.0]),          # near-dup above ceiling
+        (3, [0.9, 0.9, 0.0, 0.0]),          # hard negative (~0.71)
+        (4, [0.5, 1.0, 0.0, 0.0]),          # softer negative (~0.45)
+        (5, [0.0, 0.0, 1.0, 0.0]),          # orthogonal
+        (6, [0.0, 0.0, 0.0, 0.0]),          # zero-norm: NULL cosine
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    got = [
+        (r["vec_id"], r["rank"])
+        for r in hard_negatives(df, query_mod=100, k=3, dup_ceiling=0.95)
+        .orderBy("rank")
+        .collect()
+    ]
+    # ids 1 and 2 are above the ceiling, 6 has NULL cosine: all absent
+    assert got == [(3, 1), (4, 2), (5, 3)], got
+
+
+def test_hard_negatives_is_per_anchor_topk(spark):
+    """Multiple anchors each get their own k-capped, rank-1-based
+    list; an anchor never mines itself."""
+    from pyspark.sql import functions as F
+
+    from etl_acordos_spark.operators.simsearch import hard_negatives
+
+    # anchors 0 and 100 (query_mod=100); 20 corpus vectors
+    rows = [(i, [float(i % 7 + 1), float(i % 3), 1.0]) for i in range(120)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = hard_negatives(df, query_mod=100, k=5, dup_ceiling=0.95)
+    rows_out = out.collect()
+    by_q = {}
+    for r in rows_out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 100}
+    for qid, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        assert all(r["vec_id"] != qid for r in rs)
+        assert all(r["cosine"] < 0.95 for r in rs)
