@@ -38,6 +38,52 @@ from pyspark.storagelevel import StorageLevel
 _EDGE_PIN = StorageLevel.MEMORY_AND_DISK
 
 
+def sorted_pair_structs(items_col) -> F.Column:
+    """All ordered pairs (src < dst) of a SORTED array column as
+    ``struct<src, dst>`` structs — pure Catalyst higher-order
+    functions, no join and no Python. For each position i the inner
+    ``slice`` takes the strictly-later elements, so a g-element array
+    yields exactly C(g, 2) structs with src < dst by the sort order
+    (the same total order `<` uses on the element type)."""
+    items_col = F.col(items_col) if isinstance(items_col, str) else items_col
+    n = F.size(items_col)
+    return F.flatten(
+        F.transform(
+            items_col,
+            lambda x, i: F.transform(
+                F.slice(items_col, i + F.lit(2), n),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+
+
+def group_item_sets(
+    items: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """One row per group: (_g, _items sorted distinct array,
+    _has_null 0/1). The shared first stage of the co-occurrence ops —
+    ONE shuffle of the raw (group, item) pairs with map-side partial
+    collect_set, replacing the r11 shape's distinct + per-group count
+    + filter join + per-group self-join (4 exchanges and two reads of
+    the deduped table; r12 profile: the edge build was ~45% of both
+    graph keys' wall time — guide §2.3/§2.4, aggregate before you
+    shuffle / remove shuffles outright).
+
+    ``_has_null`` preserves the old distinct-row cap semantics: a NULL
+    item never forms an edge (NULL fails src < dst), but it DID count
+    one distinct row toward the group-size cap, so callers add it back
+    when applying a cap."""
+    return (
+        items.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
+        .groupBy("_g")
+        .agg(
+            F.sort_array(F.collect_set("_i")).alias("_items"),
+            F.max(F.col("_i").isNull().cast("int")).alias("_has_null"),
+        )
+    )
+
+
 def co_occurrence_edges(
     items: DataFrame,
     group_col: str,
@@ -48,35 +94,37 @@ def co_occurrence_edges(
     are connected iff they appear in the same group (same order, same
     basket, same document).
 
-    The self-join is per-group — a group with g items emits C(g, 2)
-    pairs, so *max_group_size* bounds pathological groups with a
-    count-filter BEFORE the self-join (a 10k-item basket would emit
+    Pair generation is per-group — a group with g items emits C(g, 2)
+    pairs, so *max_group_size* bounds pathological groups with a size
+    filter BEFORE the pair expansion (a 10k-item basket would emit
     50M pairs), the same way the LSH buckets cap degenerate bands.
     Dropped groups are degenerate for co-occurrence semantics anyway
     (an "everything bought with everything" basket carries no signal,
     exactly like an empty-shingle LSH bucket); the registry graph keys
     cap at 1000 — far above any real basket, so results only change
     where the quadratic blowup would have happened. ``None`` keeps the
-    uncapped behavior for callers that pre-bound their groups."""
-    li = items.select(group_col, item_col).distinct()
+    uncapped behavior for callers that pre-bound their groups (an
+    unbounded group then builds an unbounded in-task array — the same
+    caller obligation the uncapped self-join shape had, which emitted
+    C(g, 2) rows instead).
+
+    r12 shape (guide §2.3/§2.4): collect the group's distinct items
+    into a sorted array (one exchange, map-side partial collect_set),
+    expand pairs with `sorted_pair_structs` (map-only Catalyst HOFs),
+    then one final distinct on (src, dst). Two exchanges total where
+    the r11 join shape had four plus two aggregate reads; the group
+    cap becomes a free `size(_items)` filter instead of a count
+    aggregate joined back. Sorted arrays make the expansion emit
+    src < dst directly — the filter that used to throw away half the
+    self-join's output no longer generates that half at all."""
+    grouped = group_item_sets(items, group_col, item_col)
     if max_group_size is not None:
-        ok = (
-            li.groupBy(group_col)
-            .count()
-            .filter(F.col("count") <= max_group_size)
-            .drop("count")
+        grouped = grouped.filter(
+            (F.size("_items") + F.col("_has_null")) <= max_group_size
         )
-        li = li.join(ok, group_col)
-    a = li.select(
-        F.col(group_col).alias("_g"), F.col(item_col).alias("src")
-    )
-    b = li.select(
-        F.col(group_col).alias("_g"), F.col(item_col).alias("dst")
-    )
     return (
-        a.join(b, "_g")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        grouped.select(F.explode(sorted_pair_structs("_items")).alias("_p"))
+        .select("_p.src", "_p.dst")
         .distinct()
     )
 
@@ -90,22 +138,25 @@ def triangle_counts(
     """Top-k vertices by triangle participation over an undirected
     edge list (src < dst, distinct).
 
-    Orients each edge low→high by (degree, id), joins oriented wedges
-    (u→v, v→x) against oriented edges (u→x) so every triangle is
-    produced exactly once, then explodes the triple to per-vertex
-    counts. Per-vertex participation is orientation-invariant, so a
-    plain a<b<c three-way self-join reproduces it exactly (the oracle's
-    formulation). Ties at the top-k boundary break by vertex id — the
-    returned row SET is deterministic.
+    Orients each edge low→high by (degree, id) so every triangle is
+    produced exactly once, then closes wedges and explodes the triple
+    to per-vertex counts. Per-vertex participation is orientation-
+    invariant, so a plain a<b<c three-way self-join reproduces it
+    exactly (the oracle's formulation). Ties at the top-k boundary
+    break by vertex id — the returned row SET is deterministic.
 
-    ``broadcast_edges=True`` hints both wedge-join probes as broadcast
-    hash joins: the wedge stream — O(Σ outdeg²) rows, 34× the edge
-    count on the sf0.1 co-purchase graph — then flows map-side straight
-    into the partial aggregate and is NEVER sorted or shuffled; only
-    (vertex, partial count) pairs hit the exchange. With sort-merge
-    joins instead, sorting the wedge stream dominates the whole query.
-    The hint requires the ORIENTED EDGE LIST (not the wedges) to fit in
-    executor memory; ``False`` falls back to shuffled joins.
+    ``broadcast_edges=True`` (r12 shape) closes wedges by ADJACENCY
+    INTERSECTION: one broadcast of the per-vertex oriented neighbor
+    lists and one `array_intersect` per edge — O(d_u + d_w) ≤ O(√m)
+    work per edge with no wedge-stream materialization at all; only
+    (vertex, partial count) pairs hit the exchange. This halves the
+    sf0.1 wedge phase vs the previous broadcast wedge-join (which
+    generated the O(Σ outdeg²) stream — 34× the edge count here —
+    through two hash probes). Requires the per-vertex neighbor-list
+    map (O(m) total cells, same order as the oriented edge list) to
+    fit in executor memory; ``False`` falls back to shuffled wedge
+    joins, where intersection would be strictly worse (see the
+    in-code note).
 
     ``None`` (the default) AUTO-selects at the measured crossover:
     broadcast while the oriented list holds ≤ *broadcast_max_edges*
@@ -151,26 +202,86 @@ def triangle_counts(
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("w"),
     ).localCheckpoint(eager=True, storageLevel=_EDGE_PIN)
-    o1 = oriented.select(F.col("u").alias("a"), F.col("w").alias("b"))
-    o2 = oriented.select(F.col("u").alias("b"), F.col("w").alias("c"))
-    o3 = oriented.select(F.col("u").alias("a"), F.col("w").alias("c"))
     if broadcast_edges is None:
         broadcast_edges = oriented.count() <= broadcast_max_edges
     if broadcast_edges:
-        o2, o3 = F.broadcast(o2), F.broadcast(o3)
-    else:
-        # shuffled fallback: hint HASH joins with the edge lists as
-        # build sides. A sort-merge plan would SORT the wedge stream —
-        # O(m^1.5) rows, ~4B at the 100x tile — before the second join,
-        # and the aggregate after it needs no order; hash probing keeps
-        # the stream a stream. The build sides stay O(m/partitions)
-        # (~8 MB/partition at 119.6M edges / 256 partitions), and the
-        # orientation bound caps any one key's wedge fan-out at
-        # O(sqrt(m)), so per-partition hash tables stay flat. Measured
-        # round 11: the SMJ fallback's wedge sort spilled >79 GiB at
-        # the 100x tile (disk-full abort); the hash plan's only big
-        # disk cost is the wedge shuffle write itself.
-        o2, o3 = o2.hint("SHUFFLE_HASH"), o3.hint("SHUFFLE_HASH")
+        # adjacency-intersection wedge closure (r12): build the oriented
+        # out-neighbor list per vertex (one narrow shuffle), recover each
+        # edge (u, w) WITH u's list attached by re-exploding the list —
+        # no join needed on the u side — broadcast-attach w's list, and
+        # close wedges with one `array_intersect` per edge instead of
+        # materializing the O(Σ outdeg²) wedge stream through two hash
+        # probes. Work per edge is O(d_u + d_w) ≤ O(√m) by the
+        # orientation bound — the same O(m^1.5) worst case as the wedge
+        # join with a much smaller constant (measured 6.4 s → 3.2 s on
+        # the sf0.1 co-purchase graph, rows identical). A triangle
+        # u→w, u→x, w→x is found exactly once, at edge (u, w): x is a
+        # common OUT-neighbor only there (w→x kills the other two
+        # candidacies). Per-vertex counts: u and w each participate in
+        # |intersection| triangles of this edge, every x in once; the
+        # three contribution branches re-run the cheap intersect rather
+        # than pinning an array-typed intermediate (measured faster than
+        # a one-pass struct-array explode, 3.2 s vs 6.9 s — per-row
+        # struct allocation dominates that shape).
+        # Broadcast memory: ONE map of n neighbor lists, O(m) total
+        # cells — same order as each of the two edge-list maps the wedge
+        # join broadcast, so the existing edge-count crossover applies
+        # unchanged.
+        adj = oriented.groupBy("u").agg(F.collect_list("w").alias("_nbrs"))
+        e2 = adj.select(
+            "u", F.explode("_nbrs").alias("w"), F.col("_nbrs").alias("_nu")
+        ).join(
+            F.broadcast(
+                adj.select(
+                    F.col("u").alias("w"), F.col("_nbrs").alias("_nw")
+                )
+            ),
+            "w",
+        )
+        tri_e = e2.select(
+            "u", "w", F.array_intersect("_nu", "_nw").alias("_x")
+        ).filter(F.size("_x") > 0)
+        csize = F.size("_x").cast("long")
+        contribs = (
+            tri_e.select(F.col("u").alias("vertex"), csize.alias("c"))
+            .unionAll(
+                tri_e.select(F.col("w").alias("vertex"), csize.alias("c"))
+            )
+            .unionAll(
+                tri_e.select(
+                    F.explode("_x").alias("vertex"),
+                    F.lit(1).cast("long").alias("c"),
+                )
+            )
+        )
+        return (
+            contribs.groupBy("vertex")
+            .agg(F.sum("c").cast("bigint").alias("n_triangles"))
+            .orderBy(F.desc("n_triangles"), F.asc("vertex"))
+            .limit(k)
+        )
+    # shuffled fallback (beyond the broadcast crossover): wedge joins
+    # with HASH-hinted build sides. A sort-merge plan would SORT the
+    # wedge stream — O(m^1.5) rows, ~4B at the 100x tile — before the
+    # second join, and the aggregate after it needs no order; hash
+    # probing keeps the stream a stream. The build sides stay
+    # O(m/partitions) (~8 MB/partition at 119.6M edges / 256
+    # partitions), and the orientation bound caps any one key's wedge
+    # fan-out at O(sqrt(m)), so per-partition hash tables stay flat.
+    # Measured round 11: the SMJ fallback's wedge sort spilled >79 GiB
+    # at the 100x tile (disk-full abort); the hash plan's only big
+    # disk cost is the wedge shuffle write itself. (The adjacency-
+    # intersection shape above is broadcast-only: a SHUFFLED attach of
+    # the w-side neighbor lists would move O(Σ outdeg²) array bytes —
+    # the wedge volume — through the exchange, strictly worse than
+    # shuffling the wedge rows themselves.)
+    o1 = oriented.select(F.col("u").alias("a"), F.col("w").alias("b"))
+    o2 = oriented.select(F.col("u").alias("b"), F.col("w").alias("c")).hint(
+        "SHUFFLE_HASH"
+    )
+    o3 = oriented.select(F.col("u").alias("a"), F.col("w").alias("c")).hint(
+        "SHUFFLE_HASH"
+    )
     tri = o1.join(o2, "b").join(o3, ["a", "c"])
     return (
         tri.select(
@@ -210,48 +321,59 @@ def pagerank(
 
     ``broadcast_ranks=None`` (the default) AUTO-selects the join
     strategy at a vertex-count crossover, mirroring
-    `triangle_counts`' edge crossover: broadcast the rank table while
-    the graph holds ≤ *broadcast_max_vertices* vertices, shuffled
-    joins beyond. The probe is free — ``n`` is already computed for
-    the teleport term. The threshold reuses the triangle calibration
-    (a ~20M-row broadcast hashmap is safe on an 8 GiB heap; 120M rows
-    OOM it), and a rank row (id, double) is no wider than an oriented
-    edge; pagerank builds ONE such hashmap per iteration instead of
-    two per query, so 20M is conservative.
+    `triangle_counts`' edge crossover: broadcast the vertex-sized
+    tables (degrees, then per-vertex contributions) while the graph
+    holds ≤ *broadcast_max_vertices* vertices, shuffled joins beyond.
+    The probe is free — ``n`` is already computed for the teleport
+    term. The threshold reuses the triangle calibration (a ~20M-row
+    broadcast hashmap is safe on an 8 GiB heap; 120M rows OOM it), and
+    a rank/contribution row (id, double) is no wider than an oriented
+    edge — the two per-iteration hashmaps together match the wedge
+    join's old footprint, so 20M stays conservative.
 
     Returns (vertex, rank) — k rows, rank floored at 1e-9, top-k ties
     broken by vertex id.
     """
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # r12 shape (guide §2.3/§2.4): pin the NARROW (src, dst) edge list
+    # once and keep degrees in a separate vertex-sized pinned table
+    # instead of annotating _deg onto every symmetrized edge row. That
+    # removes the m-row sym⋈deg join + the 24 B/row wide pin the old
+    # shape materialized (the edge state shrinks a third — at the 100x
+    # tile that is ~2 GB of executor storage), and the rank/deg
+    # division moves from m edge rows to n vertex rows per iteration.
+    # `sym` stays a lazy two-pass view over the pin (same bytes read
+    # per iteration as one pass over the wide pin). The degree table
+    # doubles as the vertex set: n, the empty-graph guard, and the
+    # rank init all come off it — the old shape's extra
+    # distinct+count job over the edge pin is gone.
+    e0 = edges.select("src", "dst").localCheckpoint(
+        eager=True, storageLevel=_EDGE_PIN
     )
-    # degree-annotated out-edges are reused every iteration: pin once
-    deg = sym.groupBy("src").agg(F.count("*").alias("_deg"))
-    out = (
-        sym.join(deg, "src")
-        .select("src", "dst", "_deg")
-        .localCheckpoint(eager=True, storageLevel=_EDGE_PIN)
+    sym = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    n = out.select("src").distinct().count()
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("_deg"))
+        .select(F.col("src").alias("v"), "_deg")
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
     if n == 0:
         # empty graph (no edges, or every edge collapsed under the
         # src<dst/distinct normalization): no vertices to rank — return
         # the declared (vertex, rank) schema empty instead of dividing
         # the teleport term by zero (r10 degenerate-input sweep)
-        return out.select(
+        return e0.select(
             F.col("src").alias("vertex"), F.lit(0.0).alias("rank")
         ).limit(0)
     if broadcast_ranks is None:
         broadcast_ranks = n <= broadcast_max_vertices
-    ranks = (
-        out.select("src")
-        .distinct()
-        .select(F.col("src").alias("v"), F.lit(1.0 / n).alias("rank"))
-    )
+    ranks = deg.select("v", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for _ in range(iterations):
         ranks = _pagerank_iteration(
-            out, ranks, base, damping, broadcast_ranks
+            sym, ranks, deg, base, damping, broadcast_ranks
         ).localCheckpoint(eager=True)
     return (
         ranks.select(F.col("v").alias("vertex"), "rank")
@@ -261,8 +383,9 @@ def pagerank(
 
 
 def _pagerank_iteration(
-    out: DataFrame,
+    sym: DataFrame,
     ranks: DataFrame,
+    deg: DataFrame,
     base: float,
     damping: float,
     broadcast_ranks: bool,
@@ -271,21 +394,25 @@ def _pagerank_iteration(
     lineage; plan-health tests inspect this frame — the per-iteration
     checkpoints make the joins invisible in pagerank's final plan).
 
-    The rank table is |V| rows of (id, double) — ~16 bytes/vertex,
-    broadcastable into the 10^8-vertex range. Broadcasting it makes
-    the iteration a map-side join over the pinned edge list + one
-    (vertex, partial-sum) exchange; the checkpointed leaf carries no
-    partitioning metadata, so a shuffled join would re-exchange BOTH
-    sides every round. Past the vertex crossover the caller flips
-    *broadcast_ranks* off and the join degrades to a shuffled
-    equi-join."""
-    r = F.broadcast(ranks) if broadcast_ranks else ranks
+    The per-vertex contribution c = rank/deg is computed FIRST on the
+    two vertex-sized tables (n divisions instead of one per edge row —
+    identical IEEE doubles, just not recomputed per out-edge), then
+    joined to the pinned edge view. Both tables are |V| rows of ~16
+    bytes — broadcastable into the 10^8-vertex range. Broadcasting
+    makes the iteration two map-side joins + one (vertex, partial-sum)
+    exchange; the checkpointed leaves carry no partitioning metadata,
+    so shuffled joins would re-exchange everything every round. Past
+    the vertex crossover the caller flips *broadcast_ranks* off and
+    both joins degrade to shuffled equi-joins."""
+    d = F.broadcast(deg) if broadcast_ranks else deg
+    c = ranks.join(d, "v").select(
+        "v", (F.col("rank") / F.col("_deg")).alias("_c")
+    )
+    if broadcast_ranks:
+        c = F.broadcast(c)
     contrib = (
-        out.join(r, out.src == r.v)
-        .select(
-            F.col("dst").alias("v"),
-            (F.col("rank") / F.col("_deg")).alias("_c"),
-        )
+        sym.join(c, sym.src == c.v)
+        .select(F.col("dst").alias("v"), "_c")
         .groupBy("v")
         .agg(F.sum("_c").alias("_in"))
     )

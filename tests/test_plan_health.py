@@ -274,16 +274,21 @@ def test_triangle_count_wedge_joins_stay_broadcast(spark, sf_oracle):
 
 
 def _pagerank_iteration_frames(spark):
-    """A production-shaped iteration input: both sides are RDD leaves
-    (localCheckpoint), exactly what the loop feeds the iteration."""
-    out = spark.createDataFrame(
-        [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1)],
-        "src long, dst long, _deg long",
+    """A production-shaped iteration input: all sides are RDD leaves
+    (localCheckpoint), exactly what the loop feeds the iteration —
+    the narrow symmetrized edge view, the rank table, and the
+    vertex-sized degree table (r12 shape)."""
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)],
+        "src long, dst long",
     ).localCheckpoint(eager=True)
     ranks = spark.createDataFrame(
         [(1, 0.4), (2, 0.3), (3, 0.3)], "v long, rank double"
     ).localCheckpoint(eager=True)
-    return out, ranks
+    deg = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 1)], "v long, _deg long"
+    ).localCheckpoint(eager=True)
+    return sym, ranks, deg
 
 
 def test_pagerank_iterations_broadcast_the_rank_table(spark, sf_oracle):
@@ -295,9 +300,12 @@ def test_pagerank_iterations_broadcast_the_rank_table(spark, sf_oracle):
     assertion passes vacuously."""
     from etl_acordos_spark.operators.graph import _pagerank_iteration
 
-    out, ranks = _pagerank_iteration_frames(spark)
-    plan = plan_of(_pagerank_iteration(out, ranks, 0.05, 0.85, True))
-    assert "BroadcastHashJoin" in plan, plan
+    sym, ranks, deg = _pagerank_iteration_frames(spark)
+    plan = plan_of(_pagerank_iteration(sym, ranks, deg, 0.05, 0.85, True))
+    # r12 shape: deg joins the rank table AND the per-vertex
+    # contribution table joins the edge view — both must broadcast
+    # (formatted explain names each node twice: tree + details)
+    assert plan.count("BroadcastHashJoin") == 4, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
@@ -407,8 +415,8 @@ def test_pagerank_fallback_plan_and_rows(spark, sf_oracle):
         pagerank,
     )
 
-    out, ranks = _pagerank_iteration_frames(spark)
-    plan = plan_of(_pagerank_iteration(out, ranks, 0.05, 0.85, False))
+    sym, ranks, deg = _pagerank_iteration_frames(spark)
+    plan = plan_of(_pagerank_iteration(sym, ranks, deg, 0.05, 0.85, False))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
@@ -435,9 +443,9 @@ def test_pagerank_auto_demotes_past_vertex_crossover(
     seen = []
     orig = graph._pagerank_iteration
 
-    def spy(out, ranks, base, damping, broadcast_ranks):
+    def spy(sym, ranks, deg, base, damping, broadcast_ranks):
         seen.append(broadcast_ranks)
-        return orig(out, ranks, base, damping, broadcast_ranks)
+        return orig(sym, ranks, deg, base, damping, broadcast_ranks)
 
     monkeypatch.setattr(graph, "_pagerank_iteration", spy)
     edges = _graph_edges(spark, sf_oracle)
