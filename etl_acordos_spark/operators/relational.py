@@ -1687,33 +1687,51 @@ def association_rules(
     Returns top-k rules by (lift desc, a, b): (item_a, item_b, n_ab,
     support, confidence, lift), all ratios grid-floored at 1e-6.
 
-    The per-basket self-join emits directed pairs (a ≠ b) — C(g,2)·2
-    per basket of g items, so cap pathological baskets upstream like
+    Pair generation is per-basket — C(g,2)·2 directed pairs per basket
+    of g items, so cap pathological baskets upstream like
     co_occurrence_edges. Item and basket totals are hash aggregates;
     the basket count joins as a 1-row broadcast; item counts join back
     keyed on the item (dim-sized → AQE broadcast). ``min_pair`` prunes
     the rule table before the expensive per-rule math.
+
+    r12 shape (guide §2.3/§2.4, the co_occurrence_edges rewrite):
+    baskets collapse to sorted distinct-item arrays in ONE exchange
+    (map-side partial collect_set), pairs expand map-only via
+    `sorted_pair_structs`, and only the UNORDERED pair flows through
+    the count exchange — the directed mirror is stamped on after the
+    min_pair filter (n_ab is symmetric), halving the pair volume the
+    old distinct + two-sided self-join shuffled. Item counts explode
+    off the same arrays (a NULL item kept its own count row in the old
+    shape but can never join a pair, so dropping it is invisible);
+    the basket total is one count over the grouped table.
     """
-    li = items.select(group_col, item_col).distinct()
-    a = li.select(
-        F.col(group_col).alias("_g"), F.col(item_col).alias("item_a")
+    from etl_acordos_spark.operators.graph import (
+        group_item_sets,
+        sorted_pair_structs,
     )
-    b = li.select(
-        F.col(group_col).alias("_g"), F.col(item_col).alias("item_b")
-    )
-    pair_counts = (
-        a.join(b, "_g")
-        .filter(F.col("item_a") != F.col("item_b"))
-        .groupBy("item_a", "item_b")
+
+    grouped = group_item_sets(items, group_col, item_col)
+    und = (
+        grouped.select(F.explode(sorted_pair_structs("_items")).alias("_p"))
+        .groupBy(
+            F.col("_p.src").alias("item_a"), F.col("_p.dst").alias("item_b")
+        )
         .agg(F.count("*").cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair)
     )
-    item_counts = li.groupBy(item_col).agg(
-        F.count("*").cast("bigint").alias("_c")
+    pair_counts = und.unionByName(
+        und.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_ab",
+        )
     )
-    n_baskets = li.select(group_col).distinct().agg(
-        F.count("*").cast("bigint").alias("_n")
+    item_counts = (
+        grouped.select(F.explode("_items").alias(item_col))
+        .groupBy(item_col)
+        .agg(F.count("*").cast("bigint").alias("_c"))
     )
+    n_baskets = grouped.agg(F.count("*").cast("bigint").alias("_n"))
     grid = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     # ANSI-safe by construction (even at min_pair=0): a rule row exists
     # only for a pair seen in >= 1 basket, so n_ab >= 1; the inner
