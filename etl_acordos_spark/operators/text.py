@@ -1500,8 +1500,13 @@ def bpe_apply(
         return len(syms)
 
     def run(batches):
+        # ONE cache per task, not per Arrow batch (guide §4.5: amortize
+        # heavyweight per-row work across every batch in the partition)
+        # — each unique word is now encoded once per TASK, so a
+        # many-batch partition of Zipf-distributed text re-encodes
+        # nothing across batch boundaries
+        cache: dict = {}
         for pdf in batches:
-            cache: dict = {}
             n_words = np.zeros(len(pdf), dtype=np.int64)
             n_tok = np.zeros(len(pdf), dtype=np.int64)
             n_chars = np.zeros(len(pdf), dtype=np.int64)
