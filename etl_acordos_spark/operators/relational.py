@@ -1719,13 +1719,23 @@ def association_rules(
         .agg(F.count("*").cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair)
     )
-    pair_counts = und.unionByName(
-        und.select(
-            F.col("item_b").alias("item_a"),
-            F.col("item_a").alias("item_b"),
-            "n_ab",
-        )
-    )
+    # both directions in ONE Generate off the filtered unordered table
+    # (a union with a column-swapped self would inline the whole
+    # count-aggregate subtree twice in the plan)
+    pair_counts = und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a"), F.col("item_b"), F.col("n_ab")
+                ),
+                F.struct(
+                    F.col("item_b").alias("item_a"),
+                    F.col("item_a").alias("item_b"),
+                    F.col("n_ab"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.item_a", "_r.item_b", "_r.n_ab")
     item_counts = (
         grouped.select(F.explode("_items").alias(item_col))
         .groupBy(item_col)
