@@ -345,6 +345,48 @@ def _graph_edges(spark, sf_oracle):
     )
 
 
+def test_co_occurrence_edge_build_is_join_free(spark, sf_oracle):
+    """r12 shape pin: the edge build is one collect_set aggregate +
+    map-only HOF pair expansion + one distinct — NO join anywhere (the
+    r11 shape's group-cap filter join and per-group self-join are what
+    the rewrite removed; a regression would re-quadruple the exchange
+    count and re-read the deduped table). Exactly two exchanges: the
+    group aggregate and the final (src, dst) distinct."""
+    from etl_acordos_spark.operators.graph import co_occurrence_edges
+    from etl_acordos_spark.queries.base import t
+
+    plan = plan_of(
+        co_occurrence_edges(
+            t(spark, sf_oracle, "lineitem"), "l_orderkey", "l_partkey",
+            max_group_size=1000,
+        )
+    )
+    assert "Join" not in plan, plan
+    # formatted explain names each node twice (tree + details)
+    assert plan.count("Exchange") == 4, plan
+    assert "array_sort" in plan or "sort_array" in plan, plan
+
+
+def test_triangle_broadcast_branch_is_adjacency_intersection(
+    spark, sf_oracle
+):
+    """r12 shape pin for the broadcast branch: wedges close via ONE
+    broadcast of the per-vertex neighbor lists and an array_intersect
+    per edge — never the materialized wedge stream (two broadcast edge
+    maps), never a sorted or shuffled wedge join."""
+    from etl_acordos_spark.operators.graph import triangle_counts
+
+    plan = plan_of(
+        triangle_counts(_graph_edges(spark, sf_oracle), k=20,
+                        broadcast_edges=True)
+    )
+    assert "array_intersect" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_graph_edge_pins_are_serialized_and_spillable():
     """The O(edges) localCheckpoint pins must store SERIALIZED with
     disk spill: the deserialized JVM default retains ~60-70 B/row of
