@@ -63,6 +63,41 @@ def test_contract_line_fits_capture_budget():
     assert parsed["value"] == round(sum(timings.values()), 4)
 
 
+def test_pinned_core_always_shown():
+    """VERDICT r12 item 2: the full rotation printed disjoint subsets in
+    consecutive rounds (n_common=0) and in the 32c/8c pair (empty
+    scaling.per_query). The PINNED heavy-key core must survive the byte
+    cap even at worst-case float widths, must lead the printed subset,
+    and must consist of keys every bench run times (HEADLINE members),
+    so that any two runs share at least the core."""
+    assert len(bench.PINNED) == len(set(bench.PINNED))
+    assert set(bench.PINNED) <= set(bench.HEADLINE), (
+        sorted(set(bench.PINNED) - set(bench.HEADLINE))
+    )
+    timings = {k: 123.4567 for k in bench.HEADLINE}
+    # worst case also includes the env/anchor extras the real run adds
+    extra = {
+        "env": {
+            "load": [88.88, 88.88, 88.88],
+            "up_h": 8888.88,
+            "load0": [88.88, 88.88, 88.88],
+        },
+        "anc": {
+            "geo": 8.888,
+            "n": 888,
+            "hot_n": 88,
+            "hot": {k: 88.88 for k in bench.PINNED[:8]},
+        },
+    }
+    payload = bench.build_contract_line(timings, 0.1, extra=extra)
+    assert len(payload) <= bench.LINE_BYTE_BUDGET
+    parsed = json.loads(payload)
+    shown = list(parsed["queries"])
+    assert shown[: len(bench.PINNED)] == bench.PINNED
+    missing = [k for k in bench.PINNED if k not in parsed["queries"]]
+    assert missing == [], f"pinned keys dropped by the byte cap: {missing}"
+
+
 def test_every_registry_key_timed_or_named_excluded():
     """VERDICT r6 item 3: no silent bench gaps. HEADLINE, the
     auto-computed auxiliary tier, and the named EXCLUDED reasons must

@@ -32,6 +32,10 @@ from etl_acordos_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 
+# r13: this file is the dedup stress tier — excluded from the default run
+# (pytest.ini addopts); run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
+
 MEGA = 10_000  # ids 0..9999: near-dup cluster (one word mutated each)
 TAIL = 1_460  # ids 20000..: distinct docs
 PAIRS = 20  # ids 30000..: engineered near-dup pairs (even, even+1)

@@ -206,6 +206,7 @@ def test_zscore_constant_group_is_dropped_not_crashed(spark):
     )
 )
 @_settings
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_jaccard_and_containment_survive_short_docs(spark, texts):
     """Shingle builders emit the whole text as one shingle for short
     docs, so set sizes are >= 1 and the ratio denominators are
@@ -225,6 +226,7 @@ def test_jaccard_and_containment_survive_short_docs(spark, texts):
         assert r["containment"] is None or r["containment"] >= 0.0
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_jaccard_null_text_propagates_null_and_drops(spark):
     df = spark.createDataFrame(
         [(1, None), (2, "a b c")], "doc_id bigint, text string"
@@ -236,6 +238,7 @@ def test_jaccard_null_text_propagates_null_and_drops(spark):
 
 # --------------------------------------------------- vector ratios
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_cosine_zero_vector_scores_null_and_sorts_last(spark):
     """A zero embedding has no direction: cosine is NULL (try_divide),
     the row sorts after every real score, and threshold filters drop

@@ -413,6 +413,7 @@ def test_salted_join_equals_plain_join(spark, sf_smoke):
     }
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_hashed_shingles_match_string_shingles(spark):
     """hashed_word_shingles must mirror word_shingles' set semantics:
     same cardinality per doc (collisions aside) and the same Jaccard
@@ -1191,6 +1192,7 @@ def test_rrf_fuse_known_fusion(spark):
     assert by_id[3]["lex_rank"] == 3.0 and by_id[3]["vec_rank"] is None
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_dup_cluster_stats_histogram(spark):
     """Planted clusters of size 3 and 2 plus two singletons: the
     histogram reports exactly those two cluster sizes, and singleton
@@ -1390,6 +1392,7 @@ def test_bpe_train_matches_reference(spark):
         bpe_train(docs, "text", "doc_id", n_merges=0)
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_containment_catches_subset_dup_jaccard_misses(spark):
     """A short paragraph quoted whole inside a much longer page:
     containment(A→B) = 1.0 while Jaccard is far below any dedup

@@ -27,6 +27,16 @@ def plan_of(df) -> str:
     return explain_str(df, mode="formatted")
 
 
+def plan_tree(plan: str) -> str:
+    """The operator-tree section of a formatted explain (everything
+    before the first blank line). Node-count pins must count HERE:
+    the details section repeats every node name, so counting the raw
+    string double-counts — and how many times the details name a node
+    shifts across Spark versions independent of the tree shape
+    (r12 ADVICE)."""
+    return plan.split("\n\n", 1)[0]
+
+
 def scan_schema(plan: str, table_file: str) -> str:
     """ReadSchema of the formatted-explain scan section for one file."""
     section = next(
@@ -303,9 +313,11 @@ def test_pagerank_iterations_broadcast_the_rank_table(spark, sf_oracle):
     sym, ranks, deg = _pagerank_iteration_frames(spark)
     plan = plan_of(_pagerank_iteration(sym, ranks, deg, 0.05, 0.85, True))
     # r12 shape: deg joins the rank table AND the per-vertex
-    # contribution table joins the edge view — both must broadcast
-    # (formatted explain names each node twice: tree + details)
-    assert plan.count("BroadcastHashJoin") == 4, plan
+    # contribution table joins the edge view — both must broadcast,
+    # and nothing else may join at all (counted in the tree section
+    # only: the details section's repeat count shifts across Spark
+    # versions — r12 ADVICE)
+    assert plan_tree(plan).count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
@@ -362,8 +374,10 @@ def test_co_occurrence_edge_build_is_join_free(spark, sf_oracle):
         )
     )
     assert "Join" not in plan, plan
-    # formatted explain names each node twice (tree + details)
-    assert plan.count("Exchange") == 4, plan
+    # two shuffles and not one more — counted in the tree section only
+    # (the details section's repeat count is a Spark-version artifact,
+    # r12 ADVICE)
+    assert plan_tree(plan).count("Exchange") == 2, plan
     assert "array_sort" in plan or "sort_array" in plan, plan
 
 

@@ -10,6 +10,8 @@ Spark evaluates in one pass.
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 
@@ -21,6 +23,10 @@ from etl_acordos_spark.functions.cleaning import (
     sentinel_to_default,
     trim_ws,
 )
+
+# r13: this file is the property/hypothesis tier — excluded from the default run
+# (pytest.ini addopts); run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
 
 # evaluate many examples in ONE spark pass: collect strategies' examples
 # into lists via hypothesis, then run a single job per test invocation

@@ -5,6 +5,8 @@ across real microbatches.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 
@@ -17,6 +19,11 @@ from etl_acordos_spark.operators.multimodal import (
 )
 from etl_acordos_spark.queries.base import read_events, scratch_dir, t
 from etl_acordos_spark.sources.parquet_io import write_parquet_layer
+
+# r13: this file is the scale-path tier — excluded from the default run
+# (pytest.ini addopts); run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
+
 
 
 def test_partitioned_layer_write_prunes(spark, sf_smoke):

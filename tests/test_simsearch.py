@@ -4,7 +4,10 @@ bitext_margin_pairs`)."""
 
 from __future__ import annotations
 
+import pytest
 
+
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_bitext_margin_demotes_hub_promotes_isolated_pair(spark):
     """The margin criterion's whole point: a HUB vector (close to
     everything on the other side) gets margins ~1 because its kNN mean
@@ -104,6 +107,7 @@ def _hub_heavy_corpus(
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_ann_recall_floors_on_clustered_hub_corpus(spark):
     """Recall@10 floors for the ANN family on the adversarial fixture
     (VERDICT r7 item 4). The 20x-scale suite uses a jittered-tile corpus

@@ -23,6 +23,11 @@ from pyspark.sql.utils import StreamingQueryException
 
 from etl_acordos_spark.queries.base import t
 
+# r13: this file is the streaming fault-injection tier — excluded from the default run
+# (pytest.ini addopts); run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
+
+
 
 CRASH_BATCH = 1
 

@@ -5,6 +5,8 @@ checked against the equivalent batch aggregate and for rerun stability.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_acordos_spark.queries.base import read_events
@@ -101,6 +103,7 @@ def test_watermark_in_plan(spark, sf_smoke):
 # ------------------------------------------- streaming dedup-index runs
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_dedup_index_equals_sequential_fold(spark, sf_smoke):
     """The settled kept-set must equal folding incremental_minhash_dedup
     over the delivered batches in order — the correctness contract for
@@ -152,6 +155,7 @@ def test_stream_dedup_index_equals_sequential_fold(spark, sf_smoke):
     assert got == sorted(want)
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_dedup_index_drops_cross_batch_dups(spark):
     """A later batch's near-copy of an already-kept doc must be dropped
     by the index probe; a same-batch exact copy must be dropped by the
@@ -196,6 +200,7 @@ def test_stream_dedup_index_drops_cross_batch_dups(spark):
     assert a == kept(tempfile.mkdtemp(prefix="sdi_syn_"))
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_dedup_index_count_compaction(spark, monkeypatch):
     """compact_count_deltas folds all but the newest delta (the one a
     replayed batch may overwrite) into one snapshot without changing
@@ -256,6 +261,7 @@ def test_stream_dedup_index_count_compaction(spark, monkeypatch):
     assert M.compact_count_deltas(spark, run_ns) == 0
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_ann_index_matches_batch_ivf(spark, sf_smoke):
     """The streamed cell-partitioned store must answer the probe with
     EXACTLY the batch-mode ivf_topk result (same frozen quantizer, same
@@ -325,6 +331,7 @@ def test_stream_ann_index_float_family_matches_batch(spark, sf_smoke):
     assert got == want
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_ann_index_replay_is_idempotent(spark):
     """Re-delivering a batch (the at-least-once contract) must leave the
     store unchanged: dynamic partition overwrite rewrites exactly the
@@ -410,6 +417,7 @@ def test_write_id_range_batches_empty_input(spark):
     assert spark.read.parquet(src).count() == 0
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_dedup_index_freshness_horizon(spark):
     """probe_last_batches=1: a later batch's copy of a doc OUTSIDE the
     horizon is re-admitted; a copy of a doc inside it is still dropped."""
@@ -453,6 +461,7 @@ def test_stream_dedup_index_freshness_horizon(spark):
     assert run(probe_last_batches=1) == [1, 2, 3, 4, 6, 7, 9]
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_dedup_index_replay_is_idempotent(spark):
     """Re-delivering a batch (the at-least-once contract) must leave the
     kept/index/count stores unchanged: the replay probes only stores
@@ -528,6 +537,7 @@ def test_stream_dedup_index_replay_is_idempotent(spark):
     assert counts_after == counts_before
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_dedup_horizon_rejects_compacted_snapshot(spark):
     """A freshness horizon over a compacted count store would silently
     cover the wrong time range — the probe must refuse instead."""
@@ -567,6 +577,7 @@ def test_stream_dedup_horizon_rejects_compacted_snapshot(spark):
     assert _load_store(spark, counts_dir, 4, 99).count() > 0
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_ann_quantizer_freeze_is_crash_safe(spark, monkeypatch):
     """A crash between the staged centroid write and the atomic rename
     must leave NO centroids directory (exists() is the freeze key), so
@@ -731,6 +742,7 @@ def test_id_range_batch_boundaries_match_rank_rule(spark, sf_smoke):
         assert list(cuts_of(df, "id")) == rank_rule(synth), len(synth)
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_dedup_index_null_text_docs_all_survive(spark, tmp_path):
     """The review-confirmed NULL seam: before the minhash_bands filter,
     two NULL-text docs collided in one degenerate '' bucket and
@@ -773,6 +785,7 @@ def test_stream_dedup_index_null_text_docs_all_survive(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # r13: >=15 s — slow tier
 def test_stream_dedup_index_compacts_mid_stream(spark):
     """VERDICT r11 item 6 (unit form; the 100x operational proof is
     tools/dedup_compact_100x.py): compact_count_deltas called WHILE the
