@@ -1390,7 +1390,14 @@ def prefix_filter_pairs(
     per-doc sort_array builds the rarity-ordered list map-side, and
     the candidate join buckets on the RAREST tokens per doc — exactly
     the tokens with the smallest buckets, which is what bounds
-    candidate volume on non-duplicate text. On duplicate-dense corpora
+    candidate volume on non-duplicate text. The bucket join applies
+    the PPJoin LENGTH filter (min(l) ≥ t·max(l)) and POSITIONAL filter
+    (overlap bound from the shared token's rank in both rarity orders
+    ≥ t/(1+t)·(l_a+l_b)) per candidate row before the distinct (r13):
+    both are upper-bound prunes — a qualifying pair always survives at
+    its first shared prefix token — so the verified output is
+    unchanged while non-viable candidates never reach the
+    set-intersection verify. On duplicate-dense corpora
     candidates approach the OUTPUT size (near-dup clusters share rare
     tokens), which is the floor for any exact join — the win over
     `jaccard_pairs` is never paying |docs|² across unrelated docs.
@@ -1447,21 +1454,65 @@ def prefix_filter_pairs(
     )
     alpha = F.ceil(F.lit(float(threshold)) * F.col("l") - F.lit(1e-9))
     prefix_len = (F.col("l") - alpha + 1).cast("int")
+    # PPJoin filters (r13, Xiao et al. WWW'08): carry each prefix
+    # token's 0-based POSITION in the rarity order plus the set size
+    # through the bucket join, and prune candidate rows that provably
+    # cannot reach the threshold before the distinct/verify stages.
+    # Completeness: a qualifying pair's FIRST shared token (in the
+    # global order) sits inside both prefixes (the existing prefix
+    # lemma), no shared token precedes it in either list, so at that
+    # row overlap ≤ min(l_a - pos_a, l_b - pos_b) is EXACT and the row
+    # survives both bounds: the length filter (J ≥ t ⟹
+    # min(l) ≥ t·max(l)) and the positional filter
+    # (J ≥ t ⟹ overlap ≥ t/(1+t)·(l_a+l_b)). Rows pruned at other
+    # shared tokens are harmless — the pair only needs one surviving
+    # row. The 1e-9 epsilons guard IEEE fuzz at integer boundaries and
+    # can only LOOSEN a bound (keep a candidate), never drop one.
     prefix = (
         ordered.withColumn("plen", prefix_len)
         .select(
             "doc",
-            F.explode(
+            "l",
+            F.posexplode(
                 F.expr("transform(slice(ord_s, 1, plen), p -> p.t)")
-            ).alias("pt"),
+            ).alias("pos", "pt"),
         )
     )
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("_la") + F.col("_lb"))
+        - F.lit(1e-9)
+    )
     cand = (
-        prefix.select(F.col("doc").alias("doc_a"), "pt")
+        prefix.select(
+            F.col("doc").alias("doc_a"),
+            F.col("l").alias("_la"),
+            F.col("pos").alias("_pa"),
+            "pt",
+        )
         .join(
-            prefix.select(F.col("doc").alias("doc_b"), "pt"), "pt"
+            prefix.select(
+                F.col("doc").alias("doc_b"),
+                F.col("l").alias("_lb"),
+                F.col("pos").alias("_pb"),
+                "pt",
+            ),
+            "pt",
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("_la", "_lb")
+            >= F.ceil(
+                F.lit(float(threshold)) * F.greatest("_la", "_lb")
+                - F.lit(1e-9)
+            )
+        )
+        .filter(
+            F.least(
+                F.col("_la") - F.col("_pa"), F.col("_lb") - F.col("_pb")
+            )
+            >= min_overlap
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

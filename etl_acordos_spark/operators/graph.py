@@ -59,7 +59,10 @@ def sorted_pair_structs(items_col) -> F.Column:
 
 
 def group_item_sets(
-    items: DataFrame, group_col: str, item_col: str
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    drop_null_groups: bool = True,
 ) -> DataFrame:
     """One row per group: (_g, _items sorted distinct array,
     _has_null 0/1). The shared first stage of the co-occurrence ops —
@@ -70,17 +73,26 @@ def group_item_sets(
     graph keys' wall time — guide §2.3/§2.4, aggregate before you
     shuffle / remove shuffles outright).
 
+    ``drop_null_groups`` (default True) filters NULL group keys BEFORE
+    the aggregate: groupBy keeps NULL as a group, but the r11 equi-join
+    shape never matched NULL keys and the SQL oracles (self-join on the
+    group key) agree — a NULL-keyed group must not form a pair clique
+    (r12 ADVICE). `association_rules` passes False because its oracle
+    DOES count NULL-basket rows in the per-item totals; it re-filters
+    the pair/basket paths itself, after the aggregate.
+
     ``_has_null`` preserves the old distinct-row cap semantics: a NULL
     item never forms an edge (NULL fails src < dst), but it DID count
     one distinct row toward the group-size cap, so callers add it back
     when applying a cap."""
-    return (
-        items.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
-        .groupBy("_g")
-        .agg(
-            F.sort_array(F.collect_set("_i")).alias("_items"),
-            F.max(F.col("_i").isNull().cast("int")).alias("_has_null"),
-        )
+    src = items.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    )
+    if drop_null_groups:
+        src = src.filter(F.col("_g").isNotNull())
+    return src.groupBy("_g").agg(
+        F.sort_array(F.collect_set("_i")).alias("_items"),
+        F.max(F.col("_i").isNull().cast("int")).alias("_has_null"),
     )
 
 
@@ -227,7 +239,17 @@ def triangle_counts(
         # cells — same order as each of the two edge-list maps the wedge
         # join broadcast, so the existing edge-count crossover applies
         # unchanged.
-        adj = oriented.groupBy("u").agg(F.collect_list("w").alias("_nbrs"))
+        # pinned (r13): adj is referenced twice — exploded as the probe
+        # side and broadcast — and exchange reuse only covers the
+        # shuffle, not the post-exchange collect_list aggregate, so the
+        # aggregate built TWICE per query (r12 ADVICE). One O(m)-cell
+        # serialized pin builds it once: interleaved A/B measured the
+        # wedge phase 3.27 → 2.94 s at sf0.1. Broadcast-branch-only
+        # state, bounded by the ≤20M-edge crossover like the broadcast
+        # map itself.
+        adj = oriented.groupBy("u").agg(
+            F.collect_list("w").alias("_nbrs")
+        ).localCheckpoint(eager=True, storageLevel=_EDGE_PIN)
         e2 = adj.select(
             "u", F.explode("_nbrs").alias("w"), F.col("_nbrs").alias("_nu")
         ).join(

@@ -1710,9 +1710,19 @@ def association_rules(
         sorted_pair_structs,
     )
 
-    grouped = group_item_sets(items, group_col, item_col)
+    # NULL-basket semantics replay the oracle SQL exactly (r12 ADVICE):
+    # the oracle's pair self-join and count(DISTINCT basket) both drop
+    # NULL basket keys, but its per-item counts (ic) group the distinct
+    # (basket, item) rows with NO basket filter — so the aggregate keeps
+    # NULL groups (item counts read it unfiltered) and only the
+    # pair/basket paths filter, post-aggregate (one boolean per basket
+    # row, no extra exchange).
+    grouped = group_item_sets(
+        items, group_col, item_col, drop_null_groups=False
+    )
+    baskets = grouped.filter(F.col("_g").isNotNull())
     und = (
-        grouped.select(F.explode(sorted_pair_structs("_items")).alias("_p"))
+        baskets.select(F.explode(sorted_pair_structs("_items")).alias("_p"))
         .groupBy(
             F.col("_p.src").alias("item_a"), F.col("_p.dst").alias("item_b")
         )
@@ -1741,7 +1751,7 @@ def association_rules(
         .groupBy(item_col)
         .agg(F.count("*").cast("bigint").alias("_c"))
     )
-    n_baskets = grouped.agg(F.count("*").cast("bigint").alias("_n"))
+    n_baskets = baskets.agg(F.count("*").cast("bigint").alias("_n"))
     grid = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     # ANSI-safe by construction (even at min_pair=0): a rule row exists
     # only for a pair seen in >= 1 basket, so n_ab >= 1; the inner

@@ -1341,6 +1341,7 @@ def bpe_train(
     id_col: str,
     n_merges: int = 10,
     min_freq: int = 2,
+    driver_vocab_max: int = 65536,
 ) -> DataFrame:
     """Learn byte-pair-encoding merge rules over the corpus — the
     tokenizer-training job of an LLM data pipeline (Sennrich et al.
@@ -1355,12 +1356,33 @@ def bpe_train(
     round runs over vocabulary rows, not corpus rows (at 100 TB the
     vocabulary is millions of rows while the corpus is trillions of
     tokens; this collapse is what makes distributed BPE feasible).
-    Each round is: HOF pair-explode → one (pair, freq) hash aggregate →
-    driver argmax of ONE row (freq desc, then lexicographic — fully
-    deterministic) → map-only HOF merge fold over the symbol arrays.
-    The per-round fold wraps arrays in new HOF lambdas, so the word
-    table is localCheckpoint-ed every round — iterative lineage MUST be
-    cut by hand or the analyzer cost doubles per round.
+
+    Branch crossover (r13, the broadcast-crossover idiom): once
+    collapsed, the vocabulary is often SMALL — when it holds at most
+    *driver_vocab_max* rows (probe: one count over the checkpointed
+    leaf) the greedy rounds run in the DRIVER over the collected
+    (syms, freq) rows, exactly the loop real tokenizer trainers run
+    single-process over word counts. The 12 distributed rounds at
+    sf0.1 were 24 jobs over a 31-row table — ~0.25 s of pure
+    scheduling per round (r13 profile, tools/bpe_profile_r13.py);
+    the driver loop replaces them with one collect. 64Ki rows of
+    (short symbol list, count) is a few MB in the driver — the same
+    order as a broadcast join's build side. Bit-parity with the
+    distributed branch is pinned by
+    tests/test_operators.py::test_bpe_train_distributed_branch_matches_driver_branch
+    (both branches also match the pure-Python reference BPE).
+
+    Past the crossover, each round is: HOF pair-explode → one
+    (pair, freq) hash aggregate → driver argmax of ONE row (freq desc,
+    then lexicographic — fully deterministic) → map-only HOF merge
+    fold over the symbol arrays, with the fold GUARDED by an adjacent-
+    pair containment predicate so only words containing the just-merged
+    pair pay the quadratic array fold (r13; the predicate is one O(len)
+    scan, the fold allocates O(len²) — at scale most words skip most
+    rounds: 6-16% contained the merged pair per round in the r13
+    profile). The per-round fold wraps arrays in new HOF lambdas, so
+    the word table is localCheckpoint-ed every round — iterative
+    lineage MUST be cut by hand or the analyzer cost doubles per round.
 
     Not ANSI-SQL-expressible (per-round argmax feeds the next round's
     rewrite) — correctness is pinned by a pure-Python reference BPE in
@@ -1384,6 +1406,18 @@ def bpe_train(
         )
         .localCheckpoint(eager=True)
     )
+    spark = df.sparkSession
+    schema = (
+        "merge_idx int, left string, right string, merged string,"
+        " pair_freq bigint"
+    )
+    if words.count() <= driver_vocab_max:
+        vocab = [
+            [list(r["syms"]), int(r["freq"])] for r in words.collect()
+        ]
+        return spark.createDataFrame(
+            _bpe_train_driver(vocab, n_merges, min_freq), schema
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     for it in range(n_merges):
         pair_counts = (
@@ -1431,18 +1465,69 @@ def bpe_train(
 
         fold = make_fold(left, right, merged)
 
+        # fold guard (r13): the fold on a word NOT containing the
+        # adjacent (left, right) pair is the identity, but still pays
+        # an O(len²) chain of array concats per word — one cheap
+        # zip_with/exists scan skips it (CaseWhen evaluates the fold
+        # branch only on hit rows)
+        n_syms = F.size("syms")
+        hit = F.exists(
+            F.zip_with(
+                F.slice("syms", 1, n_syms - 1),
+                F.slice("syms", 2, n_syms - 1),
+                lambda a, b: (a == F.lit(left)) & (b == F.lit(right)),
+            ),
+            lambda p: p,
+        )
         words = words.select(
-            F.aggregate(
-                "syms", F.array().cast("array<string>"), fold
-            ).alias("syms"),
+            F.when(
+                hit,
+                F.aggregate(
+                    "syms", F.array().cast("array<string>"), fold
+                ),
+            )
+            .otherwise(F.col("syms"))
+            .alias("syms"),
             "freq",
         ).localCheckpoint(eager=True)
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        merges,
-        "merge_idx int, left string, right string, merged string,"
-        " pair_freq bigint",
-    )
+    return spark.createDataFrame(merges, schema)
+
+
+def _bpe_train_driver(
+    vocab: list, n_merges: int, min_freq: int
+) -> list:
+    """The greedy BPE rounds over a COLLECTED (syms, freq) vocabulary —
+    the below-crossover branch of `bpe_train`. Bit-identical to the
+    distributed loop by construction: exact integer pair counts, the
+    same (freq desc, left, right) argmax (Python's code-point string
+    order equals Spark's UTF8 binary order on valid UTF-8), and the
+    same greedy left-to-right fold ('aaa' under (a,a) → [aa, a])."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for it in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for a, b in zip(syms, syms[1:]):
+                key = (a, b)
+                counts[key] = counts.get(key, 0) + freq
+        if not counts:
+            break
+        (left, right), pair_freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pair_freq < min_freq:
+            break
+        merged = left + right
+        merges.append((it + 1, left, right, merged, int(pair_freq)))
+        for row in vocab:
+            syms = row[0]
+            out: list = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            row[0] = out
+    return merges
 
 
 def bpe_apply(
@@ -1465,10 +1550,11 @@ def bpe_apply(
     The documented slow-path escape: tokenizer encode is per-symbol
     branching no Catalyst expression covers at rule-list depth, so this
     is an Arrow-batched pandas UDF (mapInPandas, map-only, zero
-    shuffle) with a per-batch DISTINCT-WORD cache — each unique word is
-    encoded once per batch regardless of its corpus frequency, which at
-    100 TB (Zipf-distributed words) collapses almost all per-row work
-    into dict lookups. The rule list rides in the closure (KBs).
+    shuffle) with a per-TASK DISTINCT-WORD cache (r12; bounded at ~1M
+    entries, r13) — each unique word is encoded once per task
+    regardless of its corpus frequency, which at 100 TB
+    (Zipf-distributed words) collapses almost all per-row work into
+    dict lookups. The rule list rides in the closure (KBs).
 
     Tokenization mirrors the TRAINER exactly, not Python defaults:
     words split on SPACE runs only (``split(text, ' +')`` — Python's
@@ -1504,8 +1590,13 @@ def bpe_apply(
         # heavyweight per-row work across every batch in the partition)
         # — each unique word is now encoded once per TASK, so a
         # many-batch partition of Zipf-distributed text re-encodes
-        # nothing across batch boundaries
+        # nothing across batch boundaries. Capped (r12 ADVICE): on a
+        # pathological non-Zipf partition the dict stops ADMITTING new
+        # entries past ~1M words (≈ tens of MB) instead of growing with
+        # every distinct word in the partition; extra words are simply
+        # re-encoded, semantics unchanged.
         cache: dict = {}
+        cache_cap = 1_048_576
         for pdf in batches:
             n_words = np.zeros(len(pdf), dtype=np.int64)
             n_tok = np.zeros(len(pdf), dtype=np.int64)
@@ -1521,7 +1612,8 @@ def bpe_apply(
                     hit = cache.get(w)
                     if hit is None:
                         hit = encode_word(w)
-                        cache[w] = hit
+                        if len(cache) < cache_cap:
+                            cache[w] = hit
                     total += hit
                 n_words[i] = len(words)
                 n_tok[i] = total

@@ -499,3 +499,50 @@ def test_no_private_jvm_handles_in_code():
                 elif tok.string == "_jvm" and rel not in jvm_allowlist:
                     offenders.append(f"{rel}:{tok.start[0]} _jvm")
     assert not offenders, offenders
+
+
+def test_co_occurrence_null_group_keys_form_no_edges(spark):
+    """r12 ADVICE (medium): group_item_sets keeps NULL as a groupBy key,
+    but the r11 equi-join shape dropped NULL-keyed groups entirely (a
+    self-join on the group key never matches NULL) and the SQL graph
+    oracles do the same — rows whose group/basket key is NULL must not
+    form a pair clique."""
+    from etl_acordos_spark.operators.graph import co_occurrence_edges
+
+    rows = [(None, 1), (None, 2), (None, 3), (10, 1), (10, 2)]
+    df = spark.createDataFrame(rows, "grp bigint, item bigint")
+    got = {
+        (r["src"], r["dst"])
+        for r in co_occurrence_edges(df, "grp", "item").collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_assoc_rules_null_basket_matches_oracle_semantics(spark):
+    """association_rules on input with a NULL basket key must replay the
+    oracle SQL exactly: the NULL basket forms NO pairs (self-join on the
+    basket key), is EXCLUDED from the basket total (count(DISTINCT key)
+    ignores NULL), but its rows DO count toward per-item totals (the
+    oracle's ic CTE groups the distinct (basket, item) rows by item with
+    no basket filter)."""
+    from etl_acordos_spark.operators.relational import association_rules
+
+    # baskets: two real ones sharing {1,2}; a NULL basket holding item 1
+    rows = [(100, 1), (100, 2), (200, 1), (200, 2), (None, 1)]
+    df = spark.createDataFrame(rows, "grp bigint, item bigint")
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["n_ab"], r["support"], r["confidence"], r["lift"]
+        )
+        for r in association_rules(
+            df, "grp", "item", min_pair=1, k=10
+        ).collect()
+    }
+    # oracle math: n_ab = 2 for (1,2) both directions; n baskets = 2
+    # (NULL excluded); item counts: item1 = 3 (INCLUDES the NULL-basket
+    # row), item2 = 2. support = 2/2 = 1.0;
+    # conf(1->2) = 2/3; lift = (2/3)/(2/2) = 2/3
+    # conf(2->1) = 2/2 = 1.0; lift = 1.0/(3/2) = 2/3
+    assert set(got) == {(1, 2), (2, 1)}
+    assert got[(1, 2)] == (2, 1.0, 0.666667, 0.666667)
+    assert got[(2, 1)] == (2, 1.0, 1.0, 0.666667)

@@ -2948,3 +2948,56 @@ def test_fuzzy_decontaminate_flags_cross_set_only(spark):
     assert set(got) == {1}, got  # 2/3 near-dup each other, NOT eval
     n, mj = got[1]
     assert n == 2 and mj >= 0.5, got[1]
+
+
+def test_bpe_train_distributed_branch_matches_driver_branch(spark):
+    """bpe_train auto-selects a driver-side greedy loop when the
+    collapsed vocabulary fits in the driver (the broadcast-crossover
+    idiom — r13); past `driver_vocab_max` the distributed per-round
+    loop runs instead. Both branches must emit the identical rule list
+    (and match the pure-Python reference) on the tie-break/overlap
+    corpus."""
+    from etl_acordos_spark.operators.text import bpe_train
+
+    corpus = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaaa aa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(corpus)], ["doc_id", "text"]
+    )
+    driver = [
+        tuple(r)
+        for r in bpe_train(docs, "text", "doc_id", n_merges=8).collect()
+    ]
+    distributed = [
+        tuple(r)
+        for r in bpe_train(
+            docs, "text", "doc_id", n_merges=8, driver_vocab_max=0
+        ).collect()
+    ]
+    assert driver == distributed == _ref_bpe(corpus, 8, 2)
+
+
+def test_prefix_filter_keeps_exact_threshold_pairs(spark):
+    """PPJoin pruning (r13: length + positional filters on the prefix
+    candidate join) must prune only pairs that provably CANNOT reach
+    the threshold — a pair at exactly threshold Jaccard sits on every
+    bound's boundary and must survive to the verify stage."""
+    from etl_acordos_spark.operators.dedup import prefix_filter_pairs
+
+    common = [f"c{i}" for i in range(8)]
+    rows = [
+        (1, " ".join(common + ["onlya"])),   # |A|=9
+        (2, " ".join(common + ["onlyb"])),   # |B|=9, inter=8, union=10
+        (3, " ".join(f"z{i}" for i in range(9))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in prefix_filter_pairs(
+            df, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert got == {(1, 2, 0.8)}
